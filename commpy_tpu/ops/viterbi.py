@@ -1,0 +1,222 @@
+"""Batched Viterbi decoding.
+
+TPU-native redesign of reference commpy/channelcoding/convcode.py:590-749.
+The reference's per-state Python ACS loop with windowed traceback becomes:
+
+1. **Branch metrics as one matmul.** For all three decoding types the
+   reference metric differs from a branch-codeword dot product only by a
+   per-time-step constant and (for 'unquantized') a positive scale —
+   both of which are invariant across branches/states of the same step, so
+   every min/argmin selection (including tie-breaks) is unchanged:
+
+   * hard:        Hamming = const_t + ob . (1 - 2 r)
+   * soft:        sum(ob ? nLL1 : nLL0) = const_t - ob . clip(r, +-500)
+   * unquantized: ||r - (2 ob - 1)||^2 = const_t + n - 2 r . (2 ob - 1)
+
+   So all T x (S * I) branch metrics are computed in a single
+   ``[B, T, n] @ [n, S*I]`` contraction (MXU) before the scan.
+
+2. **ACS as a ``lax.scan``** over time with a vectorized
+   gather + add + min over the predecessor table (ordered to match the
+   reference's ``_where_c`` row-major scan, so argmin tie-breaks agree).
+   Path metrics are renormalized by their per-step min (a uniform shift
+   never changes any comparison).
+
+3. **Windowed traceback, all windows at once.** The reference re-walks a
+   tb_depth window after every step (convcode.py:644-657); its emission
+   rule is equivalent to: message symbol m is finalized by the traceback
+   started at t*(m) = min(m + tb_depth - 1, T) after t* - m - 1 back-steps.
+   We therefore run ONE scan over back-step depth d = 0..tb_depth-2 where
+   each step advances *every* window in parallel ([B, T] gathers), writing
+   symbol t - d - 1 when d == tb_depth-2 or t == T.  Bit-identical to the
+   reference for every (t, m), at O(T * tb_depth) fully-vectorized work.
+
+vmap over the batch axis gives multi-codeword decoding; the Monte-Carlo
+driver shards the batch across the device mesh.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.bits import unpack_bits
+from .trellis import Trellis
+
+__all__ = ["viterbi_decode", "viterbi_decode_device", "make_viterbi_decoder"]
+
+_LLR_CLIP = 500.0  # reference convcode.py:718-719
+
+
+def _branch_vectors(trellis: Trellis, decoding_type: str) -> np.ndarray:
+    """[S*I, n] vectors c such that bm = r . c (+ per-step const)."""
+    ob = trellis.branch_codewords.reshape(-1, trellis.n).astype(np.float32)
+    if decoding_type == "hard":
+        return 1.0 - 2.0 * ob  # bm = ob.(1-2r) == (1-2ob).r + const
+    elif decoding_type == "soft":
+        return -ob
+    elif decoding_type == "unquantized":
+        return -(2.0 * ob - 1.0)
+    raise ValueError(
+        'The available decoding types are "hard", "soft" and "unquantized"'
+    )
+
+
+def _hard_const(trellis: Trellis) -> np.ndarray:
+    # hard metric: sum(ob xor r) = sum(ob) + (1-2ob).r ; sum(ob) differs per
+    # branch (not per step!), so it must be kept. [S*I]
+    return trellis.branch_codewords.reshape(-1, trellis.n).sum(-1).astype(
+        np.float32
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "tb_depth"))
+def _viterbi_core(
+    bm,  # [B, T, S, I] branch metrics
+    pred_state,  # [S, I]
+    pred_input,  # [S, I]
+    k: int,
+    tb_depth: int,
+):
+    B, T, S, I = bm.shape
+    pred_state = jnp.asarray(pred_state, jnp.int32)
+    pred_input = jnp.asarray(pred_input, jnp.int32)
+
+    pm0 = jnp.full((B, S), jnp.inf, jnp.float32).at[:, 0].set(0.0)
+
+    def acs(pm, bm_t):
+        # bm_t: [B, S, I]; predecessors of state s are pred_state[s, :]
+        cand = pm[:, pred_state] + bm_t  # [B, S, I]
+        new_pm = jnp.min(cand, axis=-1)
+        j_star = jnp.argmin(cand, axis=-1).astype(jnp.int32)  # [B, S]
+        best = jnp.argmin(new_pm, axis=-1).astype(jnp.int32)  # [B]
+        new_pm = new_pm - jnp.min(new_pm, axis=-1, keepdims=True)
+        return new_pm, (j_star, best)
+
+    _, (dec, best_state) = jax.lax.scan(
+        acs, pm0, jnp.moveaxis(bm, 1, 0)
+    )
+    dec = jnp.moveaxis(dec, 0, 1)  # [B, T, S] chosen branch index j
+    best_state = jnp.moveaxis(best_state, 0, 1)  # [B, T]
+
+    # ---- all traceback windows in parallel ----
+    # window started at step t (1-based time tau = t+1 in reference terms)
+    t_idx = jnp.arange(T)  # 0-based: step t corresponds to reference t+1
+    dec_flat = dec.reshape(B, T * S)
+
+    def walk(carry, d):
+        cur, out = carry  # cur: [B, T] current state of each window
+        tau = t_idx - d  # 0-based step whose decision we consume
+        gidx = jnp.clip(tau, 0, T - 1)[None, :] * S + cur
+        j = jnp.take_along_axis(dec_flat, gidx, axis=1)  # [B, T]
+        inp = pred_input[cur, j]
+        prev = pred_state[cur, j]
+        # reference time t_ref = tau+1 emits symbol m = t_ref - 1 - ... :
+        # symbol index finalized here is m = t - d - 1 (0-based steps give
+        # m = t_idx - d, since step t decides message symbol t).
+        m = t_idx - d
+        write = ((d == tb_depth - 2) | (t_idx == T - 1)) & (m >= 0)
+        midx = jnp.where(write, m, T)  # column T is a scratch sink
+        out = out.at[jnp.arange(B)[:, None], midx].set(inp)
+        return (prev, out), None
+
+    out0 = jnp.zeros((B, T + 1), jnp.int32)
+    (_, out), _ = jax.lax.scan(
+        walk, (best_state, out0), jnp.arange(max(tb_depth - 1, 1))
+    )
+    syms = out[:, :T]  # [B, T] decoded input symbols
+    bits = unpack_bits(syms, k)  # [B, T, k]
+    return bits.reshape(B, T * k)
+
+
+def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
+                          decoding_type="hard", L=None):
+    """Batched Viterbi decode.
+
+    Parameters
+    ----------
+    coded_bits : ``[..., n_coded]`` (hard bits, LLRs, or +-1 reals by type)
+    trellis : Trellis
+    tb_depth : traceback depth (default min(5 * total_memory, L))
+    L : number of message bits to return (default n_coded * k / n)
+
+    Returns
+    -------
+    decoded_bits : int8 ``[..., L]``
+    """
+    x = jnp.asarray(coded_bits)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    lead = x.shape[:-1]
+    x = x.reshape((-1,) + x.shape[-1:])
+    B = x.shape[0]
+
+    k, n = trellis.k, trellis.n
+    tm = trellis.total_memory
+    if L is None:
+        L = int(x.shape[-1] * k / n)
+    if tb_depth is None:
+        tb_depth = min(5 * tm, L)
+
+    # Number of ACS steps: reference runs t = 1 .. (L+tm)/k - 1, reading
+    # codeword (t-1); i.e. T = (L+tm)//k - 1 steps consuming codewords
+    # 0..T-1 with zero/-1 padding past L//k (convcode.py:721-732).
+    T = (L + tm) // k - 1
+    n_cw = x.shape[-1] // n
+
+    r = x.astype(jnp.float32)
+    if decoding_type == "soft":
+        r = jnp.clip(r, -_LLR_CLIP, _LLR_CLIP)
+    r = r[:, : n_cw * n].reshape(B, n_cw, n)
+    if T > n_cw:
+        pad_val = -1.0 if decoding_type == "unquantized" else 0.0
+        pad = jnp.full((B, T - n_cw, n), pad_val, jnp.float32)
+        r = jnp.concatenate([r, pad], axis=1)
+    else:
+        r = r[:, :T]
+
+    C = jnp.asarray(_branch_vectors(trellis, decoding_type))  # [S*I, n]
+    bm = jnp.einsum("btn,cn->btc", r, C)  # [B, T, S*I]
+    if decoding_type == "hard":
+        bm = bm + jnp.asarray(_hard_const(trellis))
+    S, I = trellis.number_states, trellis.number_inputs
+    bm = bm.reshape(B, T, S, I)
+    # reorder branch axis: bm currently indexed by flat (s, j) of the
+    # *predecessor table* — _branch_vectors used branch_codewords which is
+    # already [S, I] = (state, j-th predecessor). OK as-is.
+
+    bits = _viterbi_core(
+        bm,
+        trellis.pred_state_table,
+        trellis.pred_input_table,
+        k,
+        int(tb_depth),
+    )
+    bits = bits[:, :L].reshape(lead + (L,))
+    if squeeze:
+        bits = bits[0]
+    return bits
+
+
+def viterbi_decode(coded_bits, trellis: Trellis, tb_depth=None,
+                   decoding_type="hard"):
+    """Reference-compatible single-stream wrapper (convcode.py:661-749)."""
+    out = viterbi_decode_device(
+        np.asarray(coded_bits, dtype=float), trellis, tb_depth, decoding_type
+    )
+    return np.asarray(out).astype(int)
+
+
+def make_viterbi_decoder(trellis: Trellis, tb_depth: int, decoding_type: str,
+                         L: int):
+    """Return a jit-ready closure decoding fixed-shape batches."""
+
+    def decode(coded_bits):
+        return viterbi_decode_device(
+            coded_bits, trellis, tb_depth, decoding_type, L=L
+        )
+
+    return decode
