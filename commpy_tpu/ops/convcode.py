@@ -108,7 +108,10 @@ def conv_encode(message_bits, trellis: Trellis, termination="term",
     outbits = np.zeros(number_outbits, int)
     outbits[: n_steps * n] = np.asarray(out_bits).reshape(-1)
 
-    if code_type == "rsc" and termination != "cont":
+    # NOTE: the tail drive only happens for termination == 'term' exactly;
+    # e.g. turbo_encode passes termination='rsc' and gets a ZERO tail
+    # (convcode.py:542 guard).
+    if code_type == "rsc" and termination == "term":
         # Tail drive: reversed state bits fed back in, exactly
         # convcode.py:542-550 (slices beyond the state width read as 0).
         state = int(final_state)

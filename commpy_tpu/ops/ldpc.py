@@ -1,0 +1,376 @@
+"""LDPC codes: design-file IO, systematic encoding, and batched BP decoding.
+
+TPU-native redesign of reference commpy/channelcoding/ldpc.py:
+
+* the design-file parser / writer keep the reference text format
+  (ldpc.py:55-61) and dict keys for interop with published code designs;
+* the decoder's per-block serial loop and per-row Python MSA loop
+  (ldpc.py:197-238) become one fixed-shape batched program: messages live
+  on a dense ``[B, n_cnodes, max_cnode_deg]`` edge tensor (the -1 padding
+  of the adjacency lists maps to masked lanes), check-node updates are
+  two-pass masked reductions (sign/magnitude split for SPA, two-min trick
+  for MSA), variable-node updates are gather+sum;
+* the reference's per-block syndrome early exit (ldpc.py:205) becomes a
+  ``lax.while_loop`` whose carry freezes converged blocks, preserving the
+  reference's exact iteration semantics while keeping shapes static.
+
+Decoded outputs match the reference: hard word via signbit, posterior
+LLRs, one block per column (Fortran order).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as splg
+
+__all__ = [
+    "get_ldpc_code_params",
+    "build_matrix",
+    "write_ldpc_params",
+    "triang_ldpc_systematic_encode",
+    "ldpc_bp_decode",
+    "ldpc_bp_decode_device",
+    "ldpc_encode_device",
+]
+
+_llr_max = 500.0  # reference ldpc.py:11
+
+
+# --------------------------------------------------------------------------
+# Design file IO (host)
+# --------------------------------------------------------------------------
+
+def get_ldpc_code_params(ldpc_design_filename, compute_matrix=False):
+    """Parse an LDPC design file (format: reference ldpc.py:55-61)."""
+    with open(ldpc_design_filename) as f:
+        n_vnodes, n_cnodes = [int(x) for x in f.readline().split(" ")]
+        max_vnode_deg, max_cnode_deg = [int(x) for x in f.readline().split(" ")]
+        vnode_deg_list = np.array(
+            [int(x) for x in f.readline().split(" ")[:-1]], np.int32
+        )
+        cnode_deg_list = np.array(
+            [int(x) for x in f.readline().split(" ")[:-1]], np.int32
+        )
+
+        cnode_adj_list = -np.ones([n_cnodes, max_cnode_deg], int)
+        vnode_adj_list = -np.ones([n_vnodes, max_vnode_deg], int)
+        for v in range(n_vnodes):
+            vnode_adj_list[v, : vnode_deg_list[v]] = [
+                int(x) - 1 for x in f.readline().split("\t")
+            ]
+        for c in range(n_cnodes):
+            cnode_adj_list[c, : cnode_deg_list[c]] = [
+                int(x) - 1 for x in f.readline().split("\t")
+            ]
+
+    # Cross-index maps: position of the shared edge in the peer's row.
+    cnode_vnode_map = -np.ones([n_cnodes, max_cnode_deg], int)
+    vnode_cnode_map = -np.ones([n_vnodes, max_vnode_deg], int)
+    for c in range(n_cnodes):
+        for i, v in enumerate(cnode_adj_list[c, : cnode_deg_list[c]]):
+            cnode_vnode_map[c, i] = np.where(vnode_adj_list[v, :] == c)[0]
+    for v in range(n_vnodes):
+        for i, c in enumerate(vnode_adj_list[v, : vnode_deg_list[v]]):
+            vnode_cnode_map[v, i] = np.where(cnode_adj_list[c, :] == v)[0]
+
+    ldpc_code_params = {
+        "n_vnodes": n_vnodes,
+        "n_cnodes": n_cnodes,
+        "max_cnode_deg": max_cnode_deg,
+        "max_vnode_deg": max_vnode_deg,
+        "cnode_adj_list": cnode_adj_list.flatten().astype(np.int32),
+        "vnode_adj_list": vnode_adj_list.flatten().astype(np.int32),
+        "cnode_vnode_map": cnode_vnode_map.flatten().astype(np.int32),
+        "vnode_cnode_map": vnode_cnode_map.flatten().astype(np.int32),
+        "cnode_deg_list": cnode_deg_list,
+        "vnode_deg_list": vnode_deg_list,
+    }
+    if compute_matrix:
+        build_matrix(ldpc_code_params)
+    return ldpc_code_params
+
+
+def build_matrix(ldpc_code_params):
+    """Build sparse H (CSC) and G = inv(H_sys) @ H_parity (CSR).
+
+    Valid for approximately-triangular systematic codes
+    (reference ldpc.py:13-48).  Adds both to the params dict.
+    """
+    n_cnodes = ldpc_code_params["n_cnodes"]
+    deg = ldpc_code_params["cnode_deg_list"]
+    adj = ldpc_code_params["cnode_adj_list"].reshape(
+        (n_cnodes, ldpc_code_params["max_cnode_deg"])
+    )
+    rows = np.repeat(np.arange(n_cnodes), deg)
+    cols = np.concatenate([adj[c, : deg[c]] for c in range(n_cnodes)])
+    H = sp.csc_matrix(
+        (np.ones(rows.size, np.int8), (rows, cols)),
+        shape=(n_cnodes, ldpc_code_params["n_vnodes"]),
+    )
+    systematic_part = H[:, -n_cnodes:]
+    parity_part = H[:, :-n_cnodes]
+    ldpc_code_params["parity_check_matrix"] = H
+    ldpc_code_params["generator_matrix"] = (
+        splg.inv(systematic_part).dot(parity_part).tocsr()
+    )
+
+
+def write_ldpc_params(parity_check_matrix, file_path):
+    """Write a parity-check matrix as a design file (reference ldpc.py:257)."""
+    H = np.asarray(parity_check_matrix)
+    with open(file_path, "x") as f:
+        f.write("{} {}\n".format(H.shape[1], H.shape[0]))
+        f.write("{} {}\n".format(H.sum(0).max(), H.sum(1).max()))
+        for deg in H.sum(0):
+            f.write("{} ".format(deg))
+        f.write("\n")
+        for deg in H.sum(1):
+            f.write("{} ".format(deg))
+        f.write("\n")
+        for line in H.T:
+            nodes = line.nonzero()[0]
+            for node in nodes[:-1]:
+                f.write("{}\t".format(node + 1))
+            f.write("{}\n".format(nodes[-1] + 1))
+        for col in H:
+            nodes = col.nonzero()[0]
+            for node in nodes[:-1]:
+                f.write("{}\t".format(node + 1))
+            f.write("{}\n".format(nodes[-1] + 1))
+        f.write("\n")
+
+
+# --------------------------------------------------------------------------
+# Encoding
+# --------------------------------------------------------------------------
+
+def ldpc_encode_device(message_bits, generator_dense):
+    """Batched systematic encode: ``[..., k] -> [..., n]``.
+
+    parity = G @ m mod 2 as a dense matmul (MXU path) — G entries are 0/1
+    and k < 2^24, so float32 accumulation is exact.
+    """
+    m = jnp.asarray(message_bits)
+    G = jnp.asarray(generator_dense, jnp.float32)
+    parity = jnp.mod(
+        jnp.einsum("ck,...k->...c", G, m.astype(jnp.float32)), 2.0
+    )
+    return jnp.concatenate([m.astype(jnp.int8), parity.astype(jnp.int8)], -1)
+
+
+def triang_ldpc_systematic_encode(message_bits, ldpc_code_params, pad=True):
+    """Reference-compatible systematic encoder (ldpc.py:302-354)."""
+    if (
+        ldpc_code_params.get("generator_matrix") is None
+        or ldpc_code_params.get("parity_check_matrix") is None
+    ):
+        build_matrix(ldpc_code_params)
+
+    message_bits = np.asarray(message_bits)
+    G = ldpc_code_params["generator_matrix"]
+    block_length = G.shape[1]
+    modulo = len(message_bits) % block_length
+    if modulo:
+        if pad:
+            message_bits = np.concatenate(
+                (message_bits, np.zeros(block_length - modulo, message_bits.dtype))
+            )
+        else:
+            raise ValueError(
+                "Padding is disable but message length is not a multiple of "
+                "block length."
+            )
+    message_bits = message_bits.reshape(block_length, -1, order="F")
+
+    Gd = np.asarray(G.todense()) % 2
+    coded = np.asarray(
+        ldpc_encode_device(message_bits.T.astype(np.int8), Gd)
+    ).T  # [n_vnodes, n_blocks]
+    return coded.squeeze().astype(np.int8)
+
+
+# --------------------------------------------------------------------------
+# Decoding
+# --------------------------------------------------------------------------
+
+def _prod_excl(x, mask):
+    """Exact leave-one-out product along the last axis (handles zeros).
+
+    Matches the reference's divide-out-self semantics (ldpc.py:217-227,
+    231-238): with z zeros in a row, the leave-one-out product is 0
+    everywhere if z >= 2; with z == 1 it is nonzero only at the zero lane.
+    """
+    xm = jnp.where(mask, x, 1.0)
+    sign = jnp.sign(xm)
+    absx = jnp.abs(xm)
+    is_zero = mask & (x == 0.0)
+    n_zeros = jnp.sum(is_zero, axis=-1, keepdims=True)
+    # log-magnitude over non-zero lanes only
+    logmag = jnp.where(is_zero | ~mask, 0.0, jnp.log(jnp.maximum(absx, 1e-38)))
+    logmag_tot = jnp.sum(logmag, axis=-1, keepdims=True)
+    sign_tot = jnp.prod(jnp.where(is_zero, 1.0, sign), axis=-1, keepdims=True)
+    # leave-one-out over non-zero lanes:
+    loo_mag = jnp.exp(logmag_tot - logmag)
+    loo_sign = sign_tot * jnp.where(is_zero, 1.0, sign)  # sign^2=1 divide
+    loo = loo_sign * loo_mag
+    out = jnp.where(
+        n_zeros >= 2,
+        0.0,
+        jnp.where(
+            n_zeros == 1,
+            jnp.where(is_zero, sign_tot * jnp.exp(logmag_tot), 0.0),
+            loo,
+        ),
+    )
+    return jnp.where(mask, out, 0.0)
+
+
+@partial(jax.jit, static_argnames=("algorithm", "n_iters"))
+def _bp_core(llr, cadj, cmask, vadj, vmap_, vmask, algorithm: str,
+             n_iters: int):
+    """Belief propagation over the padded Tanner edge arrays.
+
+    llr:   [B, n_v]
+    cadj:  [n_c, cd]   vnode index per check-node edge (pad -> n_v sentinel)
+    cmask: [n_c, cd]   valid-edge mask
+    vadj:  [n_v, vd]   cnode index per vnode edge (pad -> 0)
+    vmap_: [n_v, vd]   edge position inside the cnode row (pad -> 0)
+    vmask: [n_v, vd]
+    """
+    B, n_v = llr.shape
+    n_c, cd = cadj.shape
+
+    def gather_total(c2v):
+        # sum of incoming check messages per vnode: [B, n_v]
+        inc = c2v[:, vadj, vmap_]  # [B, n_v, vd]
+        inc = jnp.where(vmask, inc, 0.0)
+        return llr + jnp.sum(inc, axis=-1)
+
+    def syndrome_ok(dec):
+        dec_pad = jnp.pad(dec, ((0, 0), (0, 1)))
+        par = jnp.sum(
+            jnp.where(cmask, dec_pad[:, cadj], 0), axis=-1
+        )  # [B, n_c]
+        return jnp.all(par % 2 == 0, axis=-1)  # [B]
+
+    def cn_update(v2c):
+        if algorithm == "SPA":
+            t = jnp.tanh(v2c * 0.5)
+            prod = _prod_excl(t, cmask)
+            msg = 2.0 * jnp.arctanh(jnp.clip(prod, -1.0, 1.0))
+            return jnp.clip(msg, -_llr_max, _llr_max)
+        elif algorithm == "MSA":
+            sign = _prod_excl(jnp.sign(v2c), cmask)
+            mag = jnp.where(cmask, jnp.abs(v2c), jnp.inf)
+            m1 = jnp.min(mag, axis=-1, keepdims=True)
+            i1 = jnp.argmin(mag, axis=-1)
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (n_c, cd), 1)
+                == i1[..., None]
+            )
+            m2 = jnp.min(jnp.where(onehot, jnp.inf, mag), -1, keepdims=True)
+            loo_min = jnp.where(onehot, m2, m1)
+            return jnp.where(cmask, sign * loo_min, 0.0)
+        raise NameError(
+            'Please input a valid decoder_algorithm string '
+            '(meanning "SPA" or "MSA").'
+        )
+
+    dec0 = jnp.signbit(llr).astype(jnp.int8)
+    c2v0 = jnp.zeros((B, n_c, cd), jnp.float32)
+    out0 = llr
+
+    def cond(state):
+        it, _, _, dec, active = state
+        return jnp.logical_and(it < n_iters, jnp.any(active & ~syndrome_ok(dec)))
+
+    def body(state):
+        it, c2v, out_llr, dec, active = state
+        act = active & ~syndrome_ok(dec)  # [B]
+
+        total = gather_total(c2v)  # [B, n_v]
+        v2c = total[:, cadj.clip(0, n_v - 1)]  # [B, n_c, cd]
+        v2c = jnp.where(cmask, v2c - c2v, 0.0)
+        new_c2v = cn_update(v2c)
+
+        new_total = gather_total(new_c2v)
+        new_dec = jnp.signbit(new_total).astype(jnp.int8)
+
+        sel = act[:, None, None]
+        c2v = jnp.where(sel, new_c2v, c2v)
+        out_llr = jnp.where(act[:, None], new_total, out_llr)
+        dec = jnp.where(act[:, None], new_dec, dec)
+        return it + 1, c2v, out_llr, dec, active
+
+    _, _, out_llr, dec, _ = jax.lax.while_loop(
+        cond, body, (0, c2v0, out0, dec0, jnp.ones(B, bool))
+    )
+    return dec, out_llr
+
+
+def _edge_arrays(ldpc_code_params):
+    n_v = ldpc_code_params["n_vnodes"]
+    n_c = ldpc_code_params["n_cnodes"]
+    cd = ldpc_code_params["max_cnode_deg"]
+    vd = ldpc_code_params["max_vnode_deg"]
+    cadj = ldpc_code_params["cnode_adj_list"].reshape(n_c, cd)
+    vadj = ldpc_code_params["vnode_adj_list"].reshape(n_v, vd)
+    vmap_ = ldpc_code_params["vnode_cnode_map"].reshape(n_v, vd)
+    cmask = cadj >= 0
+    vmask = vadj >= 0
+    cadj_s = np.where(cmask, cadj, n_v)  # sentinel -> padded llr column
+    vadj_s = np.where(vmask, vadj, 0)
+    vmap_s = np.where(vmask, vmap_, 0)
+    return (
+        jnp.asarray(cadj_s, jnp.int32),
+        jnp.asarray(cmask),
+        jnp.asarray(vadj_s, jnp.int32),
+        jnp.asarray(vmap_s, jnp.int32),
+        jnp.asarray(vmask),
+    )
+
+
+def ldpc_bp_decode_device(llr, ldpc_code_params, decoder_algorithm, n_iters):
+    """Batched BP decode: llr ``[..., n_vnodes]`` -> (dec int8, out_llr)."""
+    if decoder_algorithm not in ("SPA", "MSA"):
+        raise NameError(
+            'Please input a valid decoder_algorithm string '
+            '(meanning "SPA" or "MSA").'
+        )
+    x = jnp.asarray(llr, jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    lead = x.shape[:-1]
+    x = x.reshape(-1, x.shape[-1])
+    x = jnp.clip(x, -_llr_max, _llr_max)
+    tables = _edge_arrays(ldpc_code_params)
+    dec, out_llr = _bp_core(x, *tables, decoder_algorithm, int(n_iters))
+    dec = dec.reshape(lead + dec.shape[-1:])
+    out_llr = out_llr.reshape(lead + out_llr.shape[-1:])
+    if squeeze:
+        return dec[0], out_llr[0]
+    return dec, out_llr
+
+
+def ldpc_bp_decode(llr_vec, ldpc_code_params, decoder_algorithm, n_iters):
+    """Reference-compatible BP decode (ldpc.py:144-255).
+
+    llr_vec: 1D float array, length a multiple of n_vnodes; several blocks
+    are decoded at once (as one device batch instead of the reference's
+    serial block loop).
+    """
+    llr_vec = np.asarray(llr_vec, float)
+    n_v = ldpc_code_params["n_vnodes"]
+    n_blocks = llr_vec.size // n_v
+    blocks = llr_vec.reshape(n_blocks, n_v)
+    dec, out = ldpc_bp_decode_device(
+        blocks, ldpc_code_params, decoder_algorithm, n_iters
+    )
+    dec = np.asarray(dec).T.squeeze().astype(np.int8)
+    out = np.asarray(out, float).T.squeeze()
+    return dec, out

@@ -1,0 +1,327 @@
+"""Turbo codes: rate-1/3 PCCC encoder + log-MAP (BCJR) decoder.
+
+TPU-native redesign of reference commpy/channelcoding/turbo.py:
+
+* the reference's probability-domain BCJR with per-step sum-normalization
+  (turbo.py:78-158) — numerically fragile — becomes a **log-domain**
+  forward/backward pair of ``lax.scan``s (logsumexp normalization is the
+  exact log-space image of the reference's normalization, so extrinsic
+  outputs agree up to floating-point);
+* the per-(state, input) Python loops become dense ``[T, S, I]`` tensor
+  ops; the decoder vmaps over a batch of codewords;
+* interleaving is a permutation gather (interleavers.py:13-47 semantics).
+
+Branch model matches turbo.py:62-76: rate-1/2 RSC component code, BPSK
+mapping (bit -> 2b-1), codeword bit0 = systematic, bit1 = parity, branch
+log-prob = -((x - cs)^2 + (y - cp)^2) / (2 sigma^2).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .convcode import conv_encode, encode_scan
+from .trellis import Trellis
+from ..utils.bits import np_unpack_bits, pack_bits, unpack_bits
+
+__all__ = [
+    "turbo_encode",
+    "turbo_encode_device",
+    "map_decode",
+    "map_decode_device",
+    "turbo_decode",
+    "turbo_decode_device",
+]
+
+
+# --------------------------------------------------------------------------
+# Encoding
+# --------------------------------------------------------------------------
+
+def turbo_encode(msg_bits, trellis1: Trellis, trellis2: Trellis, interleaver):
+    """Reference-compatible turbo encoder (turbo.py:14-59).
+
+    Returns [sys_stream, non_sys_stream_1, non_sys_stream_2] with the
+    reference's exact lengths (including the historical long tail on the
+    second parity stream).
+    """
+    msg_bits = np.asarray(msg_bits)
+    stream = conv_encode(msg_bits, trellis1, "rsc")
+    sys_stream = stream[::2]
+    non_sys_stream_1 = stream[1::2]
+
+    interlv_msg_bits = interleaver.interlv(sys_stream)
+    puncture_matrix = np.array([[0, 1]])
+    non_sys_stream_2 = conv_encode(
+        interlv_msg_bits, trellis2, "rsc", puncture_matrix
+    )
+
+    sys_stream = sys_stream[0 : -trellis1.total_memory]
+    non_sys_stream_1 = non_sys_stream_1[0 : -trellis1.total_memory]
+    non_sys_stream_2 = non_sys_stream_2[0 : -trellis2.total_memory]
+    return [sys_stream, non_sys_stream_1, non_sys_stream_2]
+
+
+def _rsc_with_tail(bits, trellis: Trellis):
+    """Batched RSC encode with the reference tail drive (convcode.py:542-550).
+
+    bits: ``[..., L]``; returns output bits ``[..., L + tm, n]``.
+    Only k == 1 codes (the turbo component-code case) are supported on the
+    device path.
+    """
+    assert trellis.k == 1, "device turbo path supports k=1 component codes"
+    tm = trellis.total_memory
+    out_main, state = encode_scan(bits, trellis)
+    lead = bits.shape[:-1]
+    out_main = out_main.reshape(lead + (-1, trellis.n))
+
+    nst = jnp.asarray(trellis.next_state_table, jnp.int32)
+    ot = jnp.asarray(trellis.output_table, jnp.int32)
+
+    # Tail inputs: reversed state bits of the state reached after the main
+    # body; bit i of the tail is term_bits[i] (data-dependent!).
+    term_bits = unpack_bits(state, tm)[..., ::-1].astype(jnp.int32)
+
+    def tail_step(carry, i):
+        st = carry
+        u = jnp.take_along_axis(
+            term_bits, jnp.broadcast_to(i, st.shape)[..., None], axis=-1
+        )[..., 0]
+        out = ot[st, u]
+        return nst[st, u], out
+
+    _, tail_out = jax.lax.scan(tail_step, state, jnp.arange(tm))
+    tail_out = jnp.moveaxis(tail_out, 0, -1)  # [..., tm]
+    tail_bits = unpack_bits(tail_out, trellis.n)
+    return jnp.concatenate([out_main, tail_bits], axis=-2)
+
+
+def turbo_encode_device(msg_bits, trellis1: Trellis, trellis2: Trellis,
+                        p_array):
+    """Batched turbo encoder.
+
+    msg_bits: ``[..., L]``; p_array: interleaver permutation ``[L]``.
+    Returns (sys, par1, par2), each ``[..., L]`` — the portions a turbo
+    decoder consumes (reference trims tails the same way, turbo.py:55-57).
+    """
+    msg_bits = jnp.asarray(msg_bits)
+    L = msg_bits.shape[-1]
+    lead = msg_bits.shape[:-1]
+    # turbo_encode passes termination='rsc', which in the reference means
+    # NO tail drive (convcode.py:542 guard) — tail slots are zeros and are
+    # trimmed away, so the decoder-visible streams are just the main body.
+    out1, _ = encode_scan(msg_bits, trellis1)
+    out1 = out1.reshape(lead + (L, trellis1.n))
+    sys = out1[..., 0]
+    par1 = out1[..., 1]
+
+    interleaved = jnp.take(sys, jnp.asarray(p_array), axis=-1)
+    out2, _ = encode_scan(interleaved, trellis2)
+    out2 = out2.reshape(lead + (L, trellis2.n))
+    par2 = out2[..., 1]
+    return sys, par1, par2
+
+
+# --------------------------------------------------------------------------
+# Log-MAP decoding
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("compute_decode",))
+def _log_bcjr(
+    sys_symbols,  # [B, T]
+    par_symbols,  # [B, T]
+    L_int,  # [B, T]
+    noise_variance,
+    nst,  # [S, I] next-state
+    out_cs,  # [S, I] systematic symbol (+-1)
+    out_cp,  # [S, I] parity symbol (+-1)
+    pred_state,  # [S, I]
+    pred_input,  # [S, I]
+    compute_decode: bool = True,
+):
+    B, T = sys_symbols.shape
+    S = nst.shape[0]
+    neg_inf = jnp.float32(-1e30)
+
+    # Branch log-probs WITHOUT priors (reference keeps priors separate,
+    # turbo.py:100-110): lg[b, t, s, u]
+    x = sys_symbols[..., None, None] - out_cs  # [B,T,S,I]
+    y = par_symbols[..., None, None] - out_cp
+    lgamma = -(x * x + y * y) / (2.0 * noise_variance)
+
+    # Log-priors from intrinsic LLRs (turbo.py:238-240):
+    lp1 = -jax.nn.softplus(-L_int)  # log p(u=1)
+    lp0 = -jax.nn.softplus(L_int)  # log p(u=0)
+    lp = jnp.stack([lp0, lp1], axis=-1)  # [B, T, 2]
+
+    lg_priored = lgamma + lp[:, :, None, :]  # [B,T,S,I]
+
+    # ---- backward recursion (turbo.py:78-111), log domain ----
+    def bwd(beta_next, lg_t):
+        # beta[s] = LSE_u(beta_next[ns[s,u]] + lg_t[s,u])
+        m = beta_next[:, nst] + lg_t  # [B,S,I]
+        beta = jax.nn.logsumexp(m, axis=-1)
+        beta = beta - jax.nn.logsumexp(beta, axis=-1, keepdims=True)
+        return beta, beta_next
+
+    beta_T = jnp.zeros((B, S), jnp.float32)
+    _, betas = jax.lax.scan(
+        bwd, beta_T, jnp.moveaxis(lg_priored, 1, 0), reverse=True
+    )
+    # betas[t] = beta_{t+1} (the value consumed by the APP at step t)
+    betas = jnp.moveaxis(betas, 0, 1)  # [B, T, S]
+
+    # ---- forward recursion + APP (turbo.py:114-158), log domain ----
+    alpha0 = jnp.full((B, S), neg_inf, jnp.float32).at[:, 0].set(0.0)
+
+    def fwd(alpha, inputs):
+        lg_t, lgp_t, beta_next = inputs
+        # APP over branches grouped by input u (no prior on current step):
+        app = jax.nn.logsumexp(
+            alpha[:, :, None] + lg_t + beta_next[:, nst], axis=1
+        )  # [B, I]
+        # alpha update goes THROUGH the priors; gather branches entering
+        # each next state via the predecessor tables:
+        cand = alpha[:, pred_state] + lgp_t[:, pred_state, pred_input]
+        alpha_next = jax.nn.logsumexp(cand, axis=-1)
+        alpha_next = alpha_next - jax.nn.logsumexp(
+            alpha_next, axis=-1, keepdims=True
+        )
+        return alpha_next, app
+
+    _, apps = jax.lax.scan(
+        fwd,
+        alpha0,
+        (
+            jnp.moveaxis(lgamma, 1, 0),
+            jnp.moveaxis(lg_priored, 1, 0),
+            jnp.moveaxis(betas, 1, 0),
+        ),
+    )
+    apps = jnp.moveaxis(apps, 0, 1)  # [B, T, 2]
+    lappr = L_int + apps[..., 1] - apps[..., 0]
+    decoded = (lappr > 0).astype(jnp.int8) if compute_decode else None
+    return lappr, decoded
+
+
+def _bcjr_tables(trellis: Trellis):
+    nst = trellis.next_state_table.astype(np.int32)
+    bits = np_unpack_bits(trellis.output_table, trellis.n)  # [S, I, n]
+    cs = (2.0 * bits[..., 0] - 1.0).astype(np.float32)
+    cp = (2.0 * bits[..., 1] - 1.0).astype(np.float32)
+    return (
+        jnp.asarray(nst),
+        jnp.asarray(cs),
+        jnp.asarray(cp),
+        jnp.asarray(trellis.pred_state_table),
+        jnp.asarray(trellis.pred_input_table),
+    )
+
+
+def map_decode_device(sys_symbols, non_sys_symbols, trellis: Trellis,
+                      noise_variance, L_int):
+    """Batched log-MAP decode of one rate-1/2 RSC stream.
+
+    sys_symbols, non_sys_symbols, L_int: ``[..., T]``.
+    Returns (L_ext ``[..., T]``, decoded_bits int8 ``[..., T]``).
+    """
+    sy = jnp.atleast_2d(jnp.asarray(sys_symbols, jnp.float32))
+    pa = jnp.atleast_2d(jnp.asarray(non_sys_symbols, jnp.float32))
+    li = jnp.atleast_2d(jnp.asarray(L_int, jnp.float32))
+    tables = _bcjr_tables(trellis)
+    lappr, decoded = _log_bcjr(
+        sy, pa, li, jnp.float32(noise_variance), *tables
+    )
+    if jnp.ndim(jnp.asarray(sys_symbols)) == 1:
+        return lappr[0], decoded[0]
+    return lappr, decoded
+
+
+def map_decode(sys_symbols, non_sys_symbols, trellis: Trellis,
+               noise_variance, L_int, mode="decode"):
+    """Reference-compatible MAP decoder (turbo.py:163-251)."""
+    L_ext, decoded = map_decode_device(
+        np.asarray(sys_symbols, float),
+        np.asarray(non_sys_symbols, float),
+        trellis,
+        noise_variance,
+        np.asarray(L_int, float),
+    )
+    return [np.asarray(L_ext), np.asarray(decoded).astype(int)]
+
+
+@partial(jax.jit, static_argnames=("trellis", "number_iterations"))
+def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
+                      noise_variance, p_array, L_int, trellis: Trellis,
+                      number_iterations: int):
+    tables = _bcjr_tables(trellis)
+    p = jnp.asarray(p_array, jnp.int32)
+    inv_p = jnp.zeros_like(p).at[p].set(jnp.arange(p.shape[0], dtype=jnp.int32))
+    sys_i = jnp.take(sys_symbols, p, axis=-1)
+
+    def body(L_int_1, _):
+        L_ext_1, _ = _log_bcjr(
+            sys_symbols, non_sys_symbols_1, L_int_1,
+            noise_variance, *tables, compute_decode=False,
+        )
+        L_ext_1 = L_ext_1 - L_int_1
+        L_int_2 = jnp.take(L_ext_1, p, axis=-1)
+        L_2, _ = _log_bcjr(
+            sys_i, non_sys_symbols_2, L_int_2,
+            noise_variance, *tables, compute_decode=False,
+        )
+        L_ext_2 = L_2 - L_int_2
+        L_int_1 = jnp.take(L_ext_2, inv_p, axis=-1)
+        return L_int_1, L_2
+
+    L_int_1, L_2_all = jax.lax.scan(
+        body, L_int, None, length=number_iterations
+    )
+    L_2_last = L_2_all[-1]
+    decoded_i = (L_2_last > 0).astype(jnp.int8)
+    decoded = jnp.take(decoded_i, inv_p, axis=-1)
+    return decoded
+
+
+def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
+                        trellis: Trellis, noise_variance, number_iterations,
+                        p_array, L_int=None):
+    """Batched turbo decode (extrinsic loop of turbo.py:254-333).
+
+    All symbol arrays ``[..., T]``; p_array the interleaver permutation.
+    """
+    sy = jnp.atleast_2d(jnp.asarray(sys_symbols, jnp.float32))
+    p1 = jnp.atleast_2d(jnp.asarray(non_sys_symbols_1, jnp.float32))
+    p2 = jnp.atleast_2d(jnp.asarray(non_sys_symbols_2, jnp.float32))
+    if L_int is None:
+        L_int = jnp.zeros_like(sy)
+    else:
+        L_int = jnp.atleast_2d(jnp.asarray(L_int, jnp.float32))
+    out = _turbo_iterations(
+        sy, p1, p2, jnp.float32(noise_variance),
+        np.asarray(p_array, np.int32), L_int, trellis,
+        int(number_iterations),
+    )
+    if jnp.ndim(jnp.asarray(sys_symbols)) == 1:
+        return out[0]
+    return out
+
+
+def turbo_decode(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
+                 trellis: Trellis, noise_variance, number_iterations,
+                 interleaver, L_int=None):
+    """Reference-compatible turbo decoder (turbo.py:254-333)."""
+    out = turbo_decode_device(
+        np.asarray(sys_symbols, float),
+        np.asarray(non_sys_symbols_1, float),
+        np.asarray(non_sys_symbols_2, float),
+        trellis,
+        noise_variance,
+        number_iterations,
+        interleaver.p_array,
+        L_int,
+    )
+    return np.asarray(out).astype(int)

@@ -60,13 +60,15 @@ def test_rrc_singularity_exact_hit():
 
 
 def test_pnsequence_golden():
-    # reference commpy/tests/test_sequences.py golden
-    seq = SQ.pnsequence(4, "0011", "0101", 15)
-    np.testing.assert_array_equal(
-        seq, np.array([1, 1, 0, 0, 1, 0, 0, 0, 1, 1, 1, 1, 0, 1, 0][: len(seq)])
-    )
-    dev = np.asarray(SQ.pnsequence_device(4, "0011", "0101", 15))
+    # reference commpy/tests/test_sequences.py:18-21 golden
+    seq = SQ.pnsequence(4, "0011", [1, 1, 0, 1], 7)
+    np.testing.assert_array_equal(seq, np.array([1, 1, 0, 0, 1, 0, 1]))
+    dev = np.asarray(SQ.pnsequence_device(4, "0011", "1101", 7))
     np.testing.assert_array_equal(seq, dev)
+    with pytest.raises(ValueError):
+        SQ.pnsequence(4, "001", "1101", 15)
+    with pytest.raises(ValueError):
+        SQ.pnsequence(4, "0011", "110", 15)
 
 
 def test_pnsequence_matches_reference():
