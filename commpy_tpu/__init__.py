@@ -23,3 +23,11 @@ imports; they are thin shims over the batched kernels.
 __version__ = "0.1.0"
 
 from . import utils, ops  # noqa: F401  (core layers always importable)
+
+# Reference-parity star exports (commpy/__init__.py:17-21 imports filters,
+# modulation, impairments, sequences, channels at top level).
+from .filters import *  # noqa: F401,F403
+from .modulation import *  # noqa: F401,F403
+from .impairments import *  # noqa: F401,F403
+from .sequences import *  # noqa: F401,F403
+from .channels import *  # noqa: F401,F403

@@ -1,0 +1,17 @@
+from .device_links import (
+    DeviceLink,
+    make_conv_awgn_link,
+    make_kbest_mimo_link,
+    make_ldpc_rayleigh_link,
+    make_ofdm_mimo_conv_link,
+    make_turbo_awgn_link,
+)
+
+__all__ = [
+    "DeviceLink",
+    "make_conv_awgn_link",
+    "make_kbest_mimo_link",
+    "make_ldpc_rayleigh_link",
+    "make_ofdm_mimo_conv_link",
+    "make_turbo_awgn_link",
+]

@@ -1,0 +1,401 @@
+"""Batched end-to-end link pipelines (the TPU-native "model zoo").
+
+Each builder returns a :class:`DeviceLink` whose ``link_step(keys [F,2],
+noise_std) -> bit_errors`` simulates a batch of frames entirely on device:
+random bits -> FEC encode -> map -> channel -> demap -> decode -> xor-count.
+These are the five BASELINE configurations plus the generic pieces they
+compose from; the Monte-Carlo engine (`commpy_tpu.parallel.montecarlo`)
+shards the frame axis over the mesh.
+
+Conventions follow the reference link stack (links.py, wifi80211.py):
+SNR_dB = (Eb/N0)_dB + 10 log10(Rc * Mc); complex AWGN noise std per
+channels.py:52-74; Viterbi 'soft' consumes LLRs with positive => bit 1;
+LDPC BP consumes LLRs with positive => bit 0 (ldpc.py signbit decision).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import modem as M
+from ..ops import ofdm as OFDM
+from ..ops.channel import snr_to_noise_std
+from ..ops.convcode import depuncture_device, encode_scan, puncture_mask
+from ..ops.ldpc import build_matrix, ldpc_encode_device
+from ..ops.mimo import kbest_device
+from ..ops.trellis import Trellis
+from ..ops.turbo import turbo_decode_device, turbo_encode_device
+from ..ops.viterbi import viterbi_decode_device
+
+__all__ = [
+    "DeviceLink",
+    "make_conv_awgn_link",
+    "make_turbo_awgn_link",
+    "make_ldpc_rayleigh_link",
+    "make_kbest_mimo_link",
+    "make_ofdm_mimo_conv_link",
+]
+
+
+@dataclass
+class DeviceLink:
+    """A jit-ready batched link simulation."""
+
+    link_step: Callable  # (keys [F, 2], noise_std) -> bit errors (scalar)
+    frame_bits: int
+    noise_std_fn: Callable  # snr_db -> noise_std
+    name: str = "link"
+    extras: dict = field(default_factory=dict)
+
+
+def _gen_bits(keys, n_bits):
+    def one(k):
+        return jax.random.bernoulli(k, 0.5, (n_bits,)).astype(jnp.int8)
+
+    return jax.vmap(one)(keys)
+
+
+def _awgn(key, symbols, noise_std):
+    kr, ki = jax.random.split(key)
+    noise = (
+        jax.random.normal(kr, symbols.shape)
+        + 1j * jax.random.normal(ki, symbols.shape)
+    ) * (noise_std * 0.5)
+    return symbols + noise
+
+
+# --------------------------------------------------------------------------
+# Config 1 & 2: convolutional code over AWGN (BPSK hard / QAM soft)
+# --------------------------------------------------------------------------
+
+def make_conv_awgn_link(
+    *,
+    trellis: Trellis,
+    modulation_m: int = 2,
+    frame_bits: int = 1000,
+    decoding_type: str = "soft",
+    tb_depth: Optional[int] = None,
+    puncture: Optional[list] = None,
+    use_psk: bool = True,
+    name: str = "conv-awgn",
+) -> DeviceLink:
+    """Conv-coded link over complex AWGN.
+
+    BASELINE config 1: PSK(2), decoding_type='hard'/'unquantized'.
+    BASELINE config 2 / wifi80211: QAM(m), decoding_type='soft'.
+    """
+    const = (
+        M.psk_constellation(modulation_m)
+        if use_psk
+        else M.qam_constellation(modulation_m)
+    )
+    const = jnp.asarray(const, jnp.complex64)
+    bps = int(np.log2(modulation_m))
+    Es = float(np.mean(np.abs(np.asarray(const)) ** 2))
+    k, n = trellis.k, trellis.n
+    n_coded = frame_bits * n // k
+    if puncture is not None:
+        keep = puncture_mask(puncture, n_coded)
+        n_kept = int(keep.sum())
+        rate = frame_bits / n_kept
+    else:
+        keep = None
+        n_kept = n_coded
+        rate = k / n
+    assert n_kept % bps == 0, "frame size must fill whole symbols"
+    if tb_depth is None:
+        tb_depth = min(5 * trellis.total_memory, frame_bits)
+
+    def link_step(keys, noise_std):
+        bits = _gen_bits(keys, frame_bits)  # [F, L]
+        coded, _ = encode_scan(bits, trellis)  # [F, n_coded]
+        if keep is not None:
+            coded = coded[:, np.where(keep)[0]]
+        symbols = M.modulate(coded, const, bps)  # [F, n_sym]
+        y = _awgn(jax.random.fold_in(keys[0], 1), symbols, noise_std)
+        noise_var = noise_std**2
+        if decoding_type == "soft":
+            rx = M.demodulate_soft(y, const, bps, noise_var)
+        elif decoding_type == "hard":
+            rx = M.demodulate_hard(y, const, bps).astype(jnp.float32)
+        else:  # unquantized: BPSK only — bit b maps to symbol 1-2b
+            assert modulation_m == 2
+            rx = -y.real
+        if keep is not None:
+            rx = depuncture_device(rx, keep)
+        dec = viterbi_decode_device(
+            rx, trellis, tb_depth, decoding_type, L=frame_bits
+        )
+        return jnp.sum(jnp.bitwise_xor(dec, bits).astype(jnp.int32))
+
+    def noise_std_fn(snr_db):
+        return snr_to_noise_std(snr_db, code_rate=rate, Es=Es)
+
+    return DeviceLink(link_step, frame_bits, noise_std_fn, name,
+                      {"rate": rate, "Es": Es, "bps": bps})
+
+
+# --------------------------------------------------------------------------
+# Config 3: rate-1/3 turbo code, BPSK/AWGN
+# --------------------------------------------------------------------------
+
+def make_turbo_awgn_link(
+    *,
+    trellis: Trellis,
+    frame_bits: int,
+    p_array,
+    n_iterations: int = 8,
+    name: str = "turbo-awgn",
+) -> DeviceLink:
+    """Rate-1/3 PCCC turbo link over real-BPSK AWGN (BASELINE config 3)."""
+    rate = 1.0 / 3.0
+    p_array = np.asarray(p_array, np.int32)
+    assert p_array.size == frame_bits
+
+    def link_step(keys, noise_std):
+        bits = _gen_bits(keys, frame_bits)
+        sys_b, par1_b, par2_b = turbo_encode_device(
+            bits, trellis, trellis, p_array
+        )
+        tx = jnp.stack([sys_b, par1_b, par2_b], axis=-1).astype(jnp.float32)
+        tx = 2.0 * tx - 1.0  # BPSK
+        noise = jax.vmap(
+            lambda kk: jax.random.normal(jax.random.fold_in(kk, 1), tx.shape[1:])
+        )(keys)
+        y = tx + noise * noise_std
+        noise_var = noise_std**2
+        dec = turbo_decode_device(
+            y[..., 0], y[..., 1], y[..., 2], trellis, noise_var,
+            n_iterations, p_array,
+        )
+        return jnp.sum(jnp.bitwise_xor(dec, bits).astype(jnp.int32))
+
+    def noise_std_fn(snr_db):
+        # real channel: noise_std = sqrt(Es / (rate * snr))
+        return snr_to_noise_std(
+            snr_db, code_rate=rate, Es=1.0, is_complex=False
+        )
+
+    return DeviceLink(link_step, frame_bits, noise_std_fn, name,
+                      {"rate": rate})
+
+
+# --------------------------------------------------------------------------
+# Config 4: LDPC + QAM over Rayleigh fading SISO
+# --------------------------------------------------------------------------
+
+def make_ldpc_rayleigh_link(
+    *,
+    ldpc_params: dict,
+    modulation_m: int = 4,
+    algorithm: str = "SPA",
+    n_iterations: int = 50,
+    fading: bool = True,
+    name: str = "ldpc-rayleigh",
+) -> DeviceLink:
+    """LDPC-coded QAM link over (optionally Rayleigh-faded) SISO channel.
+
+    One frame = one LDPC codeword; perfect CSI equalization at the
+    receiver, per-symbol effective noise variance in the LLRs.
+    """
+    from ..ops.ldpc import ldpc_bp_decode_device
+
+    if ldpc_params.get("generator_matrix") is None:
+        build_matrix(ldpc_params)
+    G = np.asarray(ldpc_params["generator_matrix"].todense()) % 2
+    n_v = ldpc_params["n_vnodes"]
+    n_c = ldpc_params["n_cnodes"]
+    frame_bits = n_v - n_c
+    const = jnp.asarray(M.qam_constellation(modulation_m), jnp.complex64)
+    bps = int(np.log2(modulation_m))
+    Es = float(np.mean(np.abs(np.asarray(const)) ** 2))
+    rate = frame_bits / n_v
+    assert n_v % bps == 0
+
+    def link_step(keys, noise_std):
+        bits = _gen_bits(keys, frame_bits)
+        coded = ldpc_encode_device(bits, G)  # [F, n_v]
+        symbols = M.modulate(coded, const, bps)
+        key1 = jax.random.fold_in(keys[0], 1)
+        kh, kn = jax.random.split(key1)
+        if fading:
+            h = (
+                jax.random.normal(kh, symbols.shape)
+                + 1j * jax.random.normal(jax.random.fold_in(kh, 7),
+                                         symbols.shape)
+            ) * jnp.sqrt(0.5)
+        else:
+            h = jnp.ones_like(symbols)
+        y = h * symbols
+        y = _awgn(kn, y, noise_std)
+        noise_var = noise_std**2
+        # perfect-CSI equalization; effective per-symbol noise variance
+        z = y / h
+        nv_eff = noise_var / jnp.maximum(jnp.abs(h) ** 2, 1e-12)
+        llr = -M.demodulate_soft(z, const, bps, nv_eff)
+        dec, _ = ldpc_bp_decode_device(llr, ldpc_params, algorithm,
+                                       n_iterations)
+        return jnp.sum(
+            jnp.bitwise_xor(dec[..., :frame_bits], bits).astype(jnp.int32)
+        )
+
+    def noise_std_fn(snr_db):
+        return snr_to_noise_std(snr_db, code_rate=rate, Es=Es)
+
+    return DeviceLink(link_step, frame_bits, noise_std_fn, name,
+                      {"rate": rate, "Es": Es, "n": n_v})
+
+
+# --------------------------------------------------------------------------
+# K-best MIMO detection link (test_links.py:55-58 configuration)
+# --------------------------------------------------------------------------
+
+def make_kbest_mimo_link(
+    *,
+    nb_tx: int = 4,
+    nb_rx: int = 4,
+    modulation_m: int = 16,
+    K: int = 16,
+    vectors_per_frame: int = 32,
+    name: str = "kbest-mimo",
+) -> DeviceLink:
+    """Uncoded K-best detection over uncorrelated Rayleigh MIMO."""
+    const = jnp.asarray(M.qam_constellation(modulation_m), jnp.complex64)
+    bps = int(np.log2(modulation_m))
+    Es = float(np.mean(np.abs(np.asarray(const)) ** 2))
+    frame_bits = vectors_per_frame * nb_tx * bps
+
+    def link_step(keys, noise_std):
+        bits = _gen_bits(keys, frame_bits)
+        symbols = M.modulate(bits, const, bps)  # [F, nv*nt]
+        F = symbols.shape[0]
+        x = symbols.reshape(F, vectors_per_frame, nb_tx)
+        key1 = jax.random.fold_in(keys[0], 1)
+        kh, kn = jax.random.split(key1)
+        dims = (F, vectors_per_frame, nb_rx, nb_tx)
+        h = (
+            jax.random.normal(kh, dims)
+            + 1j * jax.random.normal(jax.random.fold_in(kh, 7), dims)
+        ) * jnp.sqrt(0.5)
+        y = jnp.einsum("fvrt,fvt->fvr", h, x)
+        kr, ki = jax.random.split(kn)
+        y = y + (
+            jax.random.normal(kr, y.shape)
+            + 1j * jax.random.normal(ki, y.shape)
+        ) * (noise_std * 0.5)
+        xh = kbest_device(
+            y.reshape(-1, nb_rx), h.reshape(-1, nb_rx, nb_tx), const, K
+        )  # [F*nv, nt] symbols
+        dec = M.demodulate_hard(xh.reshape(F, -1), const, bps)
+        return jnp.sum(jnp.bitwise_xor(dec, bits).astype(jnp.int32))
+
+    def noise_std_fn(snr_db):
+        return snr_to_noise_std(snr_db, code_rate=1.0, Es=Es, nb_tx=nb_tx)
+
+    return DeviceLink(link_step, frame_bits, noise_std_fn, name,
+                      {"Es": Es, "bps": bps})
+
+
+# --------------------------------------------------------------------------
+# Config 5: OFDM + 2x2 MIMO K-best + conv coding
+# --------------------------------------------------------------------------
+
+def make_ofdm_mimo_conv_link(
+    *,
+    trellis: Trellis,
+    modulation_m: int = 16,
+    nb_tx: int = 2,
+    nb_rx: int = 2,
+    K: int = 8,
+    nfft: int = 64,
+    nsc: int = 48,
+    cp_length: int = 16,
+    n_ofdm_symbols: int = 4,
+    name: str = "ofdm-mimo-conv",
+) -> DeviceLink:
+    """802.11ac-style link: conv code -> QAM -> OFDM -> 2x2 flat MIMO ->
+    K-best soft detection -> soft Viterbi (BASELINE config 5).
+
+    Block-fading: one channel matrix per frame, shared by all subcarriers
+    (flat channel, as in the reference's MIMOFlatChannel).
+    """
+    const = jnp.asarray(M.qam_constellation(modulation_m), jnp.complex64)
+    bps = int(np.log2(modulation_m))
+    Es = float(np.mean(np.abs(np.asarray(const)) ** 2))
+    k, n = trellis.k, trellis.n
+    rate = k / n
+    n_sym = nsc * n_ofdm_symbols * nb_tx  # QAM symbols per frame
+    n_coded = n_sym * bps
+    frame_bits = n_coded * k // n
+    tb_depth = min(5 * trellis.total_memory, frame_bits)
+    # FFT convention: ifft (1/N) at tx, fft at rx -> per-subcarrier noise
+    # variance = nfft * time-domain variance.
+    nv_scale = float(nfft)
+
+    def link_step(keys, noise_std):
+        bits = _gen_bits(keys, frame_bits)
+        coded, _ = encode_scan(bits, trellis)
+        symbols = M.modulate(coded, const, bps)  # [F, n_sym]
+        F = symbols.shape[0]
+        # [F, nb_tx, nsc, n_ofdm]
+        grids = symbols.reshape(F, nb_tx, n_ofdm_symbols, nsc)
+        grids = jnp.moveaxis(grids, -1, -2)
+        tx_time = OFDM.ofdm_tx(grids, nfft, nsc, cp_length)  # [F, nt, T]
+
+        key1 = jax.random.fold_in(keys[0], 1)
+        kh, kn = jax.random.split(key1)
+        h = (
+            jax.random.normal(kh, (F, nb_rx, nb_tx))
+            + 1j * jax.random.normal(jax.random.fold_in(kh, 7),
+                                     (F, nb_rx, nb_tx))
+        ) * jnp.sqrt(0.5)
+        rx_time = jnp.einsum("frt,ftn->frn", h, tx_time)
+        kr, ki = jax.random.split(kn)
+        rx_time = rx_time + (
+            jax.random.normal(kr, rx_time.shape)
+            + 1j * jax.random.normal(ki, rx_time.shape)
+        ) * (noise_std * 0.5)
+
+        rx_grids = OFDM.ofdm_rx(rx_time, nfft, nsc, cp_length)
+        # [F, nb_rx, nsc, n_ofdm] -> per-subcarrier received vectors
+        rx_vec = jnp.moveaxis(rx_grids, 1, -1)  # [F, nsc, n_ofdm, nb_rx]
+        n_vec = nsc * n_ofdm_symbols
+        h_rep = jnp.broadcast_to(
+            h[:, None], (F, n_vec, nb_rx, nb_tx)
+        )
+        # Per-subcarrier noise power after the unnormalized FFT is
+        # nfft * sigma_t^2 / 2; the reference's noise_var parameter is
+        # noise_std^2 == twice the complex noise power.
+        noise_var = noise_std**2 * nv_scale
+        llrs = kbest_device(
+            rx_vec.reshape(-1, nb_rx),
+            h_rep.reshape(-1, nb_rx, nb_tx),
+            const,
+            K,
+            noise_var,
+            "soft",
+            bps,
+        )  # [F*n_vec, nt*bps]
+        # undo the tx layout [nb_tx, n_ofdm, nsc]:
+        llrs = llrs.reshape(F, nsc, n_ofdm_symbols, nb_tx, bps)
+        llrs = jnp.transpose(llrs, (0, 3, 2, 1, 4))
+        llrs = llrs.reshape(F, -1)
+        dec = viterbi_decode_device(
+            llrs, trellis, tb_depth, "soft", L=frame_bits
+        )
+        return jnp.sum(jnp.bitwise_xor(dec, bits).astype(jnp.int32))
+
+    def noise_std_fn(snr_db):
+        # Calibrate the per-subcarrier SNR to the reference convention
+        # (channels.py:74): noise_std_sc = sqrt(2 nb_tx Es / (rate snr));
+        # the time-domain std is that divided by sqrt(nfft) (FFT gain).
+        return snr_to_noise_std(
+            snr_db, code_rate=rate, Es=Es, nb_tx=nb_tx
+        ) / np.sqrt(nfft)
+
+    return DeviceLink(link_step, frame_bits, noise_std_fn, name,
+                      {"rate": rate, "Es": Es})

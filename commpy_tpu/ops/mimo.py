@@ -1,0 +1,349 @@
+"""MIMO detection: ML, K-best sphere decoding, best-first tree search.
+
+TPU-native redesign of reference commpy/modulation.py:299-646:
+
+* ``mimo_ml`` — the reference's repeat/tile candidate grid (modulation.py:
+  316-319) becomes an index-arithmetic grid and ONE batched matmul + argmin;
+* ``kbest`` — Schnorr-Euchner K-best (modulation.py:325-419) with the
+  per-level candidate counts resolved statically (nb_can = min(K, m^level)),
+  so every level is a fixed-shape expand -> score -> stable-argsort ->
+  gather; vmapped over received vectors — this is the TPU path that
+  replaces the reference's per-vector Python loop in links.py:320-326;
+* ``best_first_detector`` — the reference's priority-stack tree search
+  (modulation.py:422-565) is inherently sequential/dynamic, so a faithful
+  host implementation is provided for parity, and ``kbest`` (soft) is the
+  recommended batched alternative on device;
+* ``max_log_approx`` / ``bit_lvl_repr`` — vectorized.
+"""
+from __future__ import annotations
+
+from bisect import insort
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.bits import unpack_bits
+
+__all__ = [
+    "mimo_ml",
+    "mimo_ml_device",
+    "kbest",
+    "kbest_device",
+    "best_first_detector",
+    "bit_lvl_repr",
+    "max_log_approx",
+    "max_log_approx_device",
+]
+
+
+# --------------------------------------------------------------------------
+# ML detection
+# --------------------------------------------------------------------------
+
+def _candidate_grid(constellation, n):
+    """[n, m^n] grid in the reference's repeat/tile order."""
+    m = len(constellation)
+    M = m ** n
+    j = np.arange(M)
+    idx = np.stack(
+        [(j // m ** (n - 1 - i)) % m for i in range(n)], axis=0
+    )  # [n, M]
+    return np.asarray(constellation)[idx], idx
+
+
+def mimo_ml_device(y, h, constellation):
+    """Batched exhaustive ML detection.
+
+    y: ``[..., nr]``; h: ``[..., nr, nt]``. Returns symbols ``[..., nt]``.
+    """
+    y = jnp.asarray(y)
+    h = jnp.asarray(h)
+    nt = h.shape[-1]
+    grid, _ = _candidate_grid(constellation, nt)
+    grid = jnp.asarray(grid)  # [nt, M]
+    hx = jnp.einsum("...rt,tm->...rm", h, grid)
+    d = y[..., None] - hx
+    score = jnp.sum(d.real**2 + d.imag**2, axis=-2)  # [..., M]
+    best = jnp.argmin(score, axis=-1)
+    return jnp.moveaxis(grid[:, best], 0, -1)
+
+
+def mimo_ml(y, h, constellation):
+    """Reference-compatible single-vector ML detection (modulation.py:299)."""
+    return np.asarray(
+        mimo_ml_device(
+            np.asarray(y), np.asarray(h), np.asarray(constellation)
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# K-best Schnorr-Euchner
+# --------------------------------------------------------------------------
+
+def _kbest_single(y, h, constellation, K: int):
+    """One received vector; returns (X [nt, K], d_tot [K], nb_can)."""
+    nt = h.shape[1]
+    m = constellation.shape[0]
+    q, r = jnp.linalg.qr(h)
+    yt = q.conj().T @ y
+
+    # Static per-level candidate counts (reference nb_can tracking).
+    nb_can = 1
+    X = jnp.zeros((nt, 1), constellation.dtype)
+    d = yt[:, None]  # residuals [nr, cand]
+    d_tot = jnp.zeros((1,), jnp.float32)
+
+    for coor in range(nt - 1, -1, -1):
+        nb_hyp = nb_can * m
+        X = jnp.tile(X, (1, m))
+        d = jnp.tile(d, (1, m))
+        d_tot_h = jnp.tile(d_tot, m)
+        hyp = jnp.repeat(constellation, nb_can)  # [nb_hyp]
+        X = X.at[coor].set(hyp)
+        d = d.at[coor].add(-r[coor, coor] * hyp)
+        d_tot_h = d_tot_h + jnp.abs(d[coor]) ** 2
+
+        order = jnp.argsort(d_tot_h)  # stable
+        keep = min(nb_hyp, K)
+        sel = order[:keep]
+        X = X[:, sel]
+        d = d[:, sel]
+        d = d.at[:coor].add(-r[:coor, coor, None] * hyp[sel])
+        d_tot = d_tot_h[sel]
+        nb_can = keep
+    return X, d_tot, nb_can
+
+
+def kbest_device(y, h, constellation, K: int, noise_var=0.0,
+                 output_type="hard", bits_per_symbol=None):
+    """Batched K-best detection.
+
+    y: ``[B, nr]``, h: ``[B, nr, nt]``.
+    hard -> symbols ``[B, nt]``; soft -> LLRs ``[B, nt*bits_per_symbol]``.
+    """
+    y = jnp.asarray(y)
+    h = jnp.asarray(h)
+    constellation = jnp.asarray(constellation)
+
+    if output_type == "hard":
+        def one(yi, hi):
+            X, _, _ = _kbest_single(yi, hi, constellation, K)
+            return X[:, 0]
+        return jax.vmap(one)(y, h)
+    elif output_type == "soft":
+        def one(yi, hi):
+            X, _, _ = _kbest_single(yi, hi, constellation, K)
+            return max_log_approx_device(
+                yi, hi, noise_var, X, constellation, bits_per_symbol
+            )
+        return jax.vmap(one)(y, h)
+    raise ValueError('output_type must be "hard" or "soft"')
+
+
+def kbest(y, h, constellation, K, noise_var=0, output_type="hard",
+          demode=None):
+    """Reference-compatible K-best (modulation.py:325-419)."""
+    h = np.asarray(h)
+    nb_tx, nb_rx = h.shape
+    if nb_rx > nb_tx:
+        raise ValueError("h has more columns than rows")
+    constellation = np.asarray(constellation)
+    if output_type == "hard":
+        out = kbest_device(
+            np.asarray(y)[None], h[None], constellation, int(K)
+        )
+        return np.asarray(out[0])
+    elif output_type == "soft":
+        bps = int(np.log2(len(constellation)))
+        out = kbest_device(
+            np.asarray(y)[None], h[None], constellation, int(K),
+            noise_var, "soft", bps,
+        )
+        return np.asarray(out[0])
+    raise ValueError('output_type must be "hard" or "soft"')
+
+
+# --------------------------------------------------------------------------
+# Max-log LLR from a candidate list
+# --------------------------------------------------------------------------
+
+def max_log_approx_device(y, h, noise_var, pts, constellation,
+                          bits_per_symbol: int):
+    """Max-log LLRs over a candidate list (modulation.py:599-646).
+
+    y ``[nr]``, h ``[nr, nt]``, pts ``[nt, P]`` (candidates column-wise).
+    Bits are recovered by nearest-constellation lookup (the candidates are
+    exact constellation points, so this equals the reference's demode).
+    Returns LLRs ``[nt * bits_per_symbol]``.
+    """
+    pts = jnp.asarray(pts)
+    nt, P = pts.shape
+    const = jnp.asarray(constellation)
+    d = jnp.abs(pts[..., None] - const)  # [nt, P, m]
+    sym_idx = jnp.argmin(d, axis=-1)  # [nt, P]
+    bits = unpack_bits(sym_idx, bits_per_symbol)  # [nt, P, bps]
+    bits = jnp.moveaxis(bits, 1, 0).reshape(P, nt * bits_per_symbol)
+
+    res = y[:, None] - h @ pts  # [nr, P]
+    norms = jnp.sum(res.real**2 + res.imag**2, axis=0)  # [P]
+
+    big = jnp.float32(np.inf)
+    n0 = jnp.where(bits.T == 0, norms[None, :], big)  # [nb, P]
+    n1 = jnp.where(bits.T == 1, norms[None, :], big)
+    llr = jnp.min(n0, axis=-1) - jnp.min(n1, axis=-1)
+    return -llr / (2 * noise_var)
+
+
+def max_log_approx(y, h, noise_var, pts_list, demode):
+    """Reference-compatible max-log LLR (callback-based demode)."""
+    pts_list = np.asarray(pts_list)
+    nb_pts = pts_list.shape[1]
+    bits = np.asarray(
+        demode(pts_list.reshape(-1, order="F"))
+    ).reshape(nb_pts, -1)
+    nb_bits = bits.shape[1]
+    y = np.asarray(y)
+    h = np.asarray(h)
+    res = y[:, None] - h.dot(pts_list)
+    norms = (np.abs(res) ** 2).sum(0)
+    LLR = np.empty(nb_bits)
+    for k in range(nb_bits):
+        n0 = norms[bits[:, k] == 0]
+        n1 = norms[bits[:, k] == 1]
+        LLR[k] = (n0.min() if n0.size else np.inf) - (
+            n1.min() if n1.size else np.inf
+        )
+    return -LLR / (2 * noise_var)
+
+
+def bit_lvl_repr(H, w):
+    """Bit-level channel lift A = H (I kron w) (modulation.py:568-596)."""
+    w = np.asarray(w)
+    beta = len(w)
+    if beta % 2 != 0:
+        raise ValueError("Beta (length of w) must be even.")
+    H = np.asarray(H)
+    n = H.shape[1]
+    return np.asarray(
+        jnp.einsum(
+            "rt,tb->rtb", jnp.asarray(H), jnp.ones((n, 1)) * jnp.asarray(w)
+        ).reshape(H.shape[0], n * beta)
+    )
+
+
+# --------------------------------------------------------------------------
+# Best-first tree search (host; sequential by nature)
+# --------------------------------------------------------------------------
+
+class _BFNode:
+    """Sibling-chained search node (modulation.py:459-499 semantics)."""
+
+    __slots__ = ("symb_vector", "partial_metric", "best_sibling")
+
+    def __init__(self, symb_vectors, partial_metrics):
+        if len(partial_metrics) == 1:
+            self.symb_vector = symb_vectors.reshape(-1)
+            self.partial_metric = partial_metrics[0]
+            self.best_sibling = None
+        else:
+            self.symb_vector = symb_vectors[:, 0].reshape(-1)
+            self.partial_metric = partial_metrics[0]
+            self.best_sibling = _BFNode(symb_vectors[:, 1:], partial_metrics[1:])
+
+    def __lt__(self, other):
+        return self.partial_metric < other.partial_metric
+
+    def expand(self, yt, r, constellation):
+        child_size = self.symb_vector.size + 1
+        children = np.empty((child_size, constellation.size),
+                            constellation.dtype)
+        children[1:] = self.symb_vector[:, np.newaxis]
+        children[0] = constellation
+        metric = (
+            np.abs(yt[-child_size] - r[-child_size, -child_size:].dot(children))
+            ** 2
+        ) + self.partial_metric
+        order = metric.argsort()
+        return _BFNode(children[:, order], metric[order])
+
+
+def best_first_detector(y, h, constellation, stack_size, noise_var, demode,
+                        llr_max):
+    """Best-first MIMO detection with LLR clipping (modulation.py:422-565).
+
+    Host implementation (the algorithm is a dynamic priority search); use
+    ``kbest(..., 'soft')`` for the batched device path.
+    """
+    h = np.asarray(h)
+    nb_tx, nb_rx = h.shape
+    constellation = np.asarray(constellation)
+    m = constellation.size
+    modulation_order = int(np.log2(m))
+
+    q, r = np.linalg.qr(h)
+    yt = q.conj().T.dot(np.asarray(y))
+
+    map_metric = np.inf
+    map_bit_vector = None
+    counter_hyp_metric = np.full((nb_tx, modulation_order), np.inf)
+    stacks = tuple([] for _ in range(nb_tx))
+
+    root = _BFNode(np.empty(0, constellation.dtype),
+                   np.array(0, float, ndmin=1))
+    stacks[-1].append(root.expand(yt, r, constellation))
+
+    while any(stacks[1:]):
+        for idx_next_stack in range(len(stacks) - 1):
+            idx_this_stack = idx_next_stack + 1
+            if not stacks[idx_this_stack]:
+                continue
+            best_node = stacks[idx_this_stack].pop(0)
+
+            if map_bit_vector is None:
+                radius = np.inf
+            else:
+                bit_vector = np.asarray(
+                    demode(best_node.symb_vector)
+                ).reshape(-1, modulation_order)
+                bit_vector = np.where(bit_vector == 0, -1, bit_vector)
+                differ = (
+                    map_bit_vector[idx_this_stack:] != bit_vector
+                )
+                tail = counter_hyp_metric[idx_this_stack:][differ]
+                a2 = tail.max() if tail.size else np.inf
+                radius = max(counter_hyp_metric[:idx_this_stack].max(), a2)
+
+            if (
+                best_node.best_sibling is not None
+                and best_node.best_sibling.partial_metric <= radius
+            ):
+                insort(stacks[idx_this_stack], best_node.best_sibling)
+
+            best_child = best_node.expand(yt, r, constellation)
+            if best_child.partial_metric <= radius:
+                insort(stacks[idx_next_stack], best_child)
+
+        if stacks[0]:
+            leaf = stacks[0][0]
+            if leaf.partial_metric < map_metric:
+                np.minimum(counter_hyp_metric, map_metric,
+                           out=counter_hyp_metric)
+                map_metric = leaf.partial_metric
+                map_bit_vector = np.asarray(
+                    demode(leaf.symb_vector)
+                ).reshape(-1, modulation_order)
+                map_bit_vector = np.where(map_bit_vector == 0, -1,
+                                          map_bit_vector)
+            else:
+                np.minimum(counter_hyp_metric, leaf.partial_metric,
+                           out=counter_hyp_metric)
+            np.clip(counter_hyp_metric, map_metric - llr_max,
+                    map_metric + llr_max, counter_hyp_metric)
+
+        del stacks[0][0:]
+        for idx_next_stack in range(len(stacks) - 1):
+            del stacks[idx_next_stack + 1][stack_size[idx_next_stack]:]
+
+    return ((map_metric - counter_hyp_metric) * map_bit_vector).reshape(-1)

@@ -146,6 +146,9 @@ def demodulate_soft(symbols, constellation, bits_per_symbol: int, noise_var):
     masks = jnp.asarray(
         constellation_bit_masks(m, bits_per_symbol)
     )  # [bps, m] bool
+    noise_var = jnp.asarray(noise_var)
+    if noise_var.ndim:  # per-symbol noise variance (e.g. after fading EQ)
+        noise_var = noise_var[..., None]
     logw = -_sq_dists(symbols, constellation) / noise_var  # [..., n_sym, m]
     logw = logw[..., None, :]  # [..., n_sym, 1, m]
     neg_inf = jnp.asarray(-jnp.inf, logw.dtype)
@@ -160,6 +163,9 @@ def demodulate_maxlog(symbols, constellation, bits_per_symbol: int, noise_var):
     """Max-log LLR soft demapping (fast path; approximates demodulate_soft)."""
     m = len(constellation)
     masks = jnp.asarray(constellation_bit_masks(m, bits_per_symbol))
+    noise_var = jnp.asarray(noise_var)
+    if noise_var.ndim:
+        noise_var = noise_var[..., None]
     logw = -_sq_dists(symbols, constellation) / noise_var
     logw = logw[..., None, :]
     neg_inf = jnp.asarray(-jnp.inf, logw.dtype)
