@@ -59,13 +59,26 @@ def _gen_bits(keys, n_bits):
     return jax.vmap(one)(keys)
 
 
-def _awgn(key, symbols, noise_std):
-    kr, ki = jax.random.split(key)
-    noise = (
-        jax.random.normal(kr, symbols.shape)
-        + 1j * jax.random.normal(ki, symbols.shape)
-    ) * (noise_std * 0.5)
-    return symbols + noise
+def _frame_crandn(keys, shape, tag: int):
+    """Per-frame complex normals: [F, *shape], keyed by fold_in(key_f, tag).
+
+    Keying randomness per frame (not per batch) makes the simulation
+    invariant to how the frame axis is sharded across devices.
+    """
+
+    def one(k):
+        kk = jax.random.fold_in(k, tag)
+        kr, ki = jax.random.split(kk)
+        return jax.random.normal(kr, shape) + 1j * jax.random.normal(ki, shape)
+
+    return jax.vmap(one)(keys)
+
+
+def _frame_randn(keys, shape, tag: int):
+    def one(k):
+        return jax.random.normal(jax.random.fold_in(k, tag), shape)
+
+    return jax.vmap(one)(keys)
 
 
 # --------------------------------------------------------------------------
@@ -116,7 +129,9 @@ def make_conv_awgn_link(
         if keep is not None:
             coded = coded[:, np.where(keep)[0]]
         symbols = M.modulate(coded, const, bps)  # [F, n_sym]
-        y = _awgn(jax.random.fold_in(keys[0], 1), symbols, noise_std)
+        y = symbols + _frame_crandn(keys, symbols.shape[1:], 1) * (
+            noise_std * 0.5
+        )
         noise_var = noise_std**2
         if decoding_type == "soft":
             rx = M.demodulate_soft(y, const, bps, noise_var)
@@ -163,10 +178,7 @@ def make_turbo_awgn_link(
         )
         tx = jnp.stack([sys_b, par1_b, par2_b], axis=-1).astype(jnp.float32)
         tx = 2.0 * tx - 1.0  # BPSK
-        noise = jax.vmap(
-            lambda kk: jax.random.normal(jax.random.fold_in(kk, 1), tx.shape[1:])
-        )(keys)
-        y = tx + noise * noise_std
+        y = tx + _frame_randn(keys, tx.shape[1:], 1) * noise_std
         noise_var = noise_std**2
         dec = turbo_decode_device(
             y[..., 0], y[..., 1], y[..., 2], trellis, noise_var,
@@ -220,18 +232,13 @@ def make_ldpc_rayleigh_link(
         bits = _gen_bits(keys, frame_bits)
         coded = ldpc_encode_device(bits, G)  # [F, n_v]
         symbols = M.modulate(coded, const, bps)
-        key1 = jax.random.fold_in(keys[0], 1)
-        kh, kn = jax.random.split(key1)
         if fading:
-            h = (
-                jax.random.normal(kh, symbols.shape)
-                + 1j * jax.random.normal(jax.random.fold_in(kh, 7),
-                                         symbols.shape)
-            ) * jnp.sqrt(0.5)
+            h = _frame_crandn(keys, symbols.shape[1:], 2) * jnp.sqrt(0.5)
         else:
             h = jnp.ones_like(symbols)
-        y = h * symbols
-        y = _awgn(kn, y, noise_std)
+        y = h * symbols + _frame_crandn(keys, symbols.shape[1:], 1) * (
+            noise_std * 0.5
+        )
         noise_var = noise_std**2
         # perfect-CSI equalization; effective per-symbol noise variance
         z = y / h
@@ -274,19 +281,11 @@ def make_kbest_mimo_link(
         symbols = M.modulate(bits, const, bps)  # [F, nv*nt]
         F = symbols.shape[0]
         x = symbols.reshape(F, vectors_per_frame, nb_tx)
-        key1 = jax.random.fold_in(keys[0], 1)
-        kh, kn = jax.random.split(key1)
-        dims = (F, vectors_per_frame, nb_rx, nb_tx)
-        h = (
-            jax.random.normal(kh, dims)
-            + 1j * jax.random.normal(jax.random.fold_in(kh, 7), dims)
+        h = _frame_crandn(
+            keys, (vectors_per_frame, nb_rx, nb_tx), 2
         ) * jnp.sqrt(0.5)
         y = jnp.einsum("fvrt,fvt->fvr", h, x)
-        kr, ki = jax.random.split(kn)
-        y = y + (
-            jax.random.normal(kr, y.shape)
-            + 1j * jax.random.normal(ki, y.shape)
-        ) * (noise_std * 0.5)
+        y = y + _frame_crandn(keys, y.shape[1:], 1) * (noise_std * 0.5)
         xh = kbest_device(
             y.reshape(-1, nb_rx), h.reshape(-1, nb_rx, nb_tx), const, K
         )  # [F*nv, nt] symbols
@@ -346,19 +345,11 @@ def make_ofdm_mimo_conv_link(
         grids = jnp.moveaxis(grids, -1, -2)
         tx_time = OFDM.ofdm_tx(grids, nfft, nsc, cp_length)  # [F, nt, T]
 
-        key1 = jax.random.fold_in(keys[0], 1)
-        kh, kn = jax.random.split(key1)
-        h = (
-            jax.random.normal(kh, (F, nb_rx, nb_tx))
-            + 1j * jax.random.normal(jax.random.fold_in(kh, 7),
-                                     (F, nb_rx, nb_tx))
-        ) * jnp.sqrt(0.5)
+        h = _frame_crandn(keys, (nb_rx, nb_tx), 2) * jnp.sqrt(0.5)
         rx_time = jnp.einsum("frt,ftn->frn", h, tx_time)
-        kr, ki = jax.random.split(kn)
-        rx_time = rx_time + (
-            jax.random.normal(kr, rx_time.shape)
-            + 1j * jax.random.normal(ki, rx_time.shape)
-        ) * (noise_std * 0.5)
+        rx_time = rx_time + _frame_crandn(keys, rx_time.shape[1:], 1) * (
+            noise_std * 0.5
+        )
 
         rx_grids = OFDM.ofdm_rx(rx_time, nfft, nsc, cp_length)
         # [F, nb_rx, nsc, n_ofdm] -> per-subcarrier received vectors
@@ -383,7 +374,10 @@ def make_ofdm_mimo_conv_link(
         # undo the tx layout [nb_tx, n_ofdm, nsc]:
         llrs = llrs.reshape(F, nsc, n_ofdm_symbols, nb_tx, bps)
         llrs = jnp.transpose(llrs, (0, 3, 2, 1, 4))
-        llrs = llrs.reshape(F, -1)
+        # max_log_approx follows the reference sign convention
+        # (positive => bit 0, modulation.py:646); Viterbi 'soft' wants the
+        # opposite, so negate.
+        llrs = -llrs.reshape(F, -1)
         dec = viterbi_decode_device(
             llrs, trellis, tb_depth, "soft", L=frame_bits
         )

@@ -1,0 +1,100 @@
+"""Device link-model smoke + correctness tests (the 5 BASELINE configs)."""
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from commpy_tpu.channelcoding import RandInterlv
+from commpy_tpu.models import (
+    make_conv_awgn_link,
+    make_kbest_mimo_link,
+    make_ldpc_rayleigh_link,
+    make_ofdm_mimo_conv_link,
+    make_turbo_awgn_link,
+)
+from commpy_tpu.models.wifi80211_link import wifi80211_device_link
+from commpy_tpu.ops.ldpc import get_ldpc_code_params
+from commpy_tpu.ops.trellis import Trellis
+
+DESIGNS = os.path.join(
+    os.path.dirname(__file__), "..", "commpy_tpu", "designs", "ldpc"
+)
+
+
+def _run(link, snr_db, F=8):
+    keys = jax.random.split(jax.random.PRNGKey(0), F)
+    errs = link.link_step(keys, link.noise_std_fn(snr_db))
+    return int(errs), F * link.frame_bits
+
+
+def test_config1_conv_bpsk_hard():
+    tr = Trellis(np.array([2]), np.array([[5, 7]]))
+    link = make_conv_awgn_link(
+        trellis=tr, modulation_m=2, frame_bits=300, decoding_type="hard"
+    )
+    errs, bits = _run(link, 12.0)
+    assert errs == 0
+    errs, _ = _run(link, 0.0)
+    assert errs > 0
+
+
+def test_config2_conv_qam16_soft():
+    tr = Trellis(np.array([2]), np.array([[5, 7]]))
+    link = make_conv_awgn_link(
+        trellis=tr, modulation_m=16, frame_bits=400, decoding_type="soft",
+        use_psk=False,
+    )
+    errs, _ = _run(link, 18.0)
+    assert errs == 0
+
+
+def test_config3_turbo():
+    tr = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
+    L = 128
+    interlv = RandInterlv(L, 0)
+    link = make_turbo_awgn_link(
+        trellis=tr, frame_bits=L, p_array=interlv.p_array, n_iterations=6
+    )
+    errs, _ = _run(link, 6.0)
+    assert errs == 0
+
+
+def test_config4_ldpc_rayleigh():
+    params = get_ldpc_code_params(
+        os.path.join(DESIGNS, "wimax", "960.720.a.txt"), True
+    )
+    link = make_ldpc_rayleigh_link(
+        ldpc_params=params, modulation_m=4, algorithm="MSA", n_iterations=30
+    )
+    errs, _ = _run(link, 30.0, F=4)
+    assert errs == 0
+    # AWGN-only variant decodes at moderate SNR
+    link2 = make_ldpc_rayleigh_link(
+        ldpc_params=params, modulation_m=4, algorithm="SPA",
+        n_iterations=30, fading=False,
+    )
+    errs, _ = _run(link2, 8.0, F=4)
+    assert errs == 0
+
+
+def test_config5_ofdm_mimo_conv():
+    tr = Trellis(np.array([6]), np.array([[133, 171]]))
+    link = make_ofdm_mimo_conv_link(trellis=tr, n_ofdm_symbols=2, nsc=48)
+    errs, total = _run(link, 35.0, F=4)
+    assert errs / total < 0.01
+    errs_low, _ = _run(link, 5.0, F=4)
+    assert errs_low > errs
+
+
+@pytest.mark.parametrize("mcs", [0, 2, 4, 7])
+def test_wifi_mcs_links(mcs):
+    link = wifi80211_device_link(mcs, frame_bits=240)
+    errs, _ = _run(link, 35.0)
+    assert errs == 0
+
+
+def test_kbest_mimo_noiseless():
+    link = make_kbest_mimo_link(vectors_per_frame=8)
+    errs, _ = _run(link, 60.0)
+    assert errs == 0

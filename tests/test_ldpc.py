@@ -1,0 +1,99 @@
+"""LDPC tests: file IO inverse property, encode validity, decode parity
+(reference commpy/channelcoding/tests/test_ldpc.py tiers)."""
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from commpy_tpu.ops import ldpc as L
+
+DESIGNS = os.path.join(os.path.dirname(__file__), "..", "commpy_tpu", "designs", "ldpc")
+WIMAX = os.path.join(DESIGNS, "wimax", "960.720.a.txt")
+WIMAX1440 = os.path.join(DESIGNS, "wimax", "1440.720.txt")
+GALLAGER = os.path.join(DESIGNS, "gallager", "96.33.964.txt")
+
+
+def test_write_read_inverse():
+    params = L.get_ldpc_code_params(GALLAGER, True)
+    H = np.asarray(params["parity_check_matrix"].todense())
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "code.txt")
+        L.write_ldpc_params(H, path)
+        params2 = L.get_ldpc_code_params(path, True)
+        for k in ("n_vnodes", "n_cnodes", "max_cnode_deg", "max_vnode_deg"):
+            assert params[k] == params2[k]
+        # write sorts adjacency rows; the parity-check matrix must be
+        # identical (same property the reference test checks,
+        # test_ldpc.py:68-75)
+        H2 = np.asarray(params2["parity_check_matrix"].todense())
+        np.testing.assert_array_equal(H, H2)
+
+
+@pytest.mark.parametrize("design", [WIMAX, WIMAX1440])
+def test_encode_syndrome_and_noiseless_decode(design):
+    params = L.get_ldpc_code_params(design, True)
+    n_c = params["n_cnodes"]
+    n_v = params["n_vnodes"]
+    k = n_v - n_c
+    np.random.seed(1)
+    msg = np.random.randint(0, 2, k).astype(np.int8)
+    coded = L.triang_ldpc_systematic_encode(msg, params)
+    H = params["parity_check_matrix"]
+    assert not (H.dot(coded) % 2).any()
+    llr = (1 - 2.0 * coded) * 4
+    for alg in ("SPA", "MSA"):
+        dec, _ = L.ldpc_bp_decode(llr.copy(), params, alg, 10)
+        np.testing.assert_array_equal(dec, coded)
+
+
+def test_decode_parity_vs_reference_noisy():
+    ref_ldpc = pytest.importorskip("commpy.channelcoding.ldpc")
+    params_r = ref_ldpc.get_ldpc_code_params(WIMAX, True)
+    params_m = L.get_ldpc_code_params(WIMAX, True)
+    np.random.seed(2)
+    msg = np.random.randint(0, 2, 240 * 2).astype(np.int8)
+    coded = L.triang_ldpc_systematic_encode(msg, params_m)
+    x = 1 - 2.0 * coded.reshape(-1, order="F")
+    llr = 2 * (x + np.random.randn(x.size) * 0.85) / 0.7225
+    for alg in ("SPA", "MSA"):
+        dr, lr = ref_ldpc.ldpc_bp_decode(llr.copy(), params_r, alg, 12)
+        dm, lm = L.ldpc_bp_decode(llr.copy(), params_m, alg, 12)
+        np.testing.assert_array_equal(dr, np.asarray(dm))
+
+
+def test_batched_decode_matches_serial():
+    params = L.get_ldpc_code_params(GALLAGER, True)
+    np.random.seed(3)
+    n_v = params["n_vnodes"]
+    llrs = np.random.randn(3, n_v) * 2
+    dec_b, llr_b = L.ldpc_bp_decode_device(llrs, params, "MSA", 8)
+    for i in range(3):
+        dec_s, llr_s = L.ldpc_bp_decode_device(llrs[i], params, "MSA", 8)
+        np.testing.assert_array_equal(np.asarray(dec_b)[i], np.asarray(dec_s))
+        np.testing.assert_allclose(
+            np.asarray(llr_b)[i], np.asarray(llr_s), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_gallager_fer_anchor():
+    """Tier-3 anchor: FER ~0.2/0.1 at Eb/N0 = 2.0/2.5 dB, Gallager (96,48),
+    BPSK/AWGN, BP 100 iters (reference test_ldpc.py:36-66), rtol 0.6."""
+    params = L.get_ldpc_code_params(GALLAGER, True)
+    n_v = params["n_vnodes"]
+    rng = np.random.RandomState(17121996)
+    rate = 0.5
+    targets = {2.0: 0.2, 2.5: 0.1}
+    for ebn0, target in targets.items():
+        noise_std = np.sqrt(1 / (2 * rate * 10 ** (ebn0 / 10)))
+        n_frames, frame_errors = 0, 0
+        # all-zero codeword (linear code) — valid FER estimate
+        while frame_errors < 30 and n_frames < 600:
+            B = 120
+            rx = 1.0 + rng.randn(B, n_v) * noise_std
+            llr = 2 * rx / noise_std**2
+            dec, _ = L.ldpc_bp_decode_device(llr, params, "SPA", 100)
+            frame_errors += int((np.asarray(dec).sum(axis=1) > 0).sum())
+            n_frames += B
+        fer = frame_errors / n_frames
+        assert np.isclose(fer, target, rtol=0.6), (ebn0, fer, target)

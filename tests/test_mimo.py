@@ -1,0 +1,115 @@
+"""MIMO detector tests: parity vs reference for ML / K-best / best-first."""
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from commpy_tpu.modulation import (
+    QAMModem,
+    best_first_detector,
+    bit_lvl_repr,
+    kbest,
+    mimo_ml,
+)
+from commpy_tpu.ops.mimo import kbest_device, mimo_ml_device
+
+
+def _rand_mimo(rng, nr, nt, m=16):
+    qam = QAMModem(m)
+    const = np.asarray(qam.constellation)
+    idx = rng.randint(0, m, nt)
+    x = const[idx]
+    h = (rng.randn(nr, nt) + 1j * rng.randn(nr, nt)) * np.sqrt(0.5)
+    y = h @ x + (rng.randn(nr) + 1j * rng.randn(nr)) * 0.3
+    return qam, const, x, h, y
+
+
+def test_mimo_ml_matches_reference():
+    refm = pytest.importorskip("commpy.modulation")
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        qam, const, x, h, y = _rand_mimo(rng, 3, 3, 4)
+        a = refm.mimo_ml(y, h, const)
+        b = mimo_ml(y, h, const)
+        assert_allclose(a, b, rtol=1e-5)
+
+
+def test_mimo_ml_recovers_noiseless():
+    rng = np.random.RandomState(1)
+    qam, const, x, h, _ = _rand_mimo(rng, 4, 4, 16)
+    y = h @ x
+    xh = np.asarray(mimo_ml_device(y, h, const))
+    assert_allclose(xh, x, atol=1e-4)
+
+
+def test_kbest_hard_matches_reference():
+    refm = pytest.importorskip("commpy.modulation")
+    rng = np.random.RandomState(2)
+    for trial in range(8):
+        qam, const, x, h, y = _rand_mimo(rng, 4, 4, 16)
+        a = refm.kbest(y, h, const, 16)
+        b = kbest(y, h, const, 16)
+        assert_allclose(a, b, atol=1e-3), trial
+
+
+def test_kbest_soft_matches_reference():
+    refm = pytest.importorskip("commpy.modulation")
+    rng = np.random.RandomState(3)
+    qam = QAMModem(16)
+
+    def demode(p):
+        return qam.demodulate(p, "hard")
+
+    for _ in range(5):
+        _, const, x, h, y = _rand_mimo(rng, 4, 4, 16)
+        a = refm.kbest(y, h, const, 16, 0.3, "soft", demode)
+        b = kbest(y, h, const, 16, 0.3, "soft", demode)
+        assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
+def test_kbest_batched_device():
+    rng = np.random.RandomState(4)
+    qam = QAMModem(16)
+    const = np.asarray(qam.constellation)
+    ys, hs, xs = [], [], []
+    for _ in range(6):
+        _, _, x, h, y = _rand_mimo(rng, 4, 4, 16)
+        ys.append(y), hs.append(h), xs.append(x)
+    out = np.asarray(kbest_device(np.stack(ys), np.stack(hs), const, 16))
+    for i in range(6):
+        single = kbest(ys[i], hs[i], const, 16)
+        assert_allclose(out[i], single, atol=1e-3)
+
+
+def test_kbest_raises_wide_h():
+    with pytest.raises(ValueError):
+        kbest(np.zeros(2), np.zeros((2, 3)), np.array([1.0, -1.0]), 4)
+    with pytest.raises(ValueError):
+        kbest(np.zeros(3), np.zeros((3, 3)), np.array([1.0, -1.0]), 4,
+              output_type="bad")
+
+
+def test_best_first_matches_reference():
+    refm = pytest.importorskip("commpy.modulation")
+    rng = np.random.RandomState(5)
+    qam = QAMModem(16)
+
+    def demode(p):
+        return qam.demodulate(p, "hard")
+
+    for trial in range(4):
+        _, const, x, h, y = _rand_mimo(rng, 4, 4, 16)
+        a = refm.best_first_detector(y, h, const, (1, 3, 5), 0.3, demode, 500)
+        b = best_first_detector(y, h, const, (1, 3, 5), 0.3, demode, 500)
+        assert_allclose(a, b, rtol=1e-6, atol=1e-6), trial
+
+
+def test_bit_lvl_repr():
+    refm = pytest.importorskip("commpy.modulation")
+    rng = np.random.RandomState(6)
+    H = rng.randn(3, 2) + 1j * rng.randn(3, 2)
+    w = np.array([2, 1, 2j, 1j])
+    a = refm.bit_lvl_repr(H, w)
+    b = bit_lvl_repr(H, w)
+    assert_allclose(a, b, rtol=1e-6)
+    with pytest.raises(ValueError):
+        bit_lvl_repr(H, np.array([1, 2, 3]))

@@ -1,0 +1,98 @@
+"""Turbo codec tests (the reference ships none — SURVEY §4 gap filled):
+encoder parity vs reference, log-MAP vs probability-domain BCJR, batched
+round trips."""
+import numpy as np
+import pytest
+
+from commpy_tpu.channelcoding import RandInterlv
+from commpy_tpu.ops.trellis import Trellis
+from commpy_tpu.ops import turbo as T
+
+
+def _trellis():
+    return Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
+
+
+def test_turbo_encode_matches_reference():
+    ref = pytest.importorskip("commpy.channelcoding")
+    np.random.seed(5)
+    rt = ref.Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
+    mt = _trellis()
+    L = 96
+    interlv = RandInterlv(L, 3)
+    msg = np.random.randint(0, 2, L)
+    rs, rp1, rp2 = ref.turbo_encode(msg, rt, rt, interlv)
+    ms, mp1, mp2 = T.turbo_encode(msg, mt, mt, interlv)
+    np.testing.assert_array_equal(rs, ms)
+    np.testing.assert_array_equal(rp1, mp1)
+    np.testing.assert_array_equal(rp2, mp2)
+    ds, dp1, dp2 = T.turbo_encode_device(msg, mt, mt, interlv.p_array)
+    np.testing.assert_array_equal(np.asarray(ds), rs[:L])
+    np.testing.assert_array_equal(np.asarray(dp1), rp1[:L])
+    np.testing.assert_array_equal(np.asarray(dp2), rp2[:L])
+
+
+def test_map_decode_matches_reference():
+    refT = pytest.importorskip("commpy.channelcoding.turbo")
+    ref = pytest.importorskip("commpy.channelcoding")
+    np.random.seed(6)
+    rt = ref.Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
+    mt = _trellis()
+    L = 64
+    msg = np.random.randint(0, 2, L)
+    interlv = RandInterlv(L, 1)
+    s, p1, _ = T.turbo_encode(msg, mt, mt, interlv)
+    sigma2 = 0.6
+    sy = (2.0 * s[:L] - 1) + np.random.randn(L) * np.sqrt(sigma2)
+    py = (2.0 * p1[:L] - 1) + np.random.randn(L) * np.sqrt(sigma2)
+    L_int = np.random.randn(L) * 0.5
+    Lr, dr = refT.map_decode(sy, py, rt, sigma2, L_int, "decode")
+    Lm, dm = T.map_decode(sy, py, mt, sigma2, L_int)
+    rel = np.max(np.abs(Lr - np.asarray(Lm)) / (1 + np.abs(Lr)))
+    assert rel < 1e-4
+    np.testing.assert_array_equal(dr, np.asarray(dm))
+
+
+def test_turbo_decode_roundtrip_and_reference_parity():
+    refcc = pytest.importorskip("commpy.channelcoding")
+    np.random.seed(7)
+    rt = refcc.Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
+    mt = _trellis()
+    L = 128
+    interlv = RandInterlv(L, 0)
+    msg = np.random.randint(0, 2, L)
+    s, p1, p2 = T.turbo_encode(msg, mt, mt, interlv)
+    sigma2 = 0.45
+    sy = (2.0 * s[:L] - 1) + np.random.randn(L) * np.sqrt(sigma2)
+    py1 = (2.0 * p1[:L] - 1) + np.random.randn(L) * np.sqrt(sigma2)
+    py2 = (2.0 * p2[:L] - 1) + np.random.randn(L) * np.sqrt(sigma2)
+    dr = refcc.turbo_decode(sy, py1, py2, rt, sigma2, 6, interlv)
+    dm = T.turbo_decode(sy, py1, py2, mt, sigma2, 6, interlv)
+    np.testing.assert_array_equal(dr, np.asarray(dm))
+    assert (np.asarray(dm) != msg).sum() == 0
+
+
+def test_turbo_decode_batched_matches_single():
+    np.random.seed(8)
+    mt = _trellis()
+    L = 64
+    interlv = RandInterlv(L, 2)
+    msgs = np.random.randint(0, 2, (4, L))
+    sys_b, p1_b, p2_b = T.turbo_encode_device(
+        msgs, mt, mt, interlv.p_array
+    )
+    sigma2 = 0.5
+    noise = np.random.randn(3, 4, L) * np.sqrt(sigma2)
+    sy = 2.0 * np.asarray(sys_b) - 1 + noise[0]
+    py1 = 2.0 * np.asarray(p1_b) - 1 + noise[1]
+    py2 = 2.0 * np.asarray(p2_b) - 1 + noise[2]
+    batch = np.asarray(
+        T.turbo_decode_device(sy, py1, py2, mt, sigma2, 4, interlv.p_array)
+    )
+    for i in range(4):
+        single = np.asarray(
+            T.turbo_decode_device(
+                sy[i], py1[i], py2[i], mt, sigma2, 4, interlv.p_array
+            )
+        )
+        np.testing.assert_array_equal(batch[i], single)
