@@ -100,6 +100,18 @@ def _viterbi_core(
     )
     dec = jnp.moveaxis(dec, 0, 1)  # [B, T, S] chosen branch index j
     best_state = jnp.moveaxis(best_state, 0, 1)  # [B, T]
+    return _traceback_windows(dec, best_state, pred_state, pred_input, k,
+                              tb_depth)
+
+
+@partial(jax.jit, static_argnames=("k", "tb_depth"))
+def _traceback_windows(dec, best_state, pred_state, pred_input, k: int,
+                       tb_depth: int):
+    """All sliding-window tracebacks in parallel (see module docstring)."""
+    B, T, S = dec.shape
+    pred_state = jnp.asarray(pred_state, jnp.int32)
+    pred_input = jnp.asarray(pred_input, jnp.int32)
+    dec = dec.astype(jnp.int32)
 
     # ---- all traceback windows in parallel ----
     # window started at step t (1-based time tau = t+1 in reference terms)
@@ -131,8 +143,45 @@ def _viterbi_core(
     return bits.reshape(B, T * k)
 
 
+@partial(jax.jit, static_argnames=("tb_depth",))
+def _traceback_windows_packed(dec_packed, best_state, pred_state, pred_input,
+                              tb_depth: int):
+    """Traceback over bit-packed decisions (16 states/int32, k=1 codes).
+
+    dec_packed: [B, T, G] int32 from the Pallas ACS kernel
+    (kernels/viterbi_acs.py).  Same emission semantics as
+    :func:`_traceback_windows`.
+    """
+    B, T, G = dec_packed.shape
+    pred_state = jnp.asarray(pred_state, jnp.int32)
+    pred_input = jnp.asarray(pred_input, jnp.int32)
+
+    t_idx = jnp.arange(T)
+    dec_flat = dec_packed.reshape(B, T * G)
+
+    def walk(carry, d):
+        cur, out = carry  # [B, T]
+        tau = jnp.clip(t_idx - d, 0, T - 1)
+        gidx = tau[None, :] * G + (cur >> 4)
+        word = jnp.take_along_axis(dec_flat, gidx, axis=1)
+        j = (word >> (cur & 15)) & 1
+        inp = pred_input[cur, j]
+        prev = pred_state[cur, j]
+        m = t_idx - d
+        write = ((d == tb_depth - 2) | (t_idx == T - 1)) & (m >= 0)
+        midx = jnp.where(write, m, T)
+        out = out.at[jnp.arange(B)[:, None], midx].set(inp)
+        return (prev, out), None
+
+    out0 = jnp.zeros((B, T + 1), jnp.int32)
+    (_, out), _ = jax.lax.scan(
+        walk, (best_state, out0), jnp.arange(max(tb_depth - 1, 1))
+    )
+    return out[:, :T].astype(jnp.int8)
+
+
 def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
-                          decoding_type="hard", L=None):
+                          decoding_type="hard", L=None, backend="auto"):
     """Batched Viterbi decode.
 
     Parameters
@@ -141,11 +190,23 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
     trellis : Trellis
     tb_depth : traceback depth (default min(5 * total_memory, L))
     L : number of message bits to return (default n_coded * k / n)
+    backend : 'xla' (fused scan), 'pallas' (fused branch-metric + ACS TPU
+        kernel with bit-packed decisions, commpy_tpu.kernels.viterbi_acs),
+        or 'auto' (pallas on TPU for >=512-state binary-input codes, where
+        the matmul-based ACS beats the XLA gather scan; xla otherwise)
 
     Returns
     -------
     decoded_bits : int8 ``[..., L]``
     """
+    if backend == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        backend = (
+            "pallas"
+            if on_tpu and trellis.number_states >= 512
+            and trellis.number_inputs == 2
+            else "xla"
+        )
     x = jnp.asarray(coded_bits)
     squeeze = x.ndim == 1
     if squeeze:
@@ -178,23 +239,30 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
     else:
         r = r[:, :T]
 
-    C = jnp.asarray(_branch_vectors(trellis, decoding_type))  # [S*I, n]
-    bm = jnp.einsum("btn,cn->btc", r, C)  # [B, T, S*I]
-    if decoding_type == "hard":
-        bm = bm + jnp.asarray(_hard_const(trellis))
     S, I = trellis.number_states, trellis.number_inputs
-    bm = bm.reshape(B, T, S, I)
-    # reorder branch axis: bm currently indexed by flat (s, j) of the
-    # *predecessor table* — _branch_vectors used branch_codewords which is
-    # already [S, I] = (state, j-th predecessor). OK as-is.
+    if backend == "pallas":
+        from ..kernels.viterbi_acs import acs_forward_pallas
 
-    bits = _viterbi_core(
-        bm,
-        trellis.pred_state_table,
-        trellis.pred_input_table,
-        k,
-        int(tb_depth),
-    )
+        dec_packed, best = acs_forward_pallas(r, trellis, decoding_type)
+        bits = _traceback_windows_packed(
+            dec_packed, best, trellis.pred_state_table,
+            trellis.pred_input_table, int(tb_depth),
+        )
+    else:
+        C = jnp.asarray(_branch_vectors(trellis, decoding_type))  # [S*I, n]
+        # Branch axis is flat (s, j) of the predecessor table —
+        # _branch_vectors is built from branch_codewords [S, I].
+        bm = jnp.einsum("btn,cn->btc", r, C)  # [B, T, S*I]
+        if decoding_type == "hard":
+            bm = bm + jnp.asarray(_hard_const(trellis))
+        bm = bm.reshape(B, T, S, I)
+        bits = _viterbi_core(
+            bm,
+            trellis.pred_state_table,
+            trellis.pred_input_table,
+            k,
+            int(tb_depth),
+        )
     bits = bits[:, :L].reshape(lead + (L,))
     if squeeze:
         bits = bits[0]

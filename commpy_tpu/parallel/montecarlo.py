@@ -17,6 +17,10 @@ comes from counter-based key folding.
 """
 from __future__ import annotations
 
+import json
+import logging
+import os
+import time
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable, Optional, Sequence
@@ -28,6 +32,8 @@ import numpy as np
 from .mesh import Mesh, P, shard_map
 
 __all__ = ["MonteCarloResult", "montecarlo_ber", "make_round_fn"]
+
+logger = logging.getLogger("commpy_tpu.montecarlo")
 
 
 @dataclass
@@ -108,6 +114,7 @@ def montecarlo_ber(
     send_max: Optional[int] = None,
     mesh: Optional[Mesh] = None,
     axis_name: str = "dp",
+    checkpoint_path: Optional[str] = None,
 ) -> MonteCarloResult:
     """Run the sharded BER sweep with err_min / send_max early stopping.
 
@@ -120,6 +127,10 @@ def montecarlo_ber(
     link_step : ``(keys [F], noise_std) -> bit errors`` pure fn
     noise_std_fn : ``snr_db -> noise_std`` (see ops.channel.snr_to_noise_std)
     frame_bits : message bits per frame (for BER normalization)
+    checkpoint_path : optional JSON file; tallies + round counter are
+        persisted after every round and the sweep resumes from it if it
+        exists (counter-based PRNG makes resumed rounds reproducible —
+        the checkpoint/resume subsystem the reference lacks, SURVEY §5).
     """
     snrs_db = np.atleast_1d(np.asarray(snrs_db, float))
     noise_stds = np.asarray([float(noise_std_fn(s)) for s in snrs_db])
@@ -135,15 +146,48 @@ def montecarlo_ber(
     tot_err = np.zeros(n_snr)
     tot_bits = np.zeros(n_snr)
     active = np.ones(n_snr, bool)
-    rounds = 0
-    for r in range(max_rounds):
-        errs = np.asarray(round_fn(jax.random.fold_in(key, r)))
-        tot_err[active] += errs[active]
-        tot_bits[active] += bits_per_round
-        rounds += 1
-        active &= (tot_err < err_min) & (tot_bits < send_max)
+    start_round = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with open(checkpoint_path) as f:
+            st = json.load(f)
+        if st["snrs_db"] == list(map(float, snrs_db)):
+            tot_err = np.asarray(st["bit_errors"], float)
+            tot_bits = np.asarray(st["bits_sent"], float)
+            active = np.asarray(st["active"], bool)
+            start_round = int(st["round"])
+            logger.info("resumed sweep from %s at round %d",
+                        checkpoint_path, start_round)
+
+    rounds = start_round
+    for r in range(start_round, max_rounds):
         if not active.any():
             break
+        t0 = time.perf_counter()
+        errs = np.asarray(round_fn(jax.random.fold_in(key, r)))
+        dt = time.perf_counter() - t0
+        tot_err[active] += errs[active]
+        tot_bits[active] += bits_per_round
+        rounds = r + 1
+        active &= (tot_err < err_min) & (tot_bits < send_max)
+        logger.info(
+            "round %d: %d/%d SNR points active, %.3g bits/s",
+            rounds, int(active.sum()), n_snr,
+            n_snr * bits_per_round / dt,
+        )
+        if checkpoint_path:
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "snrs_db": list(map(float, snrs_db)),
+                        "bit_errors": tot_err.tolist(),
+                        "bits_sent": tot_bits.tolist(),
+                        "active": active.tolist(),
+                        "round": rounds,
+                    },
+                    f,
+                )
+            os.replace(tmp, checkpoint_path)
 
     with np.errstate(invalid="ignore"):
         bers = np.where(tot_bits > 0, tot_err / np.maximum(tot_bits, 1), 0.0)

@@ -1,0 +1,52 @@
+"""Pallas kernel equivalence tests (interpret mode on CPU)."""
+import numpy as np
+
+from commpy_tpu.ops.convcode import encode_scan
+from commpy_tpu.ops.trellis import Trellis
+from commpy_tpu.ops.viterbi import viterbi_decode_device
+
+
+def _roundtrip(tr, B=4, L=300, noise=1.5, seed=0):
+    rng = np.random.RandomState(seed)
+    msgs = rng.randint(0, 2, (B, L))
+    coded, _ = encode_scan(msgs, tr)
+    llr = (2.0 * np.asarray(coded) - 1) * 4 + rng.randn(B, L * tr.n) * noise
+    return msgs, llr
+
+
+def test_pallas_acs_matches_xla_soft():
+    for mem, g in ((np.array([2]), np.array([[5, 7]])),
+                   (np.array([6]), np.array([[0o133, 0o171]])),
+                   (np.array([8]), np.array([[0o561, 0o753]]))):
+        tr = Trellis(mem, g)
+        msgs, llr = _roundtrip(tr)
+        a = np.asarray(viterbi_decode_device(llr, tr, 20, "soft",
+                                             backend="xla"))
+        b = np.asarray(viterbi_decode_device(llr, tr, 20, "soft",
+                                             backend="pallas"))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_acs_matches_xla_hard():
+    tr = Trellis(np.array([6]), np.array([[0o133, 0o171]]))
+    rng = np.random.RandomState(1)
+    msgs = rng.randint(0, 2, (3, 200))
+    coded, _ = encode_scan(msgs, tr)
+    h = np.asarray(coded).astype(np.float32)
+    flips = rng.rand(*h.shape) < 0.03
+    h[flips] = 1 - h[flips]
+    a = np.asarray(viterbi_decode_device(h, tr, 20, "hard", backend="xla"))
+    b = np.asarray(viterbi_decode_device(h, tr, 20, "hard", backend="pallas"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_unquantized():
+    tr = Trellis(np.array([2]), np.array([[5, 7]]))
+    msgs, llr = _roundtrip(tr, noise=0.7)
+    a = np.asarray(
+        viterbi_decode_device(llr, tr, 15, "unquantized", backend="xla")
+    )
+    b = np.asarray(
+        viterbi_decode_device(llr, tr, 15, "unquantized", backend="pallas")
+    )
+    np.testing.assert_array_equal(a, b)
