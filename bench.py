@@ -32,16 +32,22 @@ def main():
     llrs = rng.randn(B, 2 * L).astype(np.float32) * 3
     llrs = jnp.asarray(llrs)
 
-    fn = jax.jit(
-        lambda x: viterbi_decode_device(x, trellis, tb_depth, "soft", L=L)
-    )
-    fn(llrs).block_until_ready()  # compile
+    # Chain a data dependency through iterations so async dispatch cannot
+    # overlap calls — wall-clock then reflects true sequential decode time.
+    def step(x):
+        dec = viterbi_decode_device(x, trellis, tb_depth, "soft", L=L,
+                                    backend="xla")
+        return x + (jnp.sum(dec) * 0).astype(x.dtype)
 
-    iters = 10
+    fn = jax.jit(step)
+    x = fn(llrs)
+    x.block_until_ready()  # compile + warmup
+
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(llrs)
-    out.block_until_ready()
+        x = fn(x)
+    x.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     bits_per_s = B * L / dt
 
