@@ -101,14 +101,16 @@ def make_conv_awgn_link(
     BASELINE config 1: PSK(2), decoding_type='hard'/'unquantized'.
     BASELINE config 2 / wifi80211: QAM(m), decoding_type='soft'.
     """
-    const = (
+    const_np = (
         M.psk_constellation(modulation_m)
         if use_psk
         else M.qam_constellation(modulation_m)
     )
-    const = jnp.asarray(const, jnp.complex64)
+    # Es computed on host BEFORE device transfer (device->host complex
+    # readback is not supported on all backends)
+    Es = float(np.mean(np.abs(const_np) ** 2))
+    const = jnp.asarray(const_np, jnp.complex64)
     bps = int(np.log2(modulation_m))
-    Es = float(np.mean(np.abs(np.asarray(const)) ** 2))
     k, n = trellis.k, trellis.n
     n_coded = frame_bits * n // k
     if puncture is not None:
@@ -222,9 +224,10 @@ def make_ldpc_rayleigh_link(
     n_v = ldpc_params["n_vnodes"]
     n_c = ldpc_params["n_cnodes"]
     frame_bits = n_v - n_c
-    const = jnp.asarray(M.qam_constellation(modulation_m), jnp.complex64)
+    const_np = M.qam_constellation(modulation_m)
+    Es = float(np.mean(np.abs(const_np) ** 2))
+    const = jnp.asarray(const_np, jnp.complex64)
     bps = int(np.log2(modulation_m))
-    Es = float(np.mean(np.abs(np.asarray(const)) ** 2))
     rate = frame_bits / n_v
     assert n_v % bps == 0
 
@@ -271,9 +274,10 @@ def make_kbest_mimo_link(
     name: str = "kbest-mimo",
 ) -> DeviceLink:
     """Uncoded K-best detection over uncorrelated Rayleigh MIMO."""
-    const = jnp.asarray(M.qam_constellation(modulation_m), jnp.complex64)
+    const_np = M.qam_constellation(modulation_m)
+    Es = float(np.mean(np.abs(const_np) ** 2))
+    const = jnp.asarray(const_np, jnp.complex64)
     bps = int(np.log2(modulation_m))
-    Es = float(np.mean(np.abs(np.asarray(const)) ** 2))
     frame_bits = vectors_per_frame * nb_tx * bps
 
     def link_step(keys, noise_std):
@@ -322,9 +326,10 @@ def make_ofdm_mimo_conv_link(
     Block-fading: one channel matrix per frame, shared by all subcarriers
     (flat channel, as in the reference's MIMOFlatChannel).
     """
-    const = jnp.asarray(M.qam_constellation(modulation_m), jnp.complex64)
+    const_np = M.qam_constellation(modulation_m)
+    Es = float(np.mean(np.abs(const_np) ** 2))
+    const = jnp.asarray(const_np, jnp.complex64)
     bps = int(np.log2(modulation_m))
-    Es = float(np.mean(np.abs(np.asarray(const)) ** 2))
     k, n = trellis.k, trellis.n
     rate = k / n
     n_sym = nsc * n_ofdm_symbols * nb_tx  # QAM symbols per frame

@@ -62,15 +62,60 @@ def encode_scan(message_bits, trellis: Trellis, start_state=0):
 
     message_bits : ``[..., L]`` with L % k == 0.
     Returns coded bits ``[..., L * n / k]`` (int8) and the final state.
+
+    Feedforward codes (identity feedback) bypass the sequential FSM scan:
+    the codeword is a binary convolution of the input with the generator
+    taps, evaluated as one float matmul + mod-2 (O(1) sequential depth on
+    the MXU instead of O(L) scan steps).
     """
     bits = jnp.asarray(message_bits)
     k, n = trellis.k, trellis.n
     lead = bits.shape[:-1]
+    if trellis.is_feedforward and start_state == 0:
+        coded = _encode_feedforward(bits, trellis)
+        # final state = last total_memory input bits, per-line layout:
+        # state bits are [line0 newest..oldest, line1 ...] (trellis packing)
+        L_sym = bits.shape[-1] // k
+        u = bits.reshape(lead + (L_sym, k))
+        state_bits = []
+        for line, mem in enumerate(trellis.memory):
+            for d in range(1, mem + 1):
+                idx = L_sym - d
+                if idx >= 0:
+                    state_bits.append(u[..., idx, line])
+                else:
+                    state_bits.append(jnp.zeros(lead, bits.dtype))
+        if state_bits:
+            final_state = pack_bits(jnp.stack(state_bits, axis=-1))
+        else:
+            final_state = jnp.zeros(lead, jnp.int32)
+        return coded, final_state
     syms = pack_bits(bits.reshape(lead + (-1, k)))
     out_bits, final_state = _encode_symbols(
         syms, trellis.next_state_table, trellis.output_table, n, start_state
     )
     return out_bits.reshape(lead + (-1,)), final_state
+
+
+@partial(jax.jit, static_argnames=("trellis",))
+def _encode_feedforward(bits, trellis: Trellis):
+    """coded[..., t*n + r] = sum_i u[t-i] . g_taps[i,:,r] mod 2 (matmul)."""
+    k, n = trellis.k, trellis.n
+    taps = np.asarray(trellis.g_taps, np.float32)  # [depth, k, n]
+    depth = taps.shape[0]
+    lead = bits.shape[:-1]
+    L_sym = bits.shape[-1] // k
+    u = bits.reshape(lead + (L_sym, k)).astype(jnp.float32)
+    u_flat = u.reshape((-1, L_sym, k))
+    # build the windowed view via padding + static shifts (depth is small)
+    pad = jnp.pad(u_flat, ((0, 0), (depth - 1, 0), (0, 0)))
+    windows = jnp.stack(
+        [pad[:, depth - 1 - i : depth - 1 - i + L_sym, :] for i in range(depth)],
+        axis=-2,
+    )  # [B, L_sym, depth, k]
+    out = jnp.einsum("blik,ikn->bln", windows, jnp.asarray(taps))
+    out = jnp.mod(out, 2.0).astype(jnp.int8)
+    return out.reshape(lead + (L_sym * n,))
 
 
 def conv_encode(message_bits, trellis: Trellis, termination="term",

@@ -40,6 +40,8 @@ class Trellis:
         self.number_inputs = 2 ** self.k
         self.memory = memory
 
+        self.is_feedforward = False
+        self.g_taps = None
         if isinstance(feedback, (int, np.integer)):
             nst, out = self._build_legacy_int_feedback(
                 memory, g_matrix.copy(), int(feedback), code_type
@@ -89,6 +91,15 @@ class Trellis:
         for i in range(k):
             for j in range(n):
                 g_taps[:, i, j] = poly_bits(g_matrix[i, j])
+
+        # Feedforward detection: identity feedback (the default) means the
+        # encoder is a pure binary convolution — encode_scan can then use
+        # the O(1)-depth convolution path (ops/convcode.py).
+        ident = np.identity(k, int)
+        if not msb:
+            ident = ident * 2 ** memory.max()
+        self.is_feedforward = bool(np.array_equal(feedback, ident))
+        self.g_taps = g_taps  # [depth, k, n]: tap i of polynomial [k, n]
 
         # Vectorized over all (state, input) pairs at once.
         S, I = self.number_states, self.number_inputs
