@@ -1,3 +1,5 @@
+from .idd import idd_decoder_device
+from .wifi80211_link import WIFI_MCS_TABLE, wifi80211_device_link
 from .device_links import (
     DeviceLink,
     make_conv_awgn_link,
@@ -14,4 +16,7 @@ __all__ = [
     "make_ldpc_rayleigh_link",
     "make_ofdm_mimo_conv_link",
     "make_turbo_awgn_link",
+    "idd_decoder_device",
+    "wifi80211_device_link",
+    "WIFI_MCS_TABLE",
 ]

@@ -1,18 +1,28 @@
 """Batched TPU-native compute kernels (the framework's device layer)."""
 
-from . import channel, convcode, filters, impairments, modem, ofdm, sequences
+from . import (
+    algebraic,
+    channel,
+    convcode,
+    filters,
+    fir,
+    galois,
+    impairments,
+    interleave,
+    ldpc,
+    mimo,
+    modem,
+    ofdm,
+    sequences,
+    stream,
+    turbo,
+)
 from .trellis import Trellis
 from .viterbi import viterbi_decode, viterbi_decode_device
 
 __all__ = [
-    "channel",
-    "convcode",
-    "filters",
-    "impairments",
-    "modem",
-    "ofdm",
-    "sequences",
-    "Trellis",
-    "viterbi_decode",
+    "algebraic", "channel", "convcode", "filters", "fir", "galois",
+    "impairments", "interleave", "ldpc", "mimo", "modem", "ofdm",
+    "sequences", "stream", "turbo", "Trellis", "viterbi_decode",
     "viterbi_decode_device",
 ]

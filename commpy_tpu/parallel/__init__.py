@@ -1,5 +1,6 @@
 from .mesh import Mesh, NamedSharding, P, local_device_count, make_mesh, shard_map
 from .montecarlo import MonteCarloResult, make_round_fn, montecarlo_ber
+from . import distributed
 
 __all__ = [
     "Mesh",
@@ -11,4 +12,5 @@ __all__ = [
     "MonteCarloResult",
     "make_round_fn",
     "montecarlo_ber",
+    "distributed",
 ]
