@@ -6,6 +6,7 @@ from .device_links import (
     make_kbest_mimo_link,
     make_ldpc_rayleigh_link,
     make_ofdm_mimo_conv_link,
+    make_rrc_conv_awgn_link,
     make_turbo_awgn_link,
 )
 
@@ -15,6 +16,7 @@ __all__ = [
     "make_kbest_mimo_link",
     "make_ldpc_rayleigh_link",
     "make_ofdm_mimo_conv_link",
+    "make_rrc_conv_awgn_link",
     "make_turbo_awgn_link",
     "idd_decoder_device",
     "wifi80211_device_link",

@@ -34,6 +34,7 @@ from ..ops.viterbi import viterbi_decode_device
 __all__ = [
     "DeviceLink",
     "make_conv_awgn_link",
+    "make_rrc_conv_awgn_link",
     "make_turbo_awgn_link",
     "make_ldpc_rayleigh_link",
     "make_kbest_mimo_link",
@@ -154,6 +155,77 @@ def make_conv_awgn_link(
 
     return DeviceLink(link_step, frame_bits, noise_std_fn, name,
                       {"rate": rate, "Es": Es, "bps": bps})
+
+
+def make_rrc_conv_awgn_link(
+    *,
+    trellis: Trellis,
+    modulation_m: int = 16,
+    frame_bits: int = 1200,
+    sps: int = 4,
+    rrc_span_symbols: int = 8,
+    rrc_alpha: float = 0.35,
+    decoding_type: str = "soft",
+    use_maxlog: bool = True,
+    name: str = "rrc-conv-awgn",
+) -> DeviceLink:
+    """Waveform-level conv-coded link (BASELINE config 2, full fidelity):
+
+    bits -> conv encode -> QAM -> **upsample x sps + RRC pulse shaping**
+    -> complex AWGN at sample rate -> **matched filter** -> symbol-spaced
+    sampling -> max-log LLR demod -> soft Viterbi.
+
+    The RRC taps are unit-energy so the matched-filter cascade is
+    ISI-free Nyquist with unity gain; the symbol-level SNR calibration
+    then matches the symbol-rate link exactly.
+    """
+    from ..ops.filters import rrcosfilter
+    from ..ops.fir import fir_filter, upfirdn
+
+    const_np = M.qam_constellation(modulation_m)
+    Es = float(np.mean(np.abs(const_np) ** 2))
+    const = jnp.asarray(const_np, jnp.complex64)
+    bps = int(np.log2(modulation_m))
+    k, n = trellis.k, trellis.n
+    rate = k / n
+    n_coded = frame_bits * n // k
+    assert n_coded % bps == 0
+    n_sym = n_coded // bps
+    tb_depth = min(5 * trellis.total_memory, frame_bits)
+
+    # Even tap count: the reference's (arange(N) - N/2)/Fs grid then puts
+    # the filter peak exactly ON a sample (index N/2), so the cascade
+    # delay is an integer number of samples.
+    n_taps = sps * rrc_span_symbols
+    _, taps = rrcosfilter(n_taps, rrc_alpha, 1.0, float(sps))
+    taps = taps / np.sqrt(np.sum(taps**2))  # unit energy
+    taps_j = jnp.asarray(taps.astype(np.float32))
+    delay = n_taps  # tx filter + matched filter group delay (samples)
+
+    def link_step(keys, noise_std):
+        bits = _gen_bits(keys, frame_bits)
+        coded, _ = encode_scan(bits, trellis)
+        symbols = M.modulate(coded, const, bps)  # [F, n_sym]
+        wave = upfirdn(symbols, taps_j, up=sps)  # [F, (n_sym-1)*sps+T]
+        # complex AWGN at the sample rate; matched-filter gain is unity,
+        # so the per-sample noise std equals the target symbol-level std.
+        noise = _frame_crandn(keys, wave.shape[1:], 1)
+        y = wave + noise * (noise_std * 0.5)
+        mf = fir_filter(y, taps_j, "full")
+        sampled = mf[:, delay : delay + n_sym * sps : sps]
+        noise_var = noise_std**2
+        demod = M.demodulate_maxlog if use_maxlog else M.demodulate_soft
+        llr = demod(sampled, const, bps, noise_var)
+        dec = viterbi_decode_device(
+            llr, trellis, tb_depth, decoding_type, L=frame_bits
+        )
+        return jnp.sum(jnp.bitwise_xor(dec, bits).astype(jnp.int32))
+
+    def noise_std_fn(snr_db):
+        return snr_to_noise_std(snr_db, code_rate=rate, Es=Es)
+
+    return DeviceLink(link_step, frame_bits, noise_std_fn, name,
+                      {"rate": rate, "Es": Es, "sps": sps})
 
 
 # --------------------------------------------------------------------------

@@ -98,3 +98,18 @@ def test_kbest_mimo_noiseless():
     link = make_kbest_mimo_link(vectors_per_frame=8)
     errs, _ = _run(link, 60.0)
     assert errs == 0
+
+
+def test_config2_rrc_waveform_link():
+    """RRC pulse-shaped waveform link: ISI-free cascade, BER matches the
+    symbol-rate link (BASELINE config 2 full chain)."""
+    from commpy_tpu.models import make_rrc_conv_awgn_link
+
+    tr = Trellis(np.array([2]), np.array([[5, 7]]))
+    link = make_rrc_conv_awgn_link(
+        trellis=tr, modulation_m=16, frame_bits=400
+    )
+    errs, _ = _run(link, 25.0)
+    assert errs == 0
+    errs_low, total = _run(link, 8.0)
+    assert errs_low > 0
