@@ -110,7 +110,11 @@ def make_conv_awgn_link(
     # Es computed on host BEFORE device transfer (device->host complex
     # readback is not supported on all backends)
     Es = float(np.mean(np.abs(const_np) ** 2))
-    const = jnp.asarray(const_np, jnp.complex64)
+    # NumPy closure: baked as an HLO literal at trace time. (A
+    # device-resident complex closure would force a complex device->host
+    # readback during jit constant embedding, which some TPU runtimes
+    # don't implement.)
+    const = const_np.astype(np.complex64)
     bps = int(np.log2(modulation_m))
     k, n = trellis.k, trellis.n
     n_coded = frame_bits * n // k
@@ -184,7 +188,7 @@ def make_rrc_conv_awgn_link(
 
     const_np = M.qam_constellation(modulation_m)
     Es = float(np.mean(np.abs(const_np) ** 2))
-    const = jnp.asarray(const_np, jnp.complex64)
+    const = const_np.astype(np.complex64)  # numpy closure (HLO literal)
     bps = int(np.log2(modulation_m))
     k, n = trellis.k, trellis.n
     rate = k / n
@@ -199,7 +203,7 @@ def make_rrc_conv_awgn_link(
     n_taps = sps * rrc_span_symbols
     _, taps = rrcosfilter(n_taps, rrc_alpha, 1.0, float(sps))
     taps = taps / np.sqrt(np.sum(taps**2))  # unit energy
-    taps_j = jnp.asarray(taps.astype(np.float32))
+    taps_j = taps.astype(np.float32)  # numpy closure (HLO literal)
     delay = n_taps  # tx filter + matched filter group delay (samples)
 
     def link_step(keys, noise_std):
@@ -298,7 +302,7 @@ def make_ldpc_rayleigh_link(
     frame_bits = n_v - n_c
     const_np = M.qam_constellation(modulation_m)
     Es = float(np.mean(np.abs(const_np) ** 2))
-    const = jnp.asarray(const_np, jnp.complex64)
+    const = const_np.astype(np.complex64)  # numpy closure (HLO literal)
     bps = int(np.log2(modulation_m))
     rate = frame_bits / n_v
     assert n_v % bps == 0
@@ -348,7 +352,7 @@ def make_kbest_mimo_link(
     """Uncoded K-best detection over uncorrelated Rayleigh MIMO."""
     const_np = M.qam_constellation(modulation_m)
     Es = float(np.mean(np.abs(const_np) ** 2))
-    const = jnp.asarray(const_np, jnp.complex64)
+    const = const_np.astype(np.complex64)  # numpy closure (HLO literal)
     bps = int(np.log2(modulation_m))
     frame_bits = vectors_per_frame * nb_tx * bps
 
@@ -400,7 +404,7 @@ def make_ofdm_mimo_conv_link(
     """
     const_np = M.qam_constellation(modulation_m)
     Es = float(np.mean(np.abs(const_np) ** 2))
-    const = jnp.asarray(const_np, jnp.complex64)
+    const = const_np.astype(np.complex64)  # numpy closure (HLO literal)
     bps = int(np.log2(modulation_m))
     k, n = trellis.k, trellis.n
     rate = k / n
