@@ -129,7 +129,7 @@ def turbo_encode_device(msg_bits, trellis1: Trellis, trellis2: Trellis,
 # Log-MAP decoding
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("compute_decode",))
+@partial(jax.jit, static_argnames=("compute_decode", "max_log"))
 def _log_bcjr(
     sys_symbols,  # [B, T]
     par_symbols,  # [B, T]
@@ -141,10 +141,15 @@ def _log_bcjr(
     pred_state,  # [S, I]
     pred_input,  # [S, I]
     compute_decode: bool = True,
+    max_log: bool = False,
 ):
+    # max_log=True replaces every logsumexp with max (max-log-MAP):
+    # ~2x fewer transcendentals at a fraction-of-a-dB BER cost.
     B, T = sys_symbols.shape
     S = nst.shape[0]
     neg_inf = jnp.float32(-1e30)
+    lse = (lambda x, axis: jnp.max(x, axis=axis)) if max_log \
+        else jax.nn.logsumexp
 
     # Branch log-probs WITHOUT priors (reference keeps priors separate,
     # turbo.py:100-110): lg[b, t, s, u]
@@ -163,8 +168,8 @@ def _log_bcjr(
     def bwd(beta_next, lg_t):
         # beta[s] = LSE_u(beta_next[ns[s,u]] + lg_t[s,u])
         m = beta_next[:, nst] + lg_t  # [B,S,I]
-        beta = jax.nn.logsumexp(m, axis=-1)
-        beta = beta - jax.nn.logsumexp(beta, axis=-1, keepdims=True)
+        beta = lse(m, -1)
+        beta = beta - lse(beta, -1)[..., None]
         return beta, beta_next
 
     beta_T = jnp.zeros((B, S), jnp.float32)
@@ -180,16 +185,12 @@ def _log_bcjr(
     def fwd(alpha, inputs):
         lg_t, lgp_t, beta_next = inputs
         # APP over branches grouped by input u (no prior on current step):
-        app = jax.nn.logsumexp(
-            alpha[:, :, None] + lg_t + beta_next[:, nst], axis=1
-        )  # [B, I]
+        app = lse(alpha[:, :, None] + lg_t + beta_next[:, nst], 1)  # [B, I]
         # alpha update goes THROUGH the priors; gather branches entering
         # each next state via the predecessor tables:
         cand = alpha[:, pred_state] + lgp_t[:, pred_state, pred_input]
-        alpha_next = jax.nn.logsumexp(cand, axis=-1)
-        alpha_next = alpha_next - jax.nn.logsumexp(
-            alpha_next, axis=-1, keepdims=True
-        )
+        alpha_next = lse(cand, -1)
+        alpha_next = alpha_next - lse(alpha_next, -1)[..., None]
         return alpha_next, app
 
     _, apps = jax.lax.scan(
@@ -203,6 +204,81 @@ def _log_bcjr(
     )
     apps = jnp.moveaxis(apps, 0, 1)  # [B, T, 2]
     lappr = L_int + apps[..., 1] - apps[..., 0]
+    decoded = (lappr > 0).astype(jnp.int8) if compute_decode else None
+    return lappr, decoded
+
+
+@partial(jax.jit, static_argnames=("compute_decode", "max_log"))
+def _log_bcjr_parallel(
+    sys_symbols, par_symbols, L_int, noise_variance,
+    nst, out_cs, out_cp, pred_state, pred_input,
+    compute_decode: bool = True, max_log: bool = False,
+):
+    """BCJR with O(log T) sequential depth via `associative_scan`.
+
+    The alpha/beta recursions are chains of log-semiring (logsumexp, +)
+    matrix-vector products; composing the [S, S] transition matrices with
+    a parallel prefix turns 2T dependent steps into ~2 log2 T rounds of
+    batched "log-matmuls".  For the tiny state counts of turbo component
+    codes this is the difference between a latency-bound scan and full
+    device utilization — the TPU-native BCJR (used by the turbo link
+    models; the sequential `_log_bcjr` remains the bit-faithful default
+    of the compat API).
+    """
+    B, T = sys_symbols.shape
+    S = nst.shape[0]
+    neg_inf = jnp.float32(-3e37)
+    lse = (lambda x, axis: jnp.max(x, axis=axis)) if max_log \
+        else jax.nn.logsumexp
+
+    x = sys_symbols[..., None, None] - out_cs
+    y = par_symbols[..., None, None] - out_cp
+    lgamma = -(x * x + y * y) / (2.0 * noise_variance)
+    lp1 = -jax.nn.softplus(-L_int)
+    lp0 = -jax.nn.softplus(L_int)
+    lp = jnp.stack([lp0, lp1], axis=-1)
+    lg_priored = lgamma + lp[:, :, None, :]  # [B,T,S,I]
+
+    # Transition matrices M[b,t,s,s'] = lg_priored[b,t,s,u] for ns[s,u]==s',
+    # built by mask-select (edge one-hots; scatters are slow on TPU).
+    s_next = jnp.arange(S)[None, :]
+    M = jnp.full((B, T, S, S), neg_inf)
+    for u in range(nst.shape[1]):
+        onehot_u = nst[:, u][:, None] == s_next  # [S, S] static-ish bool
+        M = jnp.where(onehot_u, lg_priored[:, :, :, u][..., None], M)
+
+    def logmm(a, b):
+        # c[i,j] = LSE_k a[i,k] + b[k,j], renormalized per matrix
+        c = lse(a[..., :, :, None] + b[..., None, :, :], -2)
+        return c - jnp.max(c, axis=(-2, -1), keepdims=True)
+
+    # alpha_t = alpha_0 (x) M_1 (x) ... (x) M_t  -> prefix products of M
+    P = jax.lax.associative_scan(logmm, M, axis=1)
+    alpha0 = jnp.full((B, S), neg_inf).at[:, 0].set(0.0)
+    alphas_tail = lse(alpha0[:, None, :, None] + P, -2)  # [B,T,S] = alpha_t
+    alphas = jnp.concatenate(
+        [jnp.broadcast_to(alpha0[:, None], (B, 1, S)), alphas_tail[:, :-1]],
+        axis=1,
+    )  # alpha_{t-1} consumed by the APP at step t
+
+    # beta_pos[i] = M_i (x) ... (x) M_{T-1} (x) beta_T.  Matrix products
+    # don't commute, so the suffix products are computed as a FORWARD
+    # prefix scan over the time-reversed, transposed matrices:
+    # (M_{T-1}^T (x) ... (x) M_i^T) = (M_i (x) ... (x) M_{T-1})^T.
+    Mrt = jnp.flip(jnp.swapaxes(M, -1, -2), axis=1)
+    R = jax.lax.associative_scan(logmm, Mrt, axis=1)
+    beta_T = jnp.zeros((B, S))
+    # flip(R)[i] = Q_i^T, so (Q_i . beta)[s] = LSE_j Q_i^T[j, s] + beta[j]
+    betas_pos = lse(jnp.flip(R, axis=1) + beta_T[:, None, :, None], -2)
+    # betas_pos[i] = beta at position i; APP at step i needs beta_{i+1}:
+    betas = jnp.concatenate(
+        [betas_pos[:, 1:], jnp.broadcast_to(beta_T[:, None], (B, 1, S))],
+        axis=1,
+    )
+
+    app = lse(alphas[..., None] + lgamma + betas[:, :, nst], axis=2)
+    # [B, T, I]
+    lappr = L_int + app[..., 1] - app[..., 0]
     decoded = (lappr > 0).astype(jnp.int8) if compute_decode else None
     return lappr, decoded
 
@@ -222,7 +298,7 @@ def _bcjr_tables(trellis: Trellis):
 
 
 def map_decode_device(sys_symbols, non_sys_symbols, trellis: Trellis,
-                      noise_variance, L_int):
+                      noise_variance, L_int, algorithm="log-MAP"):
     """Batched log-MAP decode of one rate-1/2 RSC stream.
 
     sys_symbols, non_sys_symbols, L_int: ``[..., T]``.
@@ -233,7 +309,8 @@ def map_decode_device(sys_symbols, non_sys_symbols, trellis: Trellis,
     li = jnp.atleast_2d(jnp.asarray(L_int, jnp.float32))
     tables = _bcjr_tables(trellis)
     lappr, decoded = _log_bcjr(
-        sy, pa, li, jnp.float32(noise_variance), *tables
+        sy, pa, li, jnp.float32(noise_variance), *tables,
+        max_log=(algorithm == "max-log"),
     )
     if jnp.ndim(jnp.asarray(sys_symbols)) == 1:
         return lappr[0], decoded[0]
@@ -253,25 +330,28 @@ def map_decode(sys_symbols, non_sys_symbols, trellis: Trellis,
     return [np.asarray(L_ext), np.asarray(decoded).astype(int)]
 
 
-@partial(jax.jit, static_argnames=("trellis", "number_iterations"))
+@partial(jax.jit, static_argnames=("trellis", "number_iterations",
+                                   "max_log", "parallel"))
 def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
                       noise_variance, p_array, L_int, trellis: Trellis,
-                      number_iterations: int):
+                      number_iterations: int, max_log: bool = False,
+                      parallel: bool = False):
+    bcjr = _log_bcjr_parallel if parallel else _log_bcjr
     tables = _bcjr_tables(trellis)
     p = jnp.asarray(p_array, jnp.int32)
     inv_p = jnp.zeros_like(p).at[p].set(jnp.arange(p.shape[0], dtype=jnp.int32))
     sys_i = jnp.take(sys_symbols, p, axis=-1)
 
     def body(L_int_1, _):
-        L_ext_1, _ = _log_bcjr(
+        L_ext_1, _ = bcjr(
             sys_symbols, non_sys_symbols_1, L_int_1,
-            noise_variance, *tables, compute_decode=False,
+            noise_variance, *tables, compute_decode=False, max_log=max_log,
         )
         L_ext_1 = L_ext_1 - L_int_1
         L_int_2 = jnp.take(L_ext_1, p, axis=-1)
-        L_2, _ = _log_bcjr(
+        L_2, _ = bcjr(
             sys_i, non_sys_symbols_2, L_int_2,
-            noise_variance, *tables, compute_decode=False,
+            noise_variance, *tables, compute_decode=False, max_log=max_log,
         )
         L_ext_2 = L_2 - L_int_2
         L_int_1 = jnp.take(L_ext_2, inv_p, axis=-1)
@@ -288,10 +368,15 @@ def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
 
 def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
                         trellis: Trellis, noise_variance, number_iterations,
-                        p_array, L_int=None):
+                        p_array, L_int=None, algorithm="log-MAP",
+                        parallel=False):
     """Batched turbo decode (extrinsic loop of turbo.py:254-333).
 
     All symbol arrays ``[..., T]``; p_array the interleaver permutation.
+    ``parallel=True`` uses the associative-scan BCJR
+    (O(log T) sequential depth) — profitable for small batches where the
+    recursion is latency-bound; at large Monte-Carlo batches the
+    sequential scan is bandwidth-optimal and is the default.
     """
     sy = jnp.atleast_2d(jnp.asarray(sys_symbols, jnp.float32))
     p1 = jnp.atleast_2d(jnp.asarray(non_sys_symbols_1, jnp.float32))
@@ -303,7 +388,7 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
     out = _turbo_iterations(
         sy, p1, p2, jnp.float32(noise_variance),
         np.asarray(p_array, np.int32), L_int, trellis,
-        int(number_iterations),
+        int(number_iterations), algorithm == "max-log", bool(parallel),
     )
     if jnp.ndim(jnp.asarray(sys_symbols)) == 1:
         return out[0]
