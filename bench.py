@@ -1,9 +1,15 @@
-"""Headline benchmark: decoded info bits/s/chip, soft Viterbi K=7 link.
+"""Headline benchmark: decoded info bits/s/chip, soft Viterbi K=7.
 
-Runs the flagship 802.11-style decode path (the reference's hottest loop,
+Runs the flagship decode path (the reference's hottest loop,
 convcode.py:590-657) as a batched device program and reports throughput
 against the reference NumPy/CPU implementation measured by
 benchmarks/measure_reference.py.
+
+Timing methodology (remote-TPU-safe): REP decodes are chained INSIDE one
+jitted program through a data dependency that cannot be constant-folded,
+and the host synchronizes on a scalar transfer — so neither async
+dispatch, XLA dead-code elimination, nor host-link round-trip jitter can
+distort the number.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -25,31 +31,34 @@ def main():
     # K=7 (133,171) soft Viterbi — the wifi80211 decoder configuration.
     trellis = Trellis(np.array([6]), np.array([[133, 171]]))
     L = 1024  # message bits per frame
-    B = 256  # frames per batch
+    B = 1024  # frames per batch
     tb_depth = 30
+    REP = 30  # decodes chained per timed call
 
     rng = np.random.RandomState(0)
-    llrs = rng.randn(B, 2 * L).astype(np.float32) * 3
-    llrs = jnp.asarray(llrs)
+    llrs = jnp.asarray(rng.randn(B, 2 * L).astype(np.float32) * 3)
 
-    # Chain a data dependency through iterations so async dispatch cannot
-    # overlap calls — wall-clock then reflects true sequential decode time.
-    def step(x):
-        dec = viterbi_decode_device(x, trellis, tb_depth, "soft", L=L,
-                                    backend="xla")
-        return x + (jnp.sum(dec) * 0).astype(x.dtype)
+    def chained(x):
+        def body(c, _):
+            dec = viterbi_decode_device(
+                c, trellis, tb_depth, "soft", L=L, backend="auto"
+            )
+            c = c.at[0, 0].add(jnp.sum(dec).astype(c.dtype) * 1e-12)
+            return c, ()
+        x, _ = jax.lax.scan(body, x, None, length=REP)
+        return x, jnp.sum(x[0, :4])
 
-    fn = jax.jit(step)
-    x = fn(llrs)
-    x.block_until_ready()  # compile + warmup
+    fn = jax.jit(chained)
+    x, s = fn(llrs)
+    _ = float(s)  # compile + warmup with real sync
 
-    iters = 20
+    iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        x = fn(x)
-    x.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    bits_per_s = B * L / dt
+        x, s = fn(x)
+        _ = float(s)
+    per_decode = (time.perf_counter() - t0) / iters / REP
+    bits_per_s = B * L / per_decode
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),

@@ -214,32 +214,47 @@ def _prod_excl(x, mask):
 
 
 @partial(jax.jit, static_argnames=("algorithm", "n_iters"))
-def _bp_core(llr, cadj, cmask, vadj, vmap_, vmask, algorithm: str,
-             n_iters: int):
+def _bp_core(llr, cmask, Ainc, algorithm: str, n_iters: int):
     """Belief propagation over the padded Tanner edge arrays.
 
+    GATHER-FREE: the vnode<->edge permutations run as dense one-hot
+    matmuls with the edge-incidence matrix (gathers in loops are
+    scalar-slow on TPU; the incidence matmul runs on the MXU and its
+    f32 accumulations of 0/1-weighted messages are exact sums).
+
     llr:   [B, n_v]
-    cadj:  [n_c, cd]   vnode index per check-node edge (pad -> n_v sentinel)
-    cmask: [n_c, cd]   valid-edge mask
-    vadj:  [n_v, vd]   cnode index per vnode edge (pad -> 0)
-    vmap_: [n_v, vd]   edge position inside the cnode row (pad -> 0)
-    vmask: [n_v, vd]
+    cmask: [n_c, cd]  valid-edge mask
+    Ainc:  [n_c*cd, n_v] f32 one-hot: edge e -> its variable node
     """
     B, n_v = llr.shape
-    n_c, cd = cadj.shape
+    n_c, cd = cmask.shape
+
+    def to_vnodes(edge_vals):
+        # [B, n_c, cd] -> per-vnode sums [B, n_v]
+        return jax.lax.dot_general(
+            edge_vals.reshape(B, n_c * cd), Ainc,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def to_edges(vnode_vals):
+        # [B, n_v] -> value of each edge's vnode [B, n_c, cd]
+        out = jax.lax.dot_general(
+            vnode_vals, Ainc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape(B, n_c, cd)
 
     def gather_total(c2v):
-        # sum of incoming check messages per vnode: [B, n_v]
-        inc = c2v[:, vadj, vmap_]  # [B, n_v, vd]
-        inc = jnp.where(vmask, inc, 0.0)
-        return llr + jnp.sum(inc, axis=-1)
+        return llr + to_vnodes(jnp.where(cmask, c2v, 0.0))
 
     def syndrome_ok(dec):
-        dec_pad = jnp.pad(dec, ((0, 0), (0, 1)))
         par = jnp.sum(
-            jnp.where(cmask, dec_pad[:, cadj], 0), axis=-1
-        )  # [B, n_c]
-        return jnp.all(par % 2 == 0, axis=-1)  # [B]
+            jnp.where(cmask, to_edges(dec.astype(jnp.float32)), 0.0),
+            axis=-1,
+        )  # [B, n_c] exact small-int sums in f32
+        return jnp.all(jnp.mod(par, 2.0) == 0, axis=-1)  # [B]
 
     def cn_update(v2c):
         if algorithm == "SPA":
@@ -277,7 +292,7 @@ def _bp_core(llr, cadj, cmask, vadj, vmap_, vmask, algorithm: str,
         act = active & ~syndrome_ok(dec)  # [B]
 
         total = gather_total(c2v)  # [B, n_v]
-        v2c = total[:, cadj.clip(0, n_v - 1)]  # [B, n_c, cd]
+        v2c = to_edges(total)  # [B, n_c, cd]
         v2c = jnp.where(cmask, v2c - c2v, 0.0)
         new_c2v = cn_update(v2c)
 
@@ -297,25 +312,27 @@ def _bp_core(llr, cadj, cmask, vadj, vmap_, vmask, algorithm: str,
 
 
 def _edge_arrays(ldpc_code_params):
+    """Device constants: (cmask [n_c, cd], Ainc [n_c*cd, n_v] one-hot).
+
+    Cached on the params dict (keyed by id) — Ainc is the dense
+    edge->vnode incidence used by the matmul message permutations.
+    """
+    cached = ldpc_code_params.get("_device_edge_arrays")
+    if cached is not None:
+        return cached
     n_v = ldpc_code_params["n_vnodes"]
     n_c = ldpc_code_params["n_cnodes"]
     cd = ldpc_code_params["max_cnode_deg"]
-    vd = ldpc_code_params["max_vnode_deg"]
     cadj = ldpc_code_params["cnode_adj_list"].reshape(n_c, cd)
-    vadj = ldpc_code_params["vnode_adj_list"].reshape(n_v, vd)
-    vmap_ = ldpc_code_params["vnode_cnode_map"].reshape(n_v, vd)
     cmask = cadj >= 0
-    vmask = vadj >= 0
-    cadj_s = np.where(cmask, cadj, n_v)  # sentinel -> padded llr column
-    vadj_s = np.where(vmask, vadj, 0)
-    vmap_s = np.where(vmask, vmap_, 0)
-    return (
-        jnp.asarray(cadj_s, jnp.int32),
-        jnp.asarray(cmask),
-        jnp.asarray(vadj_s, jnp.int32),
-        jnp.asarray(vmap_s, jnp.int32),
-        jnp.asarray(vmask),
-    )
+    Ainc = np.zeros((n_c * cd, n_v), np.float32)
+    e_idx = np.arange(n_c * cd)
+    flat = cadj.reshape(-1)
+    valid = flat >= 0
+    Ainc[e_idx[valid], flat[valid]] = 1.0
+    out = (jnp.asarray(cmask), jnp.asarray(Ainc))
+    ldpc_code_params["_device_edge_arrays"] = out
+    return out
 
 
 def ldpc_bp_decode_device(llr, ldpc_code_params, decoder_algorithm, n_iters):
@@ -332,8 +349,8 @@ def ldpc_bp_decode_device(llr, ldpc_code_params, decoder_algorithm, n_iters):
     lead = x.shape[:-1]
     x = x.reshape(-1, x.shape[-1])
     x = jnp.clip(x, -_llr_max, _llr_max)
-    tables = _edge_arrays(ldpc_code_params)
-    dec, out_llr = _bp_core(x, *tables, decoder_algorithm, int(n_iters))
+    cmask, Ainc = _edge_arrays(ldpc_code_params)
+    dec, out_llr = _bp_core(x, cmask, Ainc, decoder_algorithm, int(n_iters))
     dec = dec.reshape(lead + dec.shape[-1:])
     out_llr = out_llr.reshape(lead + out_llr.shape[-1:])
     if squeeze:

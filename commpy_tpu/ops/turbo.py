@@ -129,27 +129,52 @@ def turbo_encode_device(msg_bits, trellis1: Trellis, trellis2: Trellis,
 # Log-MAP decoding
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("compute_decode", "max_log"))
+@partial(jax.jit,
+         static_argnames=("trellis", "compute_decode", "max_log"))
 def _log_bcjr(
     sys_symbols,  # [B, T]
     par_symbols,  # [B, T]
     L_int,  # [B, T]
     noise_variance,
-    nst,  # [S, I] next-state
-    out_cs,  # [S, I] systematic symbol (+-1)
-    out_cp,  # [S, I] parity symbol (+-1)
-    pred_state,  # [S, I]
-    pred_input,  # [S, I]
+    trellis: Trellis,
     compute_decode: bool = True,
     max_log: bool = False,
 ):
     # max_log=True replaces every logsumexp with max (max-log-MAP):
     # ~2x fewer transcendentals at a fraction-of-a-dB BER cost.
+    #
+    # GATHER-FREE: every in-scan state-index lookup is either a one-hot
+    # matmul (MXU) or precomputed by evaluating the branch model on
+    # reordered constant tables — gathers inside scans lower to scalar
+    # loops on TPU.
     B, T = sys_symbols.shape
-    S = nst.shape[0]
+    nst_np, cs_np, cp_np, ps_np, pu_np = _bcjr_tables_np(trellis)
+    S, I = nst_np.shape
     neg_inf = jnp.float32(-1e30)
-    lse = (lambda x, axis: jnp.max(x, axis=axis)) if max_log \
+    lse2 = (jnp.maximum if max_log else jnp.logaddexp)
+    lseS = (
+        (lambda x, axis: jnp.max(x, axis=axis)) if max_log
         else jax.nn.logsumexp
+    )
+    out_cs = jnp.asarray(cs_np)
+    out_cp = jnp.asarray(cp_np)
+
+    # One-hot permutations: Pn[u] maps beta over next-states back to s,
+    # Pp[j] maps alpha over states to each target's j-th predecessor.
+    Pn = np.zeros((I, S, S), np.float32)
+    Pp = np.zeros((I, S, S), np.float32)
+    for u in range(I):
+        Pn[u, nst_np[:, u], np.arange(S)] = 1.0
+        Pp[u, ps_np[:, u], np.arange(S)] = 1.0
+    Pn = jnp.asarray(Pn)
+    Pp = jnp.asarray(Pp)
+
+    def permute(vec, P_u):
+        # vec [B, S] -> vec[table[s]] as a matmul
+        return jax.lax.dot_general(
+            vec, P_u, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     # Branch log-probs WITHOUT priors (reference keeps priors separate,
     # turbo.py:100-110): lg[b, t, s, u]
@@ -164,12 +189,26 @@ def _log_bcjr(
 
     lg_priored = lgamma + lp[:, :, None, :]  # [B,T,S,I]
 
+    # Predecessor-ordered branch log-probs, built by evaluating the model
+    # on reordered CONSTANT tables (no gather): entry [b,t,s',j] is the
+    # branch (pred_state[s',j] --pred_input[s',j]--> s').
+    cs_re = jnp.asarray(cs_np[ps_np, pu_np])  # [S, I] constants
+    cp_re = jnp.asarray(cp_np[ps_np, pu_np])
+    pu_is1 = jnp.asarray(pu_np == 1)
+    xr = sys_symbols[..., None, None] - cs_re
+    yr = par_symbols[..., None, None] - cp_re
+    lg_re = -(xr * xr + yr * yr) / (2.0 * noise_variance)
+    lgp_re = lg_re + jnp.where(
+        pu_is1, lp1[..., None, None], lp0[..., None, None]
+    )
+
     # ---- backward recursion (turbo.py:78-111), log domain ----
     def bwd(beta_next, lg_t):
         # beta[s] = LSE_u(beta_next[ns[s,u]] + lg_t[s,u])
-        m = beta_next[:, nst] + lg_t  # [B,S,I]
-        beta = lse(m, -1)
-        beta = beta - lse(beta, -1)[..., None]
+        acc = permute(beta_next, Pn[0]) + lg_t[..., 0]
+        for u in range(1, I):
+            acc = lse2(acc, permute(beta_next, Pn[u]) + lg_t[..., u])
+        beta = acc - lseS(acc, -1)[..., None]
         return beta, beta_next
 
     beta_T = jnp.zeros((B, S), jnp.float32)
@@ -180,17 +219,27 @@ def _log_bcjr(
     betas = jnp.moveaxis(betas, 0, 1)  # [B, T, S]
 
     # ---- forward recursion + APP (turbo.py:114-158), log domain ----
-    alpha0 = jnp.full((B, S), neg_inf, jnp.float32).at[:, 0].set(0.0)
+    alpha0 = jnp.where(
+        jnp.arange(S)[None, :] == 0, 0.0, neg_inf
+    ) * jnp.ones((B, 1))
 
     def fwd(alpha, inputs):
-        lg_t, lgp_t, beta_next = inputs
+        lg_t, lgp_re_t, beta_next = inputs
         # APP over branches grouped by input u (no prior on current step):
-        app = lse(alpha[:, :, None] + lg_t + beta_next[:, nst], 1)  # [B, I]
-        # alpha update goes THROUGH the priors; gather branches entering
-        # each next state via the predecessor tables:
-        cand = alpha[:, pred_state] + lgp_t[:, pred_state, pred_input]
-        alpha_next = lse(cand, -1)
-        alpha_next = alpha_next - lse(alpha_next, -1)[..., None]
+        app = jnp.stack(
+            [
+                lseS(
+                    alpha + lg_t[..., u] + permute(beta_next, Pn[u]), -1
+                )
+                for u in range(I)
+            ],
+            axis=-1,
+        )  # [B, I]
+        # alpha update through the priors, predecessor-ordered branches:
+        acc = permute(alpha, Pp[0]) + lgp_re_t[..., 0]
+        for j in range(1, I):
+            acc = lse2(acc, permute(alpha, Pp[j]) + lgp_re_t[..., j])
+        alpha_next = acc - lseS(acc, -1)[..., None]
         return alpha_next, app
 
     _, apps = jax.lax.scan(
@@ -198,7 +247,7 @@ def _log_bcjr(
         alpha0,
         (
             jnp.moveaxis(lgamma, 1, 0),
-            jnp.moveaxis(lg_priored, 1, 0),
+            jnp.moveaxis(lgp_re, 1, 0),
             jnp.moveaxis(betas, 1, 0),
         ),
     )
@@ -208,10 +257,10 @@ def _log_bcjr(
     return lappr, decoded
 
 
-@partial(jax.jit, static_argnames=("compute_decode", "max_log"))
+@partial(jax.jit,
+         static_argnames=("trellis", "compute_decode", "max_log"))
 def _log_bcjr_parallel(
-    sys_symbols, par_symbols, L_int, noise_variance,
-    nst, out_cs, out_cp, pred_state, pred_input,
+    sys_symbols, par_symbols, L_int, noise_variance, trellis: Trellis,
     compute_decode: bool = True, max_log: bool = False,
 ):
     """BCJR with O(log T) sequential depth via `associative_scan`.
@@ -226,7 +275,11 @@ def _log_bcjr_parallel(
     of the compat API).
     """
     B, T = sys_symbols.shape
-    S = nst.shape[0]
+    nst_np, cs_np, cp_np, _, _ = _bcjr_tables_np(trellis)
+    nst = jnp.asarray(nst_np)
+    out_cs = jnp.asarray(cs_np)
+    out_cp = jnp.asarray(cp_np)
+    S = nst_np.shape[0]
     neg_inf = jnp.float32(-3e37)
     lse = (lambda x, axis: jnp.max(x, axis=axis)) if max_log \
         else jax.nn.logsumexp
@@ -283,18 +336,14 @@ def _log_bcjr_parallel(
     return lappr, decoded
 
 
-def _bcjr_tables(trellis: Trellis):
+def _bcjr_tables_np(trellis: Trellis):
+    """Host constant tables: (nst, cs, cp, pred_state, pred_input)."""
     nst = trellis.next_state_table.astype(np.int32)
     bits = np_unpack_bits(trellis.output_table, trellis.n)  # [S, I, n]
     cs = (2.0 * bits[..., 0] - 1.0).astype(np.float32)
     cp = (2.0 * bits[..., 1] - 1.0).astype(np.float32)
-    return (
-        jnp.asarray(nst),
-        jnp.asarray(cs),
-        jnp.asarray(cp),
-        jnp.asarray(trellis.pred_state_table),
-        jnp.asarray(trellis.pred_input_table),
-    )
+    return (nst, cs, cp, trellis.pred_state_table,
+            trellis.pred_input_table)
 
 
 def map_decode_device(sys_symbols, non_sys_symbols, trellis: Trellis,
@@ -307,9 +356,8 @@ def map_decode_device(sys_symbols, non_sys_symbols, trellis: Trellis,
     sy = jnp.atleast_2d(jnp.asarray(sys_symbols, jnp.float32))
     pa = jnp.atleast_2d(jnp.asarray(non_sys_symbols, jnp.float32))
     li = jnp.atleast_2d(jnp.asarray(L_int, jnp.float32))
-    tables = _bcjr_tables(trellis)
     lappr, decoded = _log_bcjr(
-        sy, pa, li, jnp.float32(noise_variance), *tables,
+        sy, pa, li, jnp.float32(noise_variance), trellis,
         max_log=(algorithm == "max-log"),
     )
     if jnp.ndim(jnp.asarray(sys_symbols)) == 1:
@@ -337,7 +385,6 @@ def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
                       number_iterations: int, max_log: bool = False,
                       parallel: bool = False):
     bcjr = _log_bcjr_parallel if parallel else _log_bcjr
-    tables = _bcjr_tables(trellis)
     p = jnp.asarray(p_array, jnp.int32)
     inv_p = jnp.zeros_like(p).at[p].set(jnp.arange(p.shape[0], dtype=jnp.int32))
     sys_i = jnp.take(sys_symbols, p, axis=-1)
@@ -345,13 +392,13 @@ def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
     def body(L_int_1, _):
         L_ext_1, _ = bcjr(
             sys_symbols, non_sys_symbols_1, L_int_1,
-            noise_variance, *tables, compute_decode=False, max_log=max_log,
+            noise_variance, trellis, compute_decode=False, max_log=max_log,
         )
         L_ext_1 = L_ext_1 - L_int_1
         L_int_2 = jnp.take(L_ext_1, p, axis=-1)
         L_2, _ = bcjr(
             sys_i, non_sys_symbols_2, L_int_2,
-            noise_variance, *tables, compute_decode=False, max_log=max_log,
+            noise_variance, trellis, compute_decode=False, max_log=max_log,
         )
         L_ext_2 = L_2 - L_int_2
         L_int_1 = jnp.take(L_ext_2, inv_p, axis=-1)

@@ -72,25 +72,179 @@ def _hard_const(trellis: Trellis) -> np.ndarray:
     )
 
 
+def _perm_onehots(pred_state: np.ndarray) -> np.ndarray:
+    """[I, S, S] one-hot P with P[j, p, s] = 1 iff pred_state[s, j] == p.
+
+    Then ``pm @ P[j]`` == ``pm[:, pred_state[:, j]]`` — a lane permutation
+    expressed as an MXU matmul.  Gathers inside scans lower to scalar
+    loops on TPU (catastrophically slow); one-hot matmuls run at MXU
+    speed and are bit-exact (each output sums exactly one product 1*x).
+    """
+    S, I = pred_state.shape
+    P = np.zeros((I, S, S), np.float32)
+    for j in range(I):
+        P[j, pred_state[:, j], np.arange(S)] = 1.0
+    return P
+
+
+def _is_shift_structured(trellis: Trellis) -> bool:
+    """True iff pred_state[s, j] == ((s & (S/2-1)) << 1) | j.
+
+    Every k=1 code from our builder is a shift-insert machine (the new
+    bit enters at the MSB), so its predecessors have this closed form —
+    which lets the traceback run on pure [B, T] bit arithmetic with no
+    table lookups at all.
+    """
+    if trellis.k != 1:
+        return False
+    S = trellis.number_states
+    s = np.arange(S)
+    expect = ((s & (S // 2 - 1))[:, None] << 1) | np.arange(2)[None, :]
+    return bool(np.array_equal(trellis.pred_state_table, expect))
+
+
+def _pack16(bits_by_state: np.ndarray) -> np.ndarray:
+    """Pack a per-state bit table [S] into int32 words, 16 states/word."""
+    S = bits_by_state.shape[0]
+    G = -(-S // 16)
+    words = np.zeros(G, np.int32)
+    for s in range(S):
+        words[s // 16] |= int(bits_by_state[s]) << (s % 16)
+    return words
+
+
+@partial(jax.jit, static_argnames=("tb_depth", "S"))
+def _traceback_packed_structured(dec_packed, best_state, pu_words, S: int,
+                                 tb_depth: int):
+    """Traceback for shift-structured k=1 trellises, [B, T]-sized only.
+
+    dec_packed : [B, T, G] int32 — branch decisions, 16 states/word
+    pu_words   : [G, 2] int32 — pred_input bits packed 16 states/word
+    Everything is elementwise bit arithmetic: word select by comparison
+    chain (G is small), per-element shifts, closed-form predecessor
+    ``prev = ((cur & (S/2-1)) << 1) | j``.  No gathers, no [B,T,S]
+    intermediates — the only O(B T S) object is the packed decision
+    tensor itself at S/16 compression.
+    """
+    B, T, G = dec_packed.shape
+    t_idx = jnp.arange(T)
+    half_mask = S // 2 - 1
+
+    def word_select(words, cur_g):
+        # words: [B, T, G]; cur_g: [B, T] word index
+        out = words[..., 0]
+        for g in range(1, G):
+            out = jnp.where(cur_g == g, words[..., g], out)
+        return out
+
+    def walk(carry, d):
+        cur, out = carry  # [B, T] int32
+        words = jnp.roll(dec_packed, d, axis=1)
+        w = word_select(words, cur >> 4)
+        j = (w >> (cur & 15)) & 1
+        # input bit via the packed pred_input table
+        pu_j = jnp.where(
+            j == 0,
+            word_select(
+                jnp.broadcast_to(pu_words[:, 0], (B, T, G)), cur >> 4
+            ),
+            word_select(
+                jnp.broadcast_to(pu_words[:, 1], (B, T, G)), cur >> 4
+            ),
+        )
+        inp = (pu_j >> (cur & 15)) & 1
+        prev = ((cur & half_mask) << 1) | j
+        inp_pos = jnp.roll(inp, -d, axis=1)
+        emit = (t_idx <= T - 1 - d) & (
+            (d == tb_depth - 2) | (t_idx == T - 1 - d)
+        )
+        out = jnp.where(emit[None, :], inp_pos, out)
+        return (prev, out), None
+
+    out0 = jnp.zeros((B, T), jnp.int32)
+    (_, out), _ = jax.lax.scan(
+        walk, (best_state, out0), jnp.arange(max(tb_depth - 1, 1))
+    )
+    return out.astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("tb_depth",))
+def _viterbi_core_packed(
+    bm,  # [B, T, S, 2] branch metrics
+    P,  # [2, S, S] one-hot predecessor permutations
+    W,  # [S, G] powers-of-two packing matrix (float32)
+    pu_words,  # [G, 2] int32 packed pred_input bits
+    tb_depth: int,
+):
+    """ACS + packed traceback for shift-structured binary-input codes."""
+    B, T, S, I = bm.shape
+    G = W.shape[1]
+    pm0 = jnp.full((B, S), jnp.inf, jnp.float32).at[:, 0].set(0.0)
+
+    def acs(pm, bm_t):
+        pm_f = jnp.nan_to_num(pm, posinf=3.0e37)
+        cand = [
+            jax.lax.dot_general(
+                pm_f, P[j],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bm_t[..., j]
+            for j in range(2)
+        ]
+        take = cand[1] < cand[0]
+        new_pm = jnp.where(take, cand[1], cand[0])
+        packed = jax.lax.dot_general(
+            take.astype(jnp.float32), W,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [B, G]
+        best = jnp.argmin(new_pm, axis=-1).astype(jnp.int32)
+        new_pm = new_pm - jnp.min(new_pm, axis=-1, keepdims=True)
+        return new_pm, (packed, best)
+
+    _, (dec_packed, best_state) = jax.lax.scan(
+        acs, pm0, jnp.moveaxis(bm, 1, 0)
+    )
+    dec_packed = jnp.moveaxis(dec_packed, 0, 1)  # [B, T, G]
+    best_state = jnp.moveaxis(best_state, 0, 1)
+    bits = _traceback_packed_structured(
+        dec_packed, best_state, pu_words, S, tb_depth
+    )
+    return bits.reshape(B, T)  # k == 1
+
+
 @partial(jax.jit, static_argnames=("k", "tb_depth"))
 def _viterbi_core(
     bm,  # [B, T, S, I] branch metrics
-    pred_state,  # [S, I]
-    pred_input,  # [S, I]
+    P,  # [I, S, S] one-hot predecessor permutations (_perm_onehots)
+    ps_cols,  # [I, S] pred_state columns (float32)
+    pu_cols,  # [I, S] pred_input columns (float32)
     k: int,
     tb_depth: int,
 ):
     B, T, S, I = bm.shape
-    pred_state = jnp.asarray(pred_state, jnp.int32)
-    pred_input = jnp.asarray(pred_input, jnp.int32)
 
     pm0 = jnp.full((B, S), jnp.inf, jnp.float32).at[:, 0].set(0.0)
 
     def acs(pm, bm_t):
-        # bm_t: [B, S, I]; predecessors of state s are pred_state[s, :]
-        cand = pm[:, pred_state] + bm_t  # [B, S, I]
-        new_pm = jnp.min(cand, axis=-1)
-        j_star = jnp.argmin(cand, axis=-1).astype(jnp.int32)  # [B, S]
+        # bm_t: [B, S, I]; cand_j = pm @ P_j + bm_j (no gathers in-loop)
+        pm_f = jnp.nan_to_num(pm, posinf=3.0e37)  # inf*0 in matmul -> nan
+        cand = [
+            jax.lax.dot_general(
+                pm_f, P[j],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bm_t[..., j]
+            for j in range(I)
+        ]
+        new_pm = cand[0]
+        j_star = jnp.zeros((B, S), jnp.int32)
+        for j in range(1, I):  # running min, first-index tie-break
+            take = cand[j] < new_pm
+            new_pm = jnp.where(take, cand[j], new_pm)
+            j_star = jnp.where(take, j, j_star)
         best = jnp.argmin(new_pm, axis=-1).astype(jnp.int32)  # [B]
         new_pm = new_pm - jnp.min(new_pm, axis=-1, keepdims=True)
         return new_pm, (j_star, best)
@@ -100,84 +254,102 @@ def _viterbi_core(
     )
     dec = jnp.moveaxis(dec, 0, 1)  # [B, T, S] chosen branch index j
     best_state = jnp.moveaxis(best_state, 0, 1)  # [B, T]
-    return _traceback_windows(dec, best_state, pred_state, pred_input, k,
-                              tb_depth)
+    return _traceback_windows(dec, best_state, ps_cols, pu_cols, k, tb_depth)
 
 
 @partial(jax.jit, static_argnames=("k", "tb_depth"))
-def _traceback_windows(dec, best_state, pred_state, pred_input, k: int,
+def _traceback_windows(dec, best_state, ps_cols, pu_cols, k: int,
                        tb_depth: int):
-    """All sliding-window tracebacks in parallel (see module docstring)."""
-    B, T, S = dec.shape
-    pred_state = jnp.asarray(pred_state, jnp.int32)
-    pred_input = jnp.asarray(pred_input, jnp.int32)
-    dec = dec.astype(jnp.int32)
+    """All sliding-window tracebacks in parallel (see module docstring).
 
-    # ---- all traceback windows in parallel ----
-    # window started at step t (1-based time tau = t+1 in reference terms)
-    t_idx = jnp.arange(T)  # 0-based: step t corresponds to reference t+1
-    dec_flat = dec.reshape(B, T * S)
+    Gather-free: the per-window decision lookup ``dec[b, t-d, cur]`` is a
+    one-hot multiply-reduce over the state axis (gathers in loops are
+    scalar-slow on TPU), and the predecessor-table lookups are one-hot
+    contractions with per-branch table columns ([I, S] float32).
+    """
+    B, T, S = dec.shape
+    I = ps_cols.shape[0]
+    dec_f = dec.astype(jnp.float32)  # values < I: f32-exact
+
+    t_idx = jnp.arange(T)
+    s_iota = jnp.arange(S)
 
     def walk(carry, d):
         cur, out = carry  # cur: [B, T] current state of each window
-        tau = t_idx - d  # 0-based step whose decision we consume
-        gidx = jnp.clip(tau, 0, T - 1)[None, :] * S + cur
-        j = jnp.take_along_axis(dec_flat, gidx, axis=1)  # [B, T]
-        inp = pred_input[cur, j]
-        prev = pred_state[cur, j]
-        # reference time t_ref = tau+1 emits symbol m = t_ref - 1 - ... :
-        # symbol index finalized here is m = t - d - 1 (0-based steps give
-        # m = t_idx - d, since step t decides message symbol t).
-        m = t_idx - d
-        write = ((d == tb_depth - 2) | (t_idx == T - 1)) & (m >= 0)
-        midx = jnp.where(write, m, T)  # column T is a scratch sink
-        out = out.at[jnp.arange(B)[:, None], midx].set(inp)
+        onehot = (s_iota[None, None, :] == cur[..., None]).astype(
+            jnp.float32
+        )  # [B, T, S]
+        # decision consumed at step t-d: shift dec along T by d (windows
+        # where t-d < 0 wrap to garbage but never emit: m = t-d-1 < 0)
+        dec_shift = jnp.roll(dec_f, d, axis=1)  # [B, T, S]
+        j = jnp.sum(onehot * dec_shift, axis=-1)  # [B, T] float
+        # table lookups via one-hot contraction per branch index
+        prev_j = jnp.einsum("bts,is->bti", onehot, ps_cols)  # [B, T, I]
+        inp_j = jnp.einsum("bts,is->bti", onehot, pu_cols)
+        sel = jnp.arange(I)[None, None, :] == j[..., None]
+        prev = jnp.sum(jnp.where(sel, prev_j, 0.0), -1).astype(jnp.int32)
+        inp = jnp.sum(jnp.where(sel, inp_j, 0.0), -1).astype(jnp.int32)
+        # window t finalizes symbol position p = t - d; as a function of p
+        # that's a SHIFT of inp (scatters in loops are slow): position p
+        # takes the value from window t = p + d when that window emits.
+        inp_pos = jnp.roll(inp, -d, axis=1)  # [B, T]
+        emit = (t_idx <= T - 1 - d) & (
+            (d == tb_depth - 2) | (t_idx == T - 1 - d)
+        )
+        out = jnp.where(emit[None, :], inp_pos, out)
         return (prev, out), None
 
-    out0 = jnp.zeros((B, T + 1), jnp.int32)
+    out0 = jnp.zeros((B, T), jnp.int32)
     (_, out), _ = jax.lax.scan(
         walk, (best_state, out0), jnp.arange(max(tb_depth - 1, 1))
     )
-    syms = out[:, :T]  # [B, T] decoded input symbols
-    bits = unpack_bits(syms, k)  # [B, T, k]
+    bits = unpack_bits(out, k)  # [B, T, k]
     return bits.reshape(B, T * k)
 
 
 @partial(jax.jit, static_argnames=("tb_depth",))
-def _traceback_windows_packed(dec_packed, best_state, pred_state, pred_input,
+def _traceback_windows_packed(dec_packed, best_state, ps_cols, pu_cols,
                               tb_depth: int):
     """Traceback over bit-packed decisions (16 states/int32, k=1 codes).
 
     dec_packed: [B, T, G] int32 from the Pallas ACS kernel
     (kernels/viterbi_acs.py).  Same emission semantics as
-    :func:`_traceback_windows`.
+    :func:`_traceback_windows`, gather-free (one-hot word select +
+    per-element shifts).
     """
     B, T, G = dec_packed.shape
-    pred_state = jnp.asarray(pred_state, jnp.int32)
-    pred_input = jnp.asarray(pred_input, jnp.int32)
+    I, S = ps_cols.shape
 
     t_idx = jnp.arange(T)
-    dec_flat = dec_packed.reshape(B, T * G)
+    g_iota = jnp.arange(G)
+    s_iota = jnp.arange(S)
 
     def walk(carry, d):
         cur, out = carry  # [B, T]
-        tau = jnp.clip(t_idx - d, 0, T - 1)
-        gidx = tau[None, :] * G + (cur >> 4)
-        word = jnp.take_along_axis(dec_flat, gidx, axis=1)
+        words = jnp.roll(dec_packed, d, axis=1)  # decision words at t-d
+        oh_g = g_iota[None, None, :] == (cur >> 4)[..., None]  # [B, T, G]
+        word = jnp.sum(jnp.where(oh_g, words, 0), axis=-1)  # [B, T]
         j = (word >> (cur & 15)) & 1
-        inp = pred_input[cur, j]
-        prev = pred_state[cur, j]
-        m = t_idx - d
-        write = ((d == tb_depth - 2) | (t_idx == T - 1)) & (m >= 0)
-        midx = jnp.where(write, m, T)
-        out = out.at[jnp.arange(B)[:, None], midx].set(inp)
+        onehot = (s_iota[None, None, :] == cur[..., None]).astype(
+            jnp.float32
+        )
+        prev_j = jnp.einsum("bts,is->bti", onehot, ps_cols)
+        inp_j = jnp.einsum("bts,is->bti", onehot, pu_cols)
+        sel = jnp.arange(I)[None, None, :] == j[..., None]
+        prev = jnp.sum(jnp.where(sel, prev_j, 0.0), -1).astype(jnp.int32)
+        inp = jnp.sum(jnp.where(sel, inp_j, 0.0), -1).astype(jnp.int32)
+        inp_pos = jnp.roll(inp, -d, axis=1)
+        emit = (t_idx <= T - 1 - d) & (
+            (d == tb_depth - 2) | (t_idx == T - 1 - d)
+        )
+        out = jnp.where(emit[None, :], inp_pos, out)
         return (prev, out), None
 
-    out0 = jnp.zeros((B, T + 1), jnp.int32)
+    out0 = jnp.zeros((B, T), jnp.int32)
     (_, out), _ = jax.lax.scan(
         walk, (best_state, out0), jnp.arange(max(tb_depth - 1, 1))
     )
-    return out[:, :T].astype(jnp.int8)
+    return out.astype(jnp.int8)
 
 
 def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
@@ -203,8 +375,7 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
         on_tpu = jax.default_backend() in ("tpu", "axon")
         backend = (
             "pallas"
-            if on_tpu and trellis.number_states >= 512
-            and trellis.number_inputs == 2
+            if on_tpu and _is_shift_structured(trellis)
             else "xla"
         )
     x = jnp.asarray(coded_bits)
@@ -240,13 +411,37 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
         r = r[:, :T]
 
     S, I = trellis.number_states, trellis.number_inputs
+    shift_structured = _is_shift_structured(trellis)
     if backend == "pallas":
         from ..kernels.viterbi_acs import acs_forward_pallas
 
+        assert shift_structured, "pallas backend requires k=1 shift trellis"
         dec_packed, best = acs_forward_pallas(r, trellis, decoding_type)
-        bits = _traceback_windows_packed(
-            dec_packed, best, trellis.pred_state_table,
-            trellis.pred_input_table, int(tb_depth),
+        pu_words = np.stack(
+            [_pack16(trellis.pred_input_table[:, j]) for j in range(2)], -1
+        )
+        bits = _traceback_packed_structured(
+            dec_packed, best, jnp.asarray(pu_words), S, int(tb_depth)
+        )
+    elif shift_structured:
+        C = jnp.asarray(_branch_vectors(trellis, decoding_type))
+        bm = jnp.einsum("btn,cn->btc", r, C)
+        if decoding_type == "hard":
+            bm = bm + jnp.asarray(_hard_const(trellis))
+        bm = bm.reshape(B, T, S, I)
+        G = -(-S // 16)
+        W = np.zeros((S, G), np.float32)
+        for s in range(S):
+            W[s, s // 16] = float(1 << (s % 16))
+        pu_words = np.stack(
+            [_pack16(trellis.pred_input_table[:, j]) for j in range(2)], -1
+        )
+        bits = _viterbi_core_packed(
+            bm,
+            jnp.asarray(_perm_onehots(trellis.pred_state_table)),
+            jnp.asarray(W),
+            jnp.asarray(pu_words),
+            int(tb_depth),
         )
     else:
         C = jnp.asarray(_branch_vectors(trellis, decoding_type))  # [S*I, n]
@@ -258,8 +453,9 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
         bm = bm.reshape(B, T, S, I)
         bits = _viterbi_core(
             bm,
-            trellis.pred_state_table,
-            trellis.pred_input_table,
+            jnp.asarray(_perm_onehots(trellis.pred_state_table)),
+            jnp.asarray(trellis.pred_state_table.T, jnp.float32),
+            jnp.asarray(trellis.pred_input_table.T, jnp.float32),
             k,
             int(tb_depth),
         )
