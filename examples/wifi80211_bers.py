@@ -5,6 +5,11 @@ MCS 2 (QPSK 3/4) vs MCS 3 (16-QAM 1/2) over AWGN.
 
 Run:  python examples/wifi80211_bers.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import numpy as np
 import jax
 
