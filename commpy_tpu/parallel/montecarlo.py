@@ -153,7 +153,9 @@ def montecarlo_ber(
         if st["snrs_db"] == list(map(float, snrs_db)):
             tot_err = np.asarray(st["bit_errors"], float)
             tot_bits = np.asarray(st["bits_sent"], float)
-            active = np.asarray(st["active"], bool)
+            # activity is recomputed against THIS run's limits (the
+            # stored flags reflect the previous run's send_max)
+            active = (tot_err < err_min) & (tot_bits < send_max)
             start_round = int(st["round"])
             logger.info("resumed sweep from %s at round %d",
                         checkpoint_path, start_round)
