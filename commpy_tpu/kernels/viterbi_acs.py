@@ -144,7 +144,11 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
     W = _pack_matrix(S)
     G = W.shape[0]
 
-    TC = min(time_chunk, T)
+    # Cap the time chunk so the largest VMEM block (the packed-decision
+    # output, [TC, G, B] int32) stays within the scoped-vmem budget.
+    G_est = -(-S // _PACK)
+    tc_cap = max(32, (4 * 1024 * 1024) // max(B * G_est * 4, 1))
+    TC = min(time_chunk, T, tc_cap)
     n_chunks = -(-T // TC)
     T_pad = n_chunks * TC
     if T_pad != T:
