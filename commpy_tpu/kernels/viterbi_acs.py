@@ -20,7 +20,7 @@ Replaces the XLA `lax.scan` forward recursion of
   that preserves every comparison) to keep float32 well-scaled.
 
 The packed decisions feed the packed traceback in ops/viterbi.py
-(``_traceback_windows_packed``).  Binary-input (k=1) codes only; k>1
+(``_traceback_packed_structured``).  Binary-input (k=1) codes only; k>1
 falls back to the XLA scan.
 """
 from __future__ import annotations

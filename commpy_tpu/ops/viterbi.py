@@ -307,51 +307,6 @@ def _traceback_windows(dec, best_state, ps_cols, pu_cols, k: int,
     return bits.reshape(B, T * k)
 
 
-@partial(jax.jit, static_argnames=("tb_depth",))
-def _traceback_windows_packed(dec_packed, best_state, ps_cols, pu_cols,
-                              tb_depth: int):
-    """Traceback over bit-packed decisions (16 states/int32, k=1 codes).
-
-    dec_packed: [B, T, G] int32 from the Pallas ACS kernel
-    (kernels/viterbi_acs.py).  Same emission semantics as
-    :func:`_traceback_windows`, gather-free (one-hot word select +
-    per-element shifts).
-    """
-    B, T, G = dec_packed.shape
-    I, S = ps_cols.shape
-
-    t_idx = jnp.arange(T)
-    g_iota = jnp.arange(G)
-    s_iota = jnp.arange(S)
-
-    def walk(carry, d):
-        cur, out = carry  # [B, T]
-        words = jnp.roll(dec_packed, d, axis=1)  # decision words at t-d
-        oh_g = g_iota[None, None, :] == (cur >> 4)[..., None]  # [B, T, G]
-        word = jnp.sum(jnp.where(oh_g, words, 0), axis=-1)  # [B, T]
-        j = (word >> (cur & 15)) & 1
-        onehot = (s_iota[None, None, :] == cur[..., None]).astype(
-            jnp.float32
-        )
-        prev_j = jnp.einsum("bts,is->bti", onehot, ps_cols)
-        inp_j = jnp.einsum("bts,is->bti", onehot, pu_cols)
-        sel = jnp.arange(I)[None, None, :] == j[..., None]
-        prev = jnp.sum(jnp.where(sel, prev_j, 0.0), -1).astype(jnp.int32)
-        inp = jnp.sum(jnp.where(sel, inp_j, 0.0), -1).astype(jnp.int32)
-        inp_pos = jnp.roll(inp, -d, axis=1)
-        emit = (t_idx <= T - 1 - d) & (
-            (d == tb_depth - 2) | (t_idx == T - 1 - d)
-        )
-        out = jnp.where(emit[None, :], inp_pos, out)
-        return (prev, out), None
-
-    out0 = jnp.zeros((B, T), jnp.int32)
-    (_, out), _ = jax.lax.scan(
-        walk, (best_state, out0), jnp.arange(max(tb_depth - 1, 1))
-    )
-    return out.astype(jnp.int8)
-
-
 def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
                           decoding_type="hard", L=None, backend="auto"):
     """Batched Viterbi decode.
