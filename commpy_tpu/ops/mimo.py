@@ -105,9 +105,9 @@ def _kbest_single(y, h, constellation, K: int):
         d = d.at[coor].add(-r[coor, coor] * hyp)
         d_tot_h = d_tot_h + jnp.abs(d[coor]) ** 2
 
-        order = jnp.argsort(d_tot_h)  # stable
         keep = min(nb_hyp, K)
-        sel = order[:keep]
+        # top_k on negated metrics == smallest-K, cheaper than a full sort
+        _, sel = jax.lax.top_k(-d_tot_h, keep)
         X = X[:, sel]
         d = d[:, sel]
         d = d.at[:coor].add(-r[:coor, coor, None] * hyp[sel])
