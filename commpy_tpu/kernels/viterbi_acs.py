@@ -66,8 +66,8 @@ def _acs_kernel(r_ref, C_ref, Q_ref, W_ref, dec_ref, best_ref, pm_ref, *,
     """One time-chunk of the ACS recursion (batch-last layout).
 
     r_ref:   [TC, n, B]   received codewords for this chunk
-    C_ref:   [I, S, n]    branch vectors per input-branch (bm_j = C_j @ r_t)
-    Q_ref:   [I, S, S]    predecessor permutation matrices
+    C_ref:   [I*S, n]     stacked branch vectors (bm = C @ r_t)
+    Q_ref:   [I*S, S]     stacked predecessor permutation matrices
     W_ref:   [G, S]       bit-packing matrix
     dec_ref: [TC, G, B]   (out) packed branch decisions, int32
     best_ref:[TC, B]      (out) argmin state per step, int32
@@ -81,22 +81,22 @@ def _acs_kernel(r_ref, C_ref, Q_ref, W_ref, dec_ref, best_ref, pm_ref, *,
 
     def step(t, pm):
         r_t = r_ref[t, :, :]  # [n, B]
-        cand = []
-        for j in range(I):
-            permuted = jax.lax.dot_general(
-                Q_ref[j, :, :], pm,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [S, B]
-            bm_j = jax.lax.dot_general(
-                C_ref[j, :, :], r_t,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [S, B]
-            cand.append(permuted + bm_j)
+        # both branches in ONE stacked matmul each: [2S,S]@[S,B] and
+        # [2S,n]@[n,B] (halves the dependent-MXU-op chain per step)
+        permuted = jax.lax.dot_general(
+            Q_ref[:, :], pm,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [2S, B]
+        bm = jax.lax.dot_general(
+            C_ref[:, :], r_t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [2S, B]
+        cand = permuted + bm
         # binary branch decision (I == 2), first-index tie-break
-        take = cand[1] < cand[0]
-        new_pm = jnp.where(take, cand[1], cand[0])
+        take = cand[S:, :] < cand[:S, :]
+        new_pm = jnp.where(take, cand[S:, :], cand[:S, :])
         # pack decision bits over the state (sublane) axis: [G,S]@[S,B]
         packed = jax.lax.dot_general(
             W_ref[:, :], take.astype(jnp.float32),
@@ -139,8 +139,8 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
         C = np.concatenate([C, _hard_const(trellis)[:, None]], axis=1)
         r = jnp.concatenate([r, jnp.ones((B, T, 1), r.dtype)], axis=-1)
         n += 1
-    C = C.reshape(S, I, -1).transpose(1, 0, 2)  # [I, S, n]
-    Q = _perm_matrices(trellis.pred_state_table)
+    C = C.reshape(S, I, -1).transpose(1, 0, 2).reshape(I * S, -1)  # [I*S, n]
+    Q = _perm_matrices(trellis.pred_state_table).reshape(I * S, S)
     W = _pack_matrix(S)
     G = W.shape[0]
 
@@ -164,9 +164,9 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
         in_specs=[
             pl.BlockSpec((TC, n, B), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((I, S, n), lambda i: (0, 0, 0),
+            pl.BlockSpec((I * S, n), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((I, S, S), lambda i: (0, 0, 0),
+            pl.BlockSpec((I * S, S), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, S), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
