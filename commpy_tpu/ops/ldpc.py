@@ -200,16 +200,24 @@ def triang_ldpc_systematic_encode(message_bits, ldpc_code_params, pad=True):
 def _prod_excl(x, mask):
     """Exact leave-one-out product along the last axis.
 
-    Direct masked product with the self-lane replaced by 1 — O(deg^2)
-    cheap multiplies (check-node degrees are small), no transcendentals,
-    and zeros propagate exactly like the reference's divide-out-self
-    semantics (ldpc.py:217-227, 231-238).
+    Prefix/suffix products (loo[j] = prefix[j] * suffix[j]): 2*deg
+    multiplies on ``[..., 1]`` slices, no transcendentals, no
+    ``[..., deg, deg]`` intermediates, and zeros propagate exactly like
+    the reference's divide-out-self semantics (ldpc.py:217-238).
     """
     xm = jnp.where(mask, x, 1.0)
     deg = xm.shape[-1]
-    eye = jnp.eye(deg, dtype=bool)
-    expanded = jnp.where(eye, 1.0, xm[..., None, :])  # [..., excl j, k]
-    out = jnp.prod(expanded, axis=-1)
+    one = jnp.ones_like(xm[..., :1])
+    prefix = [one]
+    for j in range(1, deg):
+        prefix.append(prefix[-1] * xm[..., j - 1 : j])
+    suffix = [one]
+    for j in range(deg - 2, -1, -1):
+        suffix.append(suffix[-1] * xm[..., j + 1 : j + 2])
+    suffix.reverse()
+    out = jnp.concatenate(
+        [prefix[j] * suffix[j] for j in range(deg)], axis=-1
+    )
     return jnp.where(mask, out, 0.0)
 
 
@@ -265,14 +273,18 @@ def _bp_core(llr, cmask, Ainc, algorithm: str, n_iters: int):
         elif algorithm == "MSA":
             sign = _prod_excl(jnp.sign(v2c), cmask)
             mag = jnp.where(cmask, jnp.abs(v2c), jnp.inf)
-            m1 = jnp.min(mag, axis=-1, keepdims=True)
-            i1 = jnp.argmin(mag, axis=-1)
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (n_c, cd), 1)
-                == i1[..., None]
+            # leave-one-out min via prefix/suffix mins (no argmin/onehot)
+            big = jnp.full_like(mag[..., :1], jnp.inf)
+            pref = [big]
+            for j in range(1, cd):
+                pref.append(jnp.minimum(pref[-1], mag[..., j - 1 : j]))
+            suf = [big]
+            for j in range(cd - 2, -1, -1):
+                suf.append(jnp.minimum(suf[-1], mag[..., j + 1 : j + 2]))
+            suf.reverse()
+            loo_min = jnp.concatenate(
+                [jnp.minimum(pref[j], suf[j]) for j in range(cd)], axis=-1
             )
-            m2 = jnp.min(jnp.where(onehot, jnp.inf, mag), -1, keepdims=True)
-            loo_min = jnp.where(onehot, m2, m1)
             return jnp.where(cmask, sign * loo_min, 0.0)
         raise NameError(
             'Please input a valid decoder_algorithm string '
@@ -330,7 +342,9 @@ def _edge_arrays(ldpc_code_params):
     flat = cadj.reshape(-1)
     valid = flat >= 0
     Ainc[e_idx[valid], flat[valid]] = 1.0
-    out = (jnp.asarray(cmask), jnp.asarray(Ainc))
+    # Cache NUMPY arrays: caching device arrays here would leak tracers
+    # when the caller invokes the decoder inside their own jit.
+    out = (cmask, Ainc)
     ldpc_code_params["_device_edge_arrays"] = out
     return out
 
