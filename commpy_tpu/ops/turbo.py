@@ -379,15 +379,43 @@ def map_decode(sys_symbols, non_sys_symbols, trellis: Trellis,
 
 
 @partial(jax.jit, static_argnames=("trellis", "number_iterations",
-                                   "max_log", "parallel"))
+                                   "max_log", "parallel", "p_tuple"))
 def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
-                      noise_variance, p_array, L_int, trellis: Trellis,
+                      noise_variance, p_tuple, L_int, trellis: Trellis,
                       number_iterations: int, max_log: bool = False,
                       parallel: bool = False):
     bcjr = _log_bcjr_parallel if parallel else _log_bcjr
-    p = jnp.asarray(p_array, jnp.int32)
-    inv_p = jnp.zeros_like(p).at[p].set(jnp.arange(p.shape[0], dtype=jnp.int32))
-    sys_i = jnp.take(sys_symbols, p, axis=-1)
+    p_np = np.asarray(p_tuple, np.int64)
+    L = p_np.shape[0]
+    inv_np = np.empty_like(p_np)
+    inv_np[p_np] = np.arange(L)
+
+    if L <= 2048:
+        # Permutations as one-hot matmuls: gathers inside the iteration
+        # scan lower to scalar loops on TPU. Pi[i, j] = 1 iff p[j] == i,
+        # so (x @ Pi)[j] = x[p[j]] (interleave); Pi^T deinterleaves.
+        Pi = np.zeros((L, L), np.float32)
+        Pi[p_np, np.arange(L)] = 1.0
+        Pi = jnp.asarray(Pi)
+
+        def interlv(x):
+            return jax.lax.dot_general(
+                x, Pi, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def deinterlv(x):
+            return jax.lax.dot_general(
+                x, Pi, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    else:  # dense [L, L] one-hots get too large; fall back to gathers
+        p = jnp.asarray(p_np, jnp.int32)
+        inv_p = jnp.asarray(inv_np, jnp.int32)
+        interlv = lambda x: jnp.take(x, p, axis=-1)
+        deinterlv = lambda x: jnp.take(x, inv_p, axis=-1)
+
+    sys_i = interlv(sys_symbols)
 
     def body(L_int_1, _):
         L_ext_1, _ = bcjr(
@@ -395,13 +423,13 @@ def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
             noise_variance, trellis, compute_decode=False, max_log=max_log,
         )
         L_ext_1 = L_ext_1 - L_int_1
-        L_int_2 = jnp.take(L_ext_1, p, axis=-1)
+        L_int_2 = interlv(L_ext_1)
         L_2, _ = bcjr(
             sys_i, non_sys_symbols_2, L_int_2,
             noise_variance, trellis, compute_decode=False, max_log=max_log,
         )
         L_ext_2 = L_2 - L_int_2
-        L_int_1 = jnp.take(L_ext_2, inv_p, axis=-1)
+        L_int_1 = deinterlv(L_ext_2)
         return L_int_1, L_2
 
     L_int_1, L_2_all = jax.lax.scan(
@@ -409,7 +437,8 @@ def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
     )
     L_2_last = L_2_all[-1]
     decoded_i = (L_2_last > 0).astype(jnp.int8)
-    decoded = jnp.take(decoded_i, inv_p, axis=-1)
+    decoded = deinterlv(L_2_last) > 0
+    decoded = decoded.astype(jnp.int8)
     return decoded
 
 
@@ -434,7 +463,7 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
         L_int = jnp.atleast_2d(jnp.asarray(L_int, jnp.float32))
     out = _turbo_iterations(
         sy, p1, p2, jnp.float32(noise_variance),
-        np.asarray(p_array, np.int32), L_int, trellis,
+        tuple(int(v) for v in np.asarray(p_array)), L_int, trellis,
         int(number_iterations), algorithm == "max-log", bool(parallel),
     )
     if jnp.ndim(jnp.asarray(sys_symbols)) == 1:
