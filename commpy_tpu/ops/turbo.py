@@ -213,7 +213,7 @@ def _log_bcjr(
 
     beta_T = jnp.zeros((B, S), jnp.float32)
     _, betas = jax.lax.scan(
-        bwd, beta_T, jnp.moveaxis(lg_priored, 1, 0), reverse=True
+        bwd, beta_T, jnp.moveaxis(lg_priored, 1, 0), reverse=True, unroll=8
     )
     # betas[t] = beta_{t+1} (the value consumed by the APP at step t)
     betas = jnp.moveaxis(betas, 0, 1)  # [B, T, S]
@@ -250,6 +250,7 @@ def _log_bcjr(
             jnp.moveaxis(lgp_re, 1, 0),
             jnp.moveaxis(betas, 1, 0),
         ),
+        unroll=8,
     )
     apps = jnp.moveaxis(apps, 0, 1)  # [B, T, 2]
     lappr = L_int + apps[..., 1] - apps[..., 0]
