@@ -88,13 +88,13 @@ def main():
     # --- turbo 8 iterations ---
     def sec_turbo():
         trt = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
-        Lt, Bt = 256, 1024
+        Lt, Bt = 256, 4096
         interlv = RandInterlv(Lt, 0)
         x0 = jnp.asarray(rng.randn(Bt, Lt).astype(np.float32))
         def body(c):
             d = turbo_decode_device(c, c, c, trt, 0.5, 8, interlv.p_array)
             return c + d.astype(c.dtype).sum() * 1e-12
-        dt = timed_chain(body, x0, rep=5)
+        dt = timed_chain(body, x0, rep=3)
         report("turbo_8it", Bt * Lt / dt, "info bits/s",
                "turbo_8it_bits_per_s")
     guarded(sec_turbo)

@@ -437,9 +437,10 @@ def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
         body, L_int, None, length=number_iterations
     )
     L_2_last = L_2_all[-1]
-    decoded_i = (L_2_last > 0).astype(jnp.int8)
-    decoded = deinterlv(L_2_last) > 0
-    decoded = decoded.astype(jnp.int8)
+    # Deinterleave the posterior LLRs, then threshold — a permutation of
+    # exact copies commutes with the sign decision, so this equals the
+    # reference's deinterleave-of-bits (turbo.py:331).
+    decoded = (deinterlv(L_2_last) > 0).astype(jnp.int8)
     return decoded
 
 
