@@ -16,19 +16,25 @@ The reference's per-state Python ACS loop with windowed traceback becomes:
    So all T x (S * I) branch metrics are computed in a single
    ``[B, T, n] @ [n, S*I]`` contraction (MXU) before the scan.
 
-2. **ACS as a ``lax.scan``** over time with a vectorized
-   gather + add + min over the predecessor table (ordered to match the
-   reference's ``_where_c`` row-major scan, so argmin tie-breaks agree).
-   Path metrics are renormalized by their per-step min (a uniform shift
-   never changes any comparison).
+2. **Gather-free ACS.** The predecessor lookup is a one-hot matmul
+   ``pm @ P_j`` (MXU) — gathers inside scans lower to scalar loops on
+   TPU.  Branch enumeration matches the reference's ``_where_c``
+   row-major scan, so argmin tie-breaks agree; path metrics are
+   renormalized by their per-step min (a uniform shift never changes a
+   comparison).  For binary-input shift-register codes (every k=1 code
+   from our builder) decisions are bit-packed 16 states/int32, and
+   ``backend='auto'`` picks the fused Pallas kernel
+   (kernels/viterbi_acs.py) on TPU or this XLA scan elsewhere.
 
 3. **Windowed traceback, all windows at once.** The reference re-walks a
    tb_depth window after every step (convcode.py:644-657); its emission
    rule is equivalent to: message symbol m is finalized by the traceback
    started at t*(m) = min(m + tb_depth - 1, T) after t* - m - 1 back-steps.
-   We therefore run ONE scan over back-step depth d = 0..tb_depth-2 where
-   each step advances *every* window in parallel ([B, T] gathers), writing
-   symbol t - d - 1 when d == tb_depth-2 or t == T.  Bit-identical to the
+   We therefore run ONE scan over back-step depth d = 0..tb_depth-2 that
+   advances *every* window in parallel on [B, T] tensors — decision
+   lookups are packed-word selects + per-element shifts, predecessors
+   come from the closed form ``prev = ((cur & (S/2-1)) << 1) | j``, and
+   emissions are shift+select (no scatters).  Bit-identical to the
    reference for every (t, m), at O(T * tb_depth) fully-vectorized work.
 
 vmap over the batch axis gives multi-codeword decoding; the Monte-Carlo
