@@ -23,7 +23,8 @@ import numpy as np
 from ..utils.bits import np_pack_bits, np_unpack_bits, pack_bits, unpack_bits
 from .trellis import Trellis
 
-__all__ = ["conv_encode", "encode_scan", "puncturing", "depuncturing"]
+__all__ = ["conv_encode", "encode_scan", "puncturing",
+           "depuncturing", "puncture_mask", "depuncture_device"]
 
 
 @partial(jax.jit, static_argnames=("n_bits",))
