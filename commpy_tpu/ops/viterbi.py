@@ -332,13 +332,7 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
     -------
     decoded_bits : int8 ``[..., L]``
     """
-    if backend == "auto":
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        backend = (
-            "pallas"
-            if on_tpu and _is_shift_structured(trellis)
-            else "xla"
-        )
+    # (backend resolution happens after the batch shape is known below)
     x = jnp.asarray(coded_bits)
     squeeze = x.ndim == 1
     if squeeze:
@@ -346,6 +340,15 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
     lead = x.shape[:-1]
     x = x.reshape((-1,) + x.shape[-1:])
     B = x.shape[0]
+    if backend == "auto":
+        # Pallas wins on TPU for shift-structured binary codes once the
+        # batch fills the 128-lane axis; tiny batches stay on XLA.
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        backend = (
+            "pallas"
+            if on_tpu and B >= 64 and _is_shift_structured(trellis)
+            else "xla"
+        )
 
     k, n = trellis.k, trellis.n
     tm = trellis.total_memory
