@@ -9,10 +9,10 @@ TPU-native redesign of reference commpy/modulation.py:299-646:
   so every level is a fixed-shape expand -> score -> stable-argsort ->
   gather; vmapped over received vectors — this is the TPU path that
   replaces the reference's per-vector Python loop in links.py:320-326;
-* ``best_first_detector`` — the reference's priority-stack tree search
-  (modulation.py:422-565) is inherently sequential/dynamic, so a faithful
-  host implementation is provided for parity, and ``kbest`` (soft) is the
-  recommended batched alternative on device;
+* ``best_first_detector`` / ``best_first_device`` — the priority-stack
+  tree search (modulation.py:422-565) as a statistics-faithful host
+  search plus a batched fixed-budget device variant (per-level beam
+  widths + counter-hypothesis LLRs) that runs inside jit;
 * ``max_log_approx`` / ``bit_lvl_repr`` — vectorized.
 """
 from __future__ import annotations
@@ -31,6 +31,7 @@ __all__ = [
     "kbest",
     "kbest_device",
     "best_first_detector",
+    "best_first_device",
     "bit_lvl_repr",
     "max_log_approx",
     "max_log_approx_device",
@@ -81,40 +82,6 @@ def mimo_ml(y, h, constellation):
 # --------------------------------------------------------------------------
 # K-best Schnorr-Euchner
 # --------------------------------------------------------------------------
-
-def _kbest_single(y, h, constellation, K: int):
-    """One received vector; returns (X [nt, K], d_tot [K], nb_can)."""
-    nt = h.shape[1]
-    m = constellation.shape[0]
-    q, r = jnp.linalg.qr(h)
-    yt = q.conj().T @ y
-
-    # Static per-level candidate counts (reference nb_can tracking).
-    nb_can = 1
-    X = jnp.zeros((nt, 1), constellation.dtype)
-    d = yt[:, None]  # residuals [nr, cand]
-    d_tot = jnp.zeros((1,), jnp.float32)
-
-    for coor in range(nt - 1, -1, -1):
-        nb_hyp = nb_can * m
-        X = jnp.tile(X, (1, m))
-        d = jnp.tile(d, (1, m))
-        d_tot_h = jnp.tile(d_tot, m)
-        hyp = jnp.repeat(constellation, nb_can)  # [nb_hyp]
-        X = X.at[coor].set(hyp)
-        d = d.at[coor].add(-r[coor, coor] * hyp)
-        d_tot_h = d_tot_h + jnp.abs(d[coor]) ** 2
-
-        keep = min(nb_hyp, K)
-        # top_k on negated metrics == smallest-K, cheaper than a full sort
-        _, sel = jax.lax.top_k(-d_tot_h, keep)
-        X = X[:, sel]
-        d = d[:, sel]
-        d = d.at[:coor].add(-r[:coor, coor, None] * hyp[sel])
-        d_tot = d_tot_h[sel]
-        nb_can = keep
-    return X, d_tot, nb_can
-
 
 def kbest_device(y, h, constellation, K: int, noise_var=0.0,
                  output_type="hard", bits_per_symbol=None):
@@ -234,116 +201,231 @@ def bit_lvl_repr(H, w):
 
 
 # --------------------------------------------------------------------------
-# Best-first tree search (host; sequential by nature)
+# Best-first tree search
 # --------------------------------------------------------------------------
-
-class _BFNode:
-    """Sibling-chained search node (modulation.py:459-499 semantics)."""
-
-    __slots__ = ("symb_vector", "partial_metric", "best_sibling")
-
-    def __init__(self, symb_vectors, partial_metrics):
-        if len(partial_metrics) == 1:
-            self.symb_vector = symb_vectors.reshape(-1)
-            self.partial_metric = partial_metrics[0]
-            self.best_sibling = None
-        else:
-            self.symb_vector = symb_vectors[:, 0].reshape(-1)
-            self.partial_metric = partial_metrics[0]
-            self.best_sibling = _BFNode(symb_vectors[:, 1:], partial_metrics[1:])
-
-    def __lt__(self, other):
-        return self.partial_metric < other.partial_metric
-
-    def expand(self, yt, r, constellation):
-        child_size = self.symb_vector.size + 1
-        children = np.empty((child_size, constellation.size),
-                            constellation.dtype)
-        children[1:] = self.symb_vector[:, np.newaxis]
-        children[0] = constellation
-        metric = (
-            np.abs(yt[-child_size] - r[-child_size, -child_size:].dot(children))
-            ** 2
-        ) + self.partial_metric
-        order = metric.argsort()
-        return _BFNode(children[:, order], metric[order])
+#
+# The detector of reference modulation.py:422-565 (He/Zhang/Liang 2019) is
+# a priority search over the QR-triangularized tree: per-level bounded
+# stacks of partial hypotheses, a MAP hypothesis plus per-bit
+# counter-hypothesis metrics (their clipped difference is the LLR), and a
+# radius rule — eqs (14)-(16) of the paper — that discards any node whose
+# partial metric can no longer improve a counter-hypothesis it could
+# still reach.
+#
+# Two implementations:
+# * ``best_first_detector`` — host search replicating the reference's
+#   statistics (same stack discipline, radius rule, and counter-metric
+#   updates), written around flat sorted sibling groups instead of the
+#   reference's recursive node objects;
+# * ``best_first_device`` — the TPU path: the dynamic stacks become
+#   STATIC per-level beam widths (a fixed-budget search = K-best with
+#   per-level limits), which batches over received vectors and runs
+#   entirely inside jit.  Its counter-hypothesis metrics come only from
+#   genuinely differing leaves (true max-log), so per-bit LLR magnitudes
+#   can exceed the host's (which also damps counters with every
+#   non-improving leaf), but signs and BER-level behavior agree.
 
 
 def best_first_detector(y, h, constellation, stack_size, noise_var, demode,
                         llr_max):
-    """Best-first MIMO detection with LLR clipping (modulation.py:422-565).
+    """Best-first MIMO soft detection (host).
 
-    Host implementation (the algorithm is a dynamic priority search); use
-    ``kbest(..., 'soft')`` for the batched device path.
+    Parameters mirror reference modulation.py:422-457: ``stack_size`` is a
+    tuple of per-level stack bounds (length: number of levels - 1),
+    ``demode`` maps a symbol vector to its hard bits, ``llr_max`` clips the
+    counter-hypothesis metrics.  ``noise_var`` is accepted for signature
+    parity (the metric differences are returned unscaled, as in the
+    reference).  Returns per-bit LLRs ``(map_metric - counter) * sign``.
+
+    Sequential priority search -> host only; use ``best_first_device``
+    (or ``kbest(..., 'soft')``) for the batched device path.
     """
     h = np.asarray(h)
-    nb_tx, nb_rx = h.shape
-    constellation = np.asarray(constellation)
-    m = constellation.size
-    modulation_order = int(np.log2(m))
+    n_lvl = h.shape[0]
+    const = np.asarray(constellation)
+    m = const.size
+    bps = int(np.log2(m))
 
     q, r = np.linalg.qr(h)
     yt = q.conj().T.dot(np.asarray(y))
 
-    map_metric = np.inf
-    map_bit_vector = None
-    counter_hyp_metric = np.full((nb_tx, modulation_order), np.inf)
-    stacks = tuple([] for _ in range(nb_tx))
+    best_metric = np.inf
+    best_bits = None  # MAP hypothesis bits in {-1, +1}, [n_lvl, bps]
+    counter = np.full((n_lvl, bps), np.inf)
 
-    root = _BFNode(np.empty(0, constellation.dtype),
-                   np.array(0, float, ndmin=1))
-    stacks[-1].append(root.expand(yt, r, constellation))
+    # A *sibling group* is the metric-sorted family of children of one
+    # parent: (parent_suffix, symbols_sorted [m], metrics_sorted [m]).
+    # A node is (metric, group, rank); its suffix is its own symbol
+    # prepended to the parent suffix (antenna order: current .. last).
+    def child_group(suffix, base_metric):
+        d = suffix.size + 1
+        res = yt[-d]
+        if d > 1:
+            res = res - r[-d, -d + 1:].dot(suffix)
+        mets = base_metric + np.abs(res - r[-d, -d] * const) ** 2
+        order = np.argsort(mets)
+        return (suffix, const[order], mets[order])
 
-    while any(stacks[1:]):
-        for idx_next_stack in range(len(stacks) - 1):
-            idx_this_stack = idx_next_stack + 1
-            if not stacks[idx_this_stack]:
+    def node_suffix(group, rank):
+        return np.concatenate(([group[1][rank]], group[0]))
+
+    def signed_bits(vec):
+        b = np.asarray(demode(vec)).reshape(-1, bps)
+        return np.where(b == 0, -1, b)
+
+    met_key = lambda node: node[0]
+
+    # stacks[i] holds nodes with n_lvl - i assigned symbols, ascending by
+    # metric; stacks[0] collects leaves.
+    stacks = [[] for _ in range(n_lvl)]
+    root = child_group(np.empty(0, const.dtype), 0.0)
+    stacks[-1].append((root[2][0], root, 0))
+
+    while any(len(s) for s in stacks[1:]):
+        # One sweep: pop the best node of each stack (leaf side first),
+        # re-arm its next sibling, push its best child one level down.
+        for lower in range(n_lvl - 1):
+            src = lower + 1
+            if not stacks[src]:
                 continue
-            best_node = stacks[idx_this_stack].pop(0)
+            met, group, rank = stacks[src].pop(0)
+            vec = node_suffix(group, rank)
 
-            if map_bit_vector is None:
+            if best_bits is None:
                 radius = np.inf
             else:
-                bit_vector = np.asarray(
-                    demode(best_node.symb_vector)
-                ).reshape(-1, modulation_order)
-                bit_vector = np.where(bit_vector == 0, -1, bit_vector)
-                differ = (
-                    map_bit_vector[idx_this_stack:] != bit_vector
+                bits = signed_bits(vec)
+                differ = best_bits[src:] != bits
+                reachable = counter[src:][differ]
+                radius = max(
+                    counter[:src].max(),
+                    reachable.max() if reachable.size else np.inf,
                 )
-                tail = counter_hyp_metric[idx_this_stack:][differ]
-                a2 = tail.max() if tail.size else np.inf
-                radius = max(counter_hyp_metric[:idx_this_stack].max(), a2)
 
-            if (
-                best_node.best_sibling is not None
-                and best_node.best_sibling.partial_metric <= radius
-            ):
-                insort(stacks[idx_this_stack], best_node.best_sibling)
+            if rank + 1 < m and group[2][rank + 1] <= radius:
+                insort(stacks[src], (group[2][rank + 1], group, rank + 1),
+                       key=met_key)
+            child = child_group(vec, met)
+            if child[2][0] <= radius:
+                insort(stacks[lower], (child[2][0], child, 0), key=met_key)
 
-            best_child = best_node.expand(yt, r, constellation)
-            if best_child.partial_metric <= radius:
-                insort(stacks[idx_next_stack], best_child)
-
+        # Leaf bookkeeping: a better leaf becomes the MAP hypothesis (the
+        # old MAP metric damps every counter); a worse one only damps.
         if stacks[0]:
-            leaf = stacks[0][0]
-            if leaf.partial_metric < map_metric:
-                np.minimum(counter_hyp_metric, map_metric,
-                           out=counter_hyp_metric)
-                map_metric = leaf.partial_metric
-                map_bit_vector = np.asarray(
-                    demode(leaf.symb_vector)
-                ).reshape(-1, modulation_order)
-                map_bit_vector = np.where(map_bit_vector == 0, -1,
-                                          map_bit_vector)
+            met, group, rank = stacks[0][0]
+            if met < best_metric:
+                np.minimum(counter, best_metric, out=counter)
+                best_metric = met
+                best_bits = signed_bits(node_suffix(group, rank))
             else:
-                np.minimum(counter_hyp_metric, leaf.partial_metric,
-                           out=counter_hyp_metric)
-            np.clip(counter_hyp_metric, map_metric - llr_max,
-                    map_metric + llr_max, counter_hyp_metric)
+                np.minimum(counter, met, out=counter)
+            np.clip(counter, best_metric - llr_max, best_metric + llr_max,
+                    out=counter)
 
-        del stacks[0][0:]
-        for idx_next_stack in range(len(stacks) - 1):
-            del stacks[idx_next_stack + 1][stack_size[idx_next_stack]:]
+        stacks[0].clear()
+        for lower in range(n_lvl - 1):
+            del stacks[lower + 1][stack_size[lower]:]
 
-    return ((map_metric - counter_hyp_metric) * map_bit_vector).reshape(-1)
+    return ((best_metric - counter) * best_bits).reshape(-1)
+
+
+def _beam_search_single(y, h, constellation, widths):
+    """Fixed-budget tree search for ONE received vector.
+
+    widths[l] is the number of survivors kept after expanding level l
+    (l = 0 expands the last antenna).  Returns (X [nt, W_last],
+    d_tot [W_last]) — every kept leaf and its metric.
+    """
+    nt = h.shape[1]
+    m = constellation.shape[0]
+    q, r = jnp.linalg.qr(h)
+    yt = q.conj().T @ y
+
+    X = jnp.zeros((nt, 1), constellation.dtype)
+    d = yt[:, None]  # residuals [nr, cand]
+    d_tot = jnp.zeros((1,), jnp.float32)
+    nb_can = 1
+    for lvl, coor in enumerate(range(nt - 1, -1, -1)):
+        nb_hyp = nb_can * m
+        X = jnp.tile(X, (1, m))
+        d = jnp.tile(d, (1, m))
+        d_tot_h = jnp.tile(d_tot, m)
+        hyp = jnp.repeat(constellation, nb_can)
+        X = X.at[coor].set(hyp)
+        d = d.at[coor].add(-r[coor, coor] * hyp)
+        d_tot_h = d_tot_h + jnp.abs(d[coor]) ** 2
+
+        keep = min(nb_hyp, int(widths[lvl]))
+        _, sel = jax.lax.top_k(-d_tot_h, keep)
+        X = X[:, sel]
+        d = d[:, sel]
+        d = d.at[:coor].add(-r[:coor, coor, None] * hyp[sel])
+        d_tot = d_tot_h[sel]
+        nb_can = keep
+    return X, d_tot
+
+
+def _kbest_single(y, h, constellation, K: int):
+    """One received vector; returns (X [nt, K], d_tot [K], nb_can)."""
+    nt = h.shape[1]
+    X, d_tot = _beam_search_single(y, h, constellation, (K,) * nt)
+    return X, d_tot, d_tot.shape[0]
+
+
+def best_first_device(y, h, constellation, beam=16, llr_max=500.0,
+                      bits_per_symbol=None):
+    """Batched fixed-budget best-first detection (the TPU path).
+
+    The host detector's dynamic per-level stacks become static per-level
+    beam widths, so every step is a fixed-shape expand -> score -> top_k
+    and the whole search runs vmapped under jit.
+
+    Parameters
+    ----------
+    y : ``[B, nr]`` received vectors; h : ``[B, nr, nt]`` channels.
+    beam : int or per-level tuple (length nt) of survivor counts.
+    llr_max : counter-metric clip (reference modulation.py:558).
+    bits_per_symbol : defaults to log2(len(constellation)).
+
+    Returns
+    -------
+    llrs : ``[B, nt * bits_per_symbol]`` in the reference convention
+        ``(map_metric - counter_metric) * map_bit_sign`` (unscaled by the
+        noise variance, positive <=> bit 0), counter clipped to
+        ``map_metric + llr_max``.
+    """
+    y = jnp.asarray(y)
+    h = jnp.asarray(h)
+    constellation = jnp.asarray(constellation)
+    nt = h.shape[-1]
+    m = constellation.shape[0]
+    if bits_per_symbol is None:
+        bits_per_symbol = int(np.log2(m))
+    widths = (beam,) * nt if np.ndim(beam) == 0 else tuple(beam)
+
+    def one(yi, hi):
+        X, mets = _beam_search_single(yi, hi, constellation, widths)
+        return _counter_hyp_llrs(X, mets, constellation, bits_per_symbol,
+                                 llr_max)
+
+    return jax.vmap(one)(y, h)
+
+
+def _counter_hyp_llrs(X, mets, constellation, bps: int, llr_max):
+    """MAP/counter-hypothesis LLRs from a leaf candidate list.
+
+    X ``[nt, W]`` leaves (exact constellation points), mets ``[W]``.
+    """
+    map_idx = jnp.argmin(mets)
+    map_met = mets[map_idx]
+    d = jnp.abs(X[..., None] - constellation)  # [nt, W, m]
+    sym_idx = jnp.argmin(d, axis=-1)
+    bits = unpack_bits(sym_idx, bps)  # [nt, W, bps]
+    map_bits = jnp.take(bits, map_idx, axis=1)  # [nt, bps]
+    sign = (2 * map_bits - 1).astype(jnp.float32)
+    differ = bits != map_bits[:, None, :]
+    counter = jnp.min(
+        jnp.where(differ, mets[None, :, None], jnp.inf), axis=1
+    )  # [nt, bps]
+    counter = jnp.clip(counter, map_met - llr_max, map_met + llr_max)
+    return ((map_met - counter) * sign).reshape(-1)

@@ -10,7 +10,11 @@ from commpy_tpu.modulation import (
     kbest,
     mimo_ml,
 )
-from commpy_tpu.ops.mimo import kbest_device, mimo_ml_device
+from commpy_tpu.ops.mimo import (
+    best_first_device,
+    kbest_device,
+    mimo_ml_device,
+)
 
 
 def _rand_mimo(rng, nr, nt, m=16):
@@ -101,6 +105,58 @@ def test_best_first_matches_reference():
         a = refm.best_first_detector(y, h, const, (1, 3, 5), 0.3, demode, 500)
         b = best_first_detector(y, h, const, (1, 3, 5), 0.3, demode, 500)
         assert_allclose(a, b, rtol=1e-6, atol=1e-6), trial
+
+
+def test_best_first_device_exhaustive_is_exact_maxlog():
+    # With exhaustive beam widths the fixed-budget device search must
+    # reproduce the brute-force MAP/counter-hypothesis LLRs exactly.
+    rng = np.random.RandomState(7)
+    qam = QAMModem(4)
+    const = np.asarray(qam.constellation)
+    nt, m, bps, llr_max = 2, 4, 2, 500.0
+    ys, hs = [], []
+    for _ in range(4):
+        _, _, _, h, y = _rand_mimo(rng, 2, nt, m)
+        ys.append(y), hs.append(h)
+    out = np.asarray(
+        best_first_device(np.stack(ys), np.stack(hs), const,
+                          beam=(m, m * m), llr_max=llr_max)
+    )
+
+    idx = np.stack(
+        np.meshgrid(*[np.arange(m)] * nt, indexing="ij"), -1
+    ).reshape(-1, nt)  # [M, nt] candidate constellation indices
+    cands = const[idx]
+    bits = (idx[..., None] >> np.arange(bps - 1, -1, -1)) & 1  # [M, nt, bps]
+    for b in range(4):
+        mets = np.sum(np.abs(ys[b][None] - cands @ hs[b].T) ** 2, -1)
+        map_i = mets.argmin()
+        sign = 2 * bits[map_i] - 1
+        differ = bits != bits[map_i][None]
+        counter = np.where(differ, mets[:, None, None], np.inf).min(0)
+        counter = np.clip(counter, None, mets[map_i] + llr_max)
+        want = ((mets[map_i] - counter) * sign).reshape(-1)
+        assert_allclose(out[b], want, rtol=1e-4, atol=1e-4)
+
+
+def test_best_first_device_agrees_with_host_signs():
+    # Moderate beam: hard decisions (LLR signs) must match the host
+    # best-first detector's MAP hypothesis at reasonable SNR.
+    rng = np.random.RandomState(8)
+    qam = QAMModem(16)
+
+    def demode(p):
+        return qam.demodulate(p, "hard")
+
+    for _ in range(4):
+        _, const, x, h, y = _rand_mimo(rng, 4, 4, 16)
+        host = best_first_detector(y, h, const, (1, 3, 5), 0.3, demode, 500)
+        dev = np.asarray(
+            best_first_device(y[None], h[None], const, beam=16)
+        )[0]
+        # compare where the host is confident (away from clip/zero)
+        strong = np.abs(host) > 1e-3
+        assert np.array_equal(np.sign(dev[strong]), np.sign(host[strong]))
 
 
 def test_bit_lvl_repr():
