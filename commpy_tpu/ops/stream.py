@@ -32,12 +32,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..parallel.mesh import P, shard_map
 from .trellis import Trellis
 from .viterbi import viterbi_decode_device
 
-__all__ = ["sharded_viterbi_stream"]
+__all__ = ["sharded_viterbi_stream", "sharded_turbo_stream"]
 
 
 def sharded_viterbi_stream(
@@ -95,3 +96,116 @@ def sharded_viterbi_stream(
         return bits[W * k : W * k + n_local_cw * k]
 
     return _run(coded_sharded)
+
+
+def sharded_turbo_stream(
+    sys_stream,
+    par1_stream,
+    par2_stream,
+    trellis: Trellis,
+    noise_variance,
+    n_iterations: int,
+    p_array,
+    mesh,
+    *,
+    warmup: int = 64,
+    axis_name: str = "sp",
+    max_log: bool = False,
+):
+    """Turbo-decode ONE long frame sharded along time across the mesh.
+
+    The BCJR alpha/beta recursions run per shard with ``warmup``-symbol
+    state-metric halos exchanged via ``ppermute`` (the `_log_bcjr_windowed`
+    sub-block idea, with sub-block == device shard) — the sequence-
+    parallel analog of :func:`sharded_viterbi_stream` for turbo codes
+    (VERDICT r1 item 6).  The interleaver is global, so each extrinsic
+    exchange all-gathers the L-float LLR stream (T floats per hop — noise
+    compared to the recursions), permutes with the host-constant
+    ``p_array``, and re-slices locally.
+
+    sys/par1/par2_stream : ``[T]`` BPSK-mapped symbol streams, sharded
+        over ``axis_name``; T must divide by the mesh size.
+    Returns the decoded bits ``[T]``, sharded the same way.
+    """
+    from .turbo import _bcjr_masked
+
+    p_np = np.asarray(p_array, np.int64)
+    T = p_np.size
+    inv_np = np.empty_like(p_np)
+    inv_np[p_np] = np.arange(T)
+    D = mesh.shape[axis_name]
+    if T % D:
+        raise ValueError("frame length must divide by the mesh size")
+    Tl = T // D
+    W = int(warmup)
+    if W > Tl:
+        raise ValueError("warmup cannot exceed the per-device shard")
+    p_j = jnp.asarray(p_np, jnp.int32)
+    inv_j = jnp.asarray(inv_np, jnp.int32)
+    nv = jnp.float32(noise_variance)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * 3,
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    def _run(sys_l, par1_l, par2_l):
+        n_dev = jax.lax.axis_size(axis_name)
+        idx = jax.lax.axis_index(axis_name)
+        first = (idx == 0)[None]  # [1] for the single-row BCJR batch
+        last = idx == n_dev - 1
+        right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+        def halo(x):  # [Tl] -> [1, W + Tl + W]
+            lh = jax.lax.ppermute(x[-W:], axis_name, right)
+            rh = jax.lax.ppermute(x[:W], axis_name, left)
+            return jnp.concatenate([lh, x, rh])[None]
+
+        valid = jnp.concatenate(
+            [
+                jnp.broadcast_to(~first[0], (W,)),
+                jnp.ones((Tl,), bool),
+                jnp.broadcast_to(~last, (W,)),
+            ]
+        )[None]
+
+        def gshift(x_l, perm):
+            # global permutation of a sharded stream: all-gather (T floats),
+            # constant-index permute, local re-slice
+            full = jax.lax.all_gather(x_l, axis_name, tiled=True)
+            return jax.lax.dynamic_slice(
+                jnp.take(full, perm), (idx * Tl,), (Tl,)
+            )
+
+        sys_i_l = gshift(sys_l, p_j)
+        sys_e = halo(sys_l)
+        par1_e = halo(par1_l)
+        sysi_e = halo(sys_i_l)
+        par2_e = halo(par2_l)
+
+        L1 = jnp.zeros((Tl,), jnp.float32)
+        L2_l = L1
+        for _ in range(int(n_iterations)):
+            apps1 = _bcjr_masked(
+                sys_e, par1_e, halo(L1), nv, trellis, valid, first, max_log
+            )[0]
+            ext1 = (apps1[:, 1] - apps1[:, 0])[W:W + Tl]
+            L2int = gshift(ext1, p_j)
+            apps2 = _bcjr_masked(
+                sysi_e, par2_e, halo(L2int), nv, trellis, valid, first,
+                max_log,
+            )[0]
+            diff2 = (apps2[:, 1] - apps2[:, 0])[W:W + Tl]
+            L2_l = L2int + diff2
+            L1 = gshift(diff2, inv_j)
+
+        return (gshift(L2_l, inv_j) > 0).astype(jnp.int8)
+
+    return _run(
+        jnp.asarray(sys_stream, jnp.float32),
+        jnp.asarray(par1_stream, jnp.float32),
+        jnp.asarray(par2_stream, jnp.float32),
+    )

@@ -347,6 +347,190 @@ def _bcjr_tables_np(trellis: Trellis):
             trellis.pred_input_table)
 
 
+@partial(jax.jit, static_argnames=("trellis", "compute_decode", "max_log",
+                                   "chunk", "warmup"))
+def _log_bcjr_windowed(
+    sys_symbols,  # [B, T]
+    par_symbols,  # [B, T]
+    L_int,  # [B, T]
+    noise_variance,
+    trellis: Trellis,
+    compute_decode: bool = True,
+    max_log: bool = False,
+    chunk: int = 256,
+    warmup: int = 32,
+):
+    """Sliding-window BCJR: sub-blocks with state-metric warmup halos.
+
+    The exact BCJR's 2T-step sequential chain (`_log_bcjr`) is latency-
+    bound on TPU — each step is a handful of tiny [B, S] ops.  This
+    variant decodes the frame as ``N = ceil(T/chunk)`` sub-blocks IN
+    PARALLEL (folded into the batch axis); each sub-block's alpha/beta
+    recursions start from a uniform metric ``warmup`` symbols before/
+    after its core region, the classic sliding-window approximation used
+    by hardware turbo decoders.  Sequential depth drops from 2T to
+    2(chunk + 2 warmup); a few constraint-lengths of warmup make the
+    extrinsic outputs indistinguishable from the full recursion at
+    link-level BER.
+
+    Chunk 0's alpha starts exactly at state 0 and the final chunk's beta
+    is exactly uniform (= the reference's termination handling,
+    turbo.py:84/120), enforced by masking out-of-frame window positions
+    so recursions pass through them unchanged.
+    """
+    B, T = sys_symbols.shape
+    C, W = int(chunk), int(warmup)
+    Tp = -(-T // C) * C
+    N = Tp // C
+    Wn = W + C + W
+
+    def windows(x):
+        # [B, T] -> [B*N, Wn]: chunk cores with W-symbol halos each side
+        xp = jnp.pad(x, ((0, 0), (0, Tp - T)))
+        xc = xp.reshape(B, N, C)
+        left = jnp.pad(xc[:, :-1, C - W:], ((0, 0), (1, 0), (0, 0)))
+        right = jnp.pad(xc[:, 1:, :W], ((0, 0), (0, 1), (0, 0)))
+        return jnp.concatenate([left, xc, right], -1).reshape(B * N, Wn)
+
+    sy = windows(sys_symbols)
+    pa = windows(par_symbols)
+    li = windows(L_int)
+    gpos = jnp.arange(N)[:, None] * C - W + jnp.arange(Wn)[None, :]
+    valid = jnp.broadcast_to(
+        ((gpos >= 0) & (gpos < T))[None], (B, N, Wn)
+    ).reshape(B * N, Wn)
+    first = jnp.broadcast_to(
+        (jnp.arange(N) == 0)[None], (B, N)
+    ).reshape(B * N)
+
+    apps = _bcjr_masked(sy, pa, li, noise_variance, trellis, valid, first,
+                        max_log)
+    core = apps.reshape(B, N, Wn, 2)[:, :, W:W + C, :].reshape(B, Tp, 2)
+    core = core[:, :T]
+    lappr = L_int + core[..., 1] - core[..., 0]
+    decoded = (lappr > 0).astype(jnp.int8) if compute_decode else None
+    return lappr, decoded
+
+
+def _bcjr_masked(sy, pa, li, noise_variance, trellis: Trellis, valid, first,
+                 max_log: bool):
+    """Masked log-BCJR over arbitrary windows: the shared core of the
+    sliding-window decoder and the mesh-sharded stream decoder.
+
+    sy/pa/li: ``[R, Wn]`` windows; ``valid [R, Wn]`` marks in-frame
+    positions (recursions pass through masked ones unchanged);
+    ``first [R]`` selects the exact state-0 alpha start.  Returns APP
+    log-probs ``[R, Wn, 2]`` (no priors on the decision step).
+    """
+    nst_np, cs_np, cp_np, ps_np, pu_np = _bcjr_tables_np(trellis)
+    S, I = nst_np.shape
+    R = sy.shape[0]
+    neg_inf = jnp.float32(-1e30)
+    lse2 = (jnp.maximum if max_log else jnp.logaddexp)
+    lseS = (
+        (lambda x, axis: jnp.max(x, axis=axis)) if max_log
+        else jax.nn.logsumexp
+    )
+
+    # One-hot permutations (as in _log_bcjr)
+    Pn = np.zeros((I, S, S), np.float32)
+    Pp = np.zeros((I, S, S), np.float32)
+    for u in range(I):
+        Pn[u, nst_np[:, u], np.arange(S)] = 1.0
+        Pp[u, ps_np[:, u], np.arange(S)] = 1.0
+    Pn = jnp.asarray(Pn)
+    Pp = jnp.asarray(Pp)
+
+    def permute(vec, P_u):
+        return jax.lax.dot_general(
+            vec, P_u, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # Branch metrics are (re)computed INSIDE the scan bodies from the
+    # [R]-sized symbol rows — the [R, Wn, S, I] branch tensors of the
+    # exact path would dominate HBM traffic at long frames (25x the
+    # stream size), while the per-step broadcast against the [S, I]
+    # constant tables is a handful of VPU ops.
+    out_cs = jnp.asarray(cs_np)
+    out_cp = jnp.asarray(cp_np)
+    cs_re = jnp.asarray(cs_np[ps_np, pu_np])
+    cp_re = jnp.asarray(cp_np[ps_np, pu_np])
+    pu_is1 = jnp.asarray(pu_np == 1)
+    inv2nv = 1.0 / (2.0 * noise_variance)
+
+    def lgamma_t(sy_t, pa_t):
+        x = sy_t[:, None, None] - out_cs
+        y = pa_t[:, None, None] - out_cp
+        return -(x * x + y * y) * inv2nv  # [R, S, I]
+
+    def priors_t(li_t):
+        return -jax.nn.softplus(li_t), -jax.nn.softplus(-li_t)  # lp0, lp1
+
+    def lgp_re_t(sy_t, pa_t, li_t):
+        xr = sy_t[:, None, None] - cs_re
+        yr = pa_t[:, None, None] - cp_re
+        lp0, lp1 = priors_t(li_t)
+        return -(xr * xr + yr * yr) * inv2nv + jnp.where(
+            pu_is1, lp1[:, None, None], lp0[:, None, None]
+        )
+
+    # ---- masked backward recursion ----
+    def bwd(beta_next, inp):
+        sy_t, pa_t, li_t, valid_t = inp
+        lp0, lp1 = priors_t(li_t)
+        lg_t = lgamma_t(sy_t, pa_t) + jnp.stack(
+            [lp0, lp1], -1
+        )[:, None, :]
+        acc = permute(beta_next, Pn[0]) + lg_t[..., 0]
+        for u in range(1, I):
+            acc = lse2(acc, permute(beta_next, Pn[u]) + lg_t[..., u])
+        beta = acc - lseS(acc, -1)[..., None]
+        beta = jnp.where(valid_t[:, None], beta, beta_next)
+        return beta, beta_next
+
+    beta_T = jnp.zeros((R, S), jnp.float32)
+    _, betas = jax.lax.scan(
+        bwd, beta_T,
+        (sy.T, pa.T, li.T, valid.T),
+        reverse=True, unroll=8,
+    )
+    betas = jnp.moveaxis(betas, 0, 1)  # [R, Wn, S] = beta_{t+1}
+
+    # ---- masked forward recursion + APP ----
+    alpha0 = jnp.where(
+        first[:, None],
+        jnp.where(jnp.arange(S)[None, :] == 0, 0.0, neg_inf),
+        0.0,
+    )
+
+    def fwd(alpha, inputs):
+        sy_t, pa_t, li_t, beta_next, valid_t = inputs
+        lg_t = lgamma_t(sy_t, pa_t)
+        app = jnp.stack(
+            [
+                lseS(alpha + lg_t[..., u] + permute(beta_next, Pn[u]), -1)
+                for u in range(I)
+            ],
+            axis=-1,
+        )
+        lgp_t = lgp_re_t(sy_t, pa_t, li_t)
+        acc = permute(alpha, Pp[0]) + lgp_t[..., 0]
+        for j in range(1, I):
+            acc = lse2(acc, permute(alpha, Pp[j]) + lgp_t[..., j])
+        alpha_next = acc - lseS(acc, -1)[..., None]
+        alpha_next = jnp.where(valid_t[:, None], alpha_next, alpha)
+        return alpha_next, app
+
+    _, apps = jax.lax.scan(
+        fwd,
+        alpha0,
+        (sy.T, pa.T, li.T, jnp.moveaxis(betas, 1, 0), valid.T),
+        unroll=8,
+    )
+    return jnp.moveaxis(apps, 0, 1)  # [R, Wn, 2]
+
+
 def map_decode_device(sys_symbols, non_sys_symbols, trellis: Trellis,
                       noise_variance, L_int, algorithm="log-MAP"):
     """Batched log-MAP decode of one rate-1/2 RSC stream.
@@ -380,12 +564,19 @@ def map_decode(sys_symbols, non_sys_symbols, trellis: Trellis,
 
 
 @partial(jax.jit, static_argnames=("trellis", "number_iterations",
-                                   "max_log", "parallel", "p_tuple"))
+                                   "max_log", "parallel", "p_tuple",
+                                   "window"))
 def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
                       noise_variance, p_tuple, L_int, trellis: Trellis,
                       number_iterations: int, max_log: bool = False,
-                      parallel: bool = False):
-    bcjr = _log_bcjr_parallel if parallel else _log_bcjr
+                      parallel: bool = False, window=None):
+    if window is not None:
+        chunk, warmup = window
+        bcjr = partial(_log_bcjr_windowed, chunk=chunk, warmup=warmup)
+    elif parallel:
+        bcjr = _log_bcjr_parallel
+    else:
+        bcjr = _log_bcjr
     p_np = np.asarray(p_tuple, np.int64)
     L = p_np.shape[0]
     inv_np = np.empty_like(p_np)
@@ -410,7 +601,12 @@ def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
                 x, Pi, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    else:  # dense [L, L] one-hots get too large; fall back to gathers
+    else:
+        # Large frames: dense [L, L] one-hots would be O(L^2) FLOPs per
+        # exchange.  Permutation GATHERS are fine on TPU as standalone ops
+        # — only gathers inside a scan body lower to scalar loops — so the
+        # extrinsic loop is UNROLLED (n_iterations is static) and each
+        # interleave is one constant-index gather at the XLA top level.
         p = jnp.asarray(p_np, jnp.int32)
         inv_p = jnp.asarray(inv_np, jnp.int32)
         interlv = lambda x: jnp.take(x, p, axis=-1)
@@ -433,10 +629,16 @@ def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
         L_int_1 = deinterlv(L_ext_2)
         return L_int_1, L_2
 
-    L_int_1, L_2_all = jax.lax.scan(
-        body, L_int, None, length=number_iterations
-    )
-    L_2_last = L_2_all[-1]
+    if L <= 2048:
+        L_int_1, L_2_all = jax.lax.scan(
+            body, L_int, None, length=number_iterations
+        )
+        L_2_last = L_2_all[-1]
+    else:  # unrolled: keeps the permutation gathers out of any scan body
+        L_int_1 = L_int
+        L_2_last = None
+        for _ in range(number_iterations):
+            L_int_1, L_2_last = body(L_int_1, None)
     # Deinterleave the posterior LLRs, then threshold — a permutation of
     # exact copies commutes with the sign decision, so this equals the
     # reference's deinterleave-of-bits (turbo.py:331).
@@ -447,7 +649,7 @@ def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
 def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
                         trellis: Trellis, noise_variance, number_iterations,
                         p_array, L_int=None, algorithm="log-MAP",
-                        parallel=False):
+                        parallel=False, window=None):
     """Batched turbo decode (extrinsic loop of turbo.py:254-333).
 
     All symbol arrays ``[..., T]``; p_array the interleaver permutation.
@@ -455,6 +657,10 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
     (O(log T) sequential depth) — profitable for small batches where the
     recursion is latency-bound; at large Monte-Carlo batches the
     sequential scan is bandwidth-optimal and is the default.
+    ``window=(chunk, warmup)`` switches to the sliding-window BCJR
+    (`_log_bcjr_windowed`): sub-blocks decoded in parallel with
+    state-metric warmup halos — the high-throughput path for long frames
+    (sequential depth 2(chunk + 2 warmup) instead of 2T).
     """
     sy = jnp.atleast_2d(jnp.asarray(sys_symbols, jnp.float32))
     p1 = jnp.atleast_2d(jnp.asarray(non_sys_symbols_1, jnp.float32))
@@ -467,6 +673,7 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
         sy, p1, p2, jnp.float32(noise_variance),
         tuple(int(v) for v in np.asarray(p_array)), L_int, trellis,
         int(number_iterations), algorithm == "max-log", bool(parallel),
+        None if window is None else (int(window[0]), int(window[1])),
     )
     if jnp.ndim(jnp.asarray(sys_symbols)) == 1:
         return out[0]

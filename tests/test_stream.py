@@ -53,3 +53,37 @@ def test_sharded_stream_k7():
         )
     )
     assert_array_equal(out, msg)
+
+
+def test_sharded_turbo_stream_matches_serial():
+    # Sequence-parallel turbo (VERDICT r1 item 6): one long frame sharded
+    # over 8 devices, BCJR state-metric warmup halos via ppermute, global
+    # interleaver via all_gather; decisions match the exact serial decode.
+    import jax
+
+    from commpy_tpu.channelcoding import RandInterlv
+    from commpy_tpu.ops import turbo as T
+    from commpy_tpu.ops.stream import sharded_turbo_stream
+
+    np.random.seed(13)
+    tr = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
+    L = 8192
+    interlv = RandInterlv(L, 0)
+    msg = np.random.randint(0, 2, (1, L))
+    s, p1, p2 = T.turbo_encode_device(msg, tr, tr, interlv.p_array)
+    sigma2 = 0.5
+    noise = np.random.randn(3, L) * np.sqrt(sigma2)
+    sy = (2.0 * np.asarray(s)[0] - 1 + noise[0]).astype(np.float32)
+    py1 = (2.0 * np.asarray(p1)[0] - 1 + noise[1]).astype(np.float32)
+    py2 = (2.0 * np.asarray(p2)[0] - 1 + noise[2]).astype(np.float32)
+
+    serial = np.asarray(
+        T.turbo_decode_device(sy, py1, py2, tr, sigma2, 3, interlv.p_array)
+    )
+    mesh = make_mesh(8, "sp")
+    sharded = np.asarray(
+        sharded_turbo_stream(sy, py1, py2, tr, sigma2, 3, interlv.p_array,
+                             mesh, warmup=64)
+    )
+    assert (serial != sharded).mean() < 1e-3
+    assert (sharded != msg[0]).sum() == 0

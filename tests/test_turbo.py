@@ -72,6 +72,60 @@ def test_turbo_decode_roundtrip_and_reference_parity():
     assert (np.asarray(dm) != msg).sum() == 0
 
 
+def test_windowed_bcjr_matches_serial():
+    # Sliding-window BCJR (sub-blocks + warmup halos) must reproduce the
+    # exact recursion's extrinsics closely and its decisions exactly on a
+    # well-conditioned frame.
+    np.random.seed(9)
+    mt = _trellis()
+    L = 512
+    interlv = RandInterlv(L, 4)
+    msg = np.random.randint(0, 2, (2, L))
+    s, p1, p2 = T.turbo_encode_device(msg, mt, mt, interlv.p_array)
+    sigma2 = 0.5
+    noise = np.random.randn(3, 2, L) * np.sqrt(sigma2)
+    sy = 2.0 * np.asarray(s) - 1 + noise[0]
+    py = 2.0 * np.asarray(p1) - 1 + noise[1]
+    L_int = np.random.randn(2, L) * 0.3
+
+    exact_l, exact_d = T.map_decode_device(sy, py, mt, sigma2, L_int)
+    win_l, win_d = T._log_bcjr_windowed(
+        np.asarray(sy, np.float32), np.asarray(py, np.float32),
+        np.asarray(L_int, np.float32), np.float32(sigma2), mt,
+        chunk=128, warmup=24,
+    )
+    assert np.array_equal(np.asarray(exact_d), np.asarray(win_d))
+    rel = np.abs(np.asarray(exact_l) - np.asarray(win_l)) / (
+        1.0 + np.abs(np.asarray(exact_l))
+    )
+    assert np.median(rel) < 1e-4 and np.max(rel) < 0.05
+
+
+def test_turbo_decode_windowed_roundtrip():
+    # Full turbo decode with the windowed BCJR: recovers the message and
+    # agrees with the exact decoder, including a non-chunk-multiple L.
+    np.random.seed(10)
+    mt = _trellis()
+    L = 300  # not a multiple of the chunk size
+    interlv = RandInterlv(L, 5)
+    msg = np.random.randint(0, 2, (3, L))
+    s, p1, p2 = T.turbo_encode_device(msg, mt, mt, interlv.p_array)
+    sigma2 = 0.45
+    noise = np.random.randn(3, 3, L) * np.sqrt(sigma2)
+    sy = 2.0 * np.asarray(s) - 1 + noise[0]
+    py1 = 2.0 * np.asarray(p1) - 1 + noise[1]
+    py2 = 2.0 * np.asarray(p2) - 1 + noise[2]
+    exact = np.asarray(
+        T.turbo_decode_device(sy, py1, py2, mt, sigma2, 6, interlv.p_array)
+    )
+    win = np.asarray(
+        T.turbo_decode_device(sy, py1, py2, mt, sigma2, 6, interlv.p_array,
+                              window=(128, 24))
+    )
+    np.testing.assert_array_equal(exact, win)
+    assert (win != msg).sum() == 0
+
+
 def test_turbo_decode_batched_matches_single():
     np.random.seed(8)
     mt = _trellis()
@@ -96,3 +150,24 @@ def test_turbo_decode_batched_matches_single():
             )
         )
         np.testing.assert_array_equal(batch[i], single)
+
+
+def test_turbo_decode_long_frame_l6144():
+    # Production frame length (L > the 2048 one-hot cutoff): the unrolled
+    # gather interleave + windowed BCJR recover the message.
+    np.random.seed(12)
+    mt = _trellis()
+    L = 6144
+    interlv = RandInterlv(L, 7)
+    msg = np.random.randint(0, 2, (2, L))
+    s, p1, p2 = T.turbo_encode_device(msg, mt, mt, interlv.p_array)
+    sigma2 = 0.5
+    noise = np.random.randn(3, 2, L) * np.sqrt(sigma2)
+    sy = 2.0 * np.asarray(s) - 1 + noise[0]
+    py1 = 2.0 * np.asarray(p1) - 1 + noise[1]
+    py2 = 2.0 * np.asarray(p2) - 1 + noise[2]
+    dec = np.asarray(
+        T.turbo_decode_device(sy, py1, py2, mt, sigma2, 4, interlv.p_array,
+                              window=(512, 32))
+    )
+    assert (dec != msg).sum() == 0
