@@ -1,0 +1,403 @@
+"""Quasi-cyclic LDPC codes: base-graph expansion, GF(2) systematic
+encoding, and roll-based belief propagation that scales to production
+codes.
+
+The generic decoder (:mod:`commpy_tpu.ops.ldpc`) routes messages through a
+dense edge->vnode incidence matmul — exact and fast for the shipped
+WiMAX-size designs, but quadratic in code length (reference
+commpy/channelcoding/ldpc.py:144-255 has the same capability ceiling in
+sparse-matrix form).  Production codes (IEEE 802.11n/ac, 802.16e, 5G NR)
+are all QUASI-CYCLIC: H is an [Mb x Nb] grid of Z x Z blocks, each either
+zero or a cyclic shift P^s of the identity.  That structure turns every
+message permutation into a lane **roll** (two slices + a concat on TPU —
+no gathers, no incidence matrix, O(E) work):
+
+* check (i, z) of block row i connects variable (j, (z + s) % Z) for each
+  nonzero block (j, s) in row i -> v2c messages are ``roll(v[j], -s)``;
+* the reverse scatter is ``roll(msg, +s)`` summed into block column j.
+
+The edge tensor is ``[B, Mb, Z, K]`` (K = max nonzero blocks per row)
+with Z on the sublane-friendly axis and the leave-one-out CN reductions
+over the short K axis, so SPA/MSA check updates reuse the same two-pass
+prefix/suffix tricks as the dense decoder.
+
+Shipped base graphs: IEEE 802.11n (2009) Annex R rate-1/2 matrices for
+n = 648 (Z = 27) and n = 1944 (Z = 81), reconstructed from the standard's
+published tables.  ``detect_qc_structure`` lifts any design-file code
+(e.g. the WiMAX 1440.720 asset) onto this path when its H is circulant.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "qc_code_params",
+    "detect_qc_structure",
+    "ieee80211n_params",
+    "qc_encode_device",
+    "qc_bp_decode_device",
+    "IEEE80211N_BASE",
+]
+
+_llr_max = 500.0  # match reference ldpc.py:11 clipping
+
+
+# --------------------------------------------------------------------------
+# IEEE 802.11n base matrices (Annex R), -1 = zero block
+# --------------------------------------------------------------------------
+
+_80211N_R12_Z27 = """
+ 0 -1 -1 -1  0  0 -1 -1  0 -1 -1  0  1  0 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1
+22  0 -1 -1 17 -1  0  0 12 -1 -1 -1 -1  0  0 -1 -1 -1 -1 -1 -1 -1 -1 -1
+ 6 -1  0 -1 10 -1 -1 -1 24 -1  0 -1 -1 -1  0  0 -1 -1 -1 -1 -1 -1 -1 -1
+ 2 -1 -1  0 20 -1 -1 -1 25  0 -1 -1 -1 -1 -1  0  0 -1 -1 -1 -1 -1 -1 -1
+23 -1 -1 -1  3 -1 -1 -1  0 -1  9 11 -1 -1 -1 -1  0  0 -1 -1 -1 -1 -1 -1
+24 -1 23  1 17 -1  3 -1 10 -1 -1 -1 -1 -1 -1 -1 -1  0  0 -1 -1 -1 -1 -1
+25 -1 -1 -1  8 -1 -1 -1  7 18 -1 -1  0 -1 -1 -1 -1 -1  0  0 -1 -1 -1 -1
+13 24 -1 -1  0 -1  8 -1  6 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1  0  0 -1 -1 -1
+ 7 20 -1 16 22 10 -1 -1 23 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1  0  0 -1 -1
+11 -1 -1 -1 19 -1 -1 -1 13 -1  3 17 -1 -1 -1 -1 -1 -1 -1 -1 -1  0  0 -1
+25 -1  8 -1 23 18 -1 14  9 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1  0  0
+ 3 -1 -1 -1 16 -1 -1  2 25  5 -1 -1  1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1  0
+"""
+
+_80211N_R12_Z81 = """
+57 -1 -1 -1 50 -1 11 -1 50 -1 79 -1  1  0 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1
+ 3 -1 28 -1  0 -1 -1 -1 55  7 -1 -1 -1  0  0 -1 -1 -1 -1 -1 -1 -1 -1 -1
+30 -1 -1 -1 24 37 -1 -1 56 14 -1 -1 -1 -1  0  0 -1 -1 -1 -1 -1 -1 -1 -1
+62 53 -1 -1 53 -1 -1  3 35 -1 -1 -1 -1 -1 -1  0  0 -1 -1 -1 -1 -1 -1 -1
+40 -1 -1 20 66 -1 -1 22 28 -1 -1 -1 -1 -1 -1 -1  0  0 -1 -1 -1 -1 -1 -1
+ 0 -1 -1 -1  8 -1 42 -1 50 -1 -1  8 -1 -1 -1 -1 -1  0  0 -1 -1 -1 -1 -1
+69 79 79 -1 -1 -1 56 -1 52 -1 -1 -1  0 -1 -1 -1 -1 -1  0  0 -1 -1 -1 -1
+65 -1 -1 -1 38 57 -1 -1 72 -1 27 -1 -1 -1 -1 -1 -1 -1 -1  0  0 -1 -1 -1
+64 -1 -1 -1 14 52 -1 -1 30 -1 -1 32 -1 -1 -1 -1 -1 -1 -1 -1  0  0 -1 -1
+-1 45 -1 70  0 -1 -1 -1 77  9 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1  0  0 -1
+ 2 56 -1 57 35 -1 -1 -1 -1 -1 12 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1  0  0
+24 -1 61 -1 60 -1 -1 27 51 -1 -1 16  1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1  0
+"""
+
+
+def _parse_base(text: str) -> np.ndarray:
+    rows = [r.split() for r in text.strip().splitlines()]
+    return np.array([[int(v) for v in r] for r in rows], np.int32)
+
+
+IEEE80211N_BASE = {
+    (648, "1/2"): (_parse_base(_80211N_R12_Z27), 27),
+    (1944, "1/2"): (_parse_base(_80211N_R12_Z81), 81),
+}
+
+
+# --------------------------------------------------------------------------
+# Parameter construction (host)
+# --------------------------------------------------------------------------
+
+def _gf2_parity_solver(H: np.ndarray, n_parity: int) -> np.ndarray:
+    """Dense GF(2) encode matrix: parity = (P @ msg) % 2.
+
+    H ``[M, N]`` with the message on the first N - n_parity columns.
+    Solves Hp * p = Hi * m by Gauss-Jordan over GF(2) (host, int8).
+    """
+    M, N = H.shape
+    k = N - n_parity
+    A = np.concatenate([H[:, k:].astype(np.int8),
+                        H[:, :k].astype(np.int8)], axis=1)  # [Hp | Hi]
+    # eliminate on the first n_parity columns
+    for col in range(n_parity):
+        piv = col + np.argmax(A[col:, col] != 0)
+        if A[piv, col] == 0:
+            raise ValueError("parity part of H is singular over GF(2)")
+        if piv != col:
+            A[[col, piv]] = A[[piv, col]]
+        hit = (A[:, col] == 1)
+        hit[col] = False
+        A[hit] ^= A[col]
+    return A[:, n_parity:]  # [n_parity, k]: p = P m (mod 2)
+
+
+def qc_code_params(base_matrix, Z: int, compute_encoder: bool = True) -> dict:
+    """Build decode/encode parameters from a QC base matrix.
+
+    base_matrix ``[Mb, Nb]`` of circulant shifts (-1 = zero block).
+    The message occupies the first ``(Nb - Mb) * Z`` bits (standard QC
+    systematic layout).
+    """
+    Bm = np.asarray(base_matrix, np.int32)
+    Mb, Nb = Bm.shape
+    blocks = [
+        [(j, int(Bm[i, j])) for j in range(Nb) if Bm[i, j] >= 0]
+        for i in range(Mb)
+    ]
+    K = max(len(b) for b in blocks)
+    block_j = -np.ones((Mb, K), np.int32)
+    block_s = np.zeros((Mb, K), np.int32)
+    for i, row in enumerate(blocks):
+        for k, (j, s) in enumerate(row):
+            block_j[i, k] = j
+            block_s[i, k] = s
+    params = {
+        "base_matrix": Bm,
+        "Z": int(Z),
+        "Mb": Mb,
+        "Nb": Nb,
+        "K": K,
+        "block_j": block_j,
+        "block_s": block_s,
+        "n_vnodes": Nb * Z,
+        "n_cnodes": Mb * Z,
+        "k_bits": (Nb - Mb) * Z,
+    }
+    if compute_encoder:
+        H = expand_base_matrix(Bm, Z)
+        params["encode_matrix"] = _gf2_parity_solver(H, Mb * Z)
+    return params
+
+
+def expand_base_matrix(Bm: np.ndarray, Z: int) -> np.ndarray:
+    """Dense H ``[Mb Z, Nb Z]`` int8 from the base matrix (host)."""
+    Mb, Nb = Bm.shape
+    H = np.zeros((Mb * Z, Nb * Z), np.int8)
+    eye = np.eye(Z, dtype=np.int8)
+    for i in range(Mb):
+        for j in range(Nb):
+            s = Bm[i, j]
+            if s >= 0:
+                # P^s: row z has its 1 at column (z + s) % Z
+                H[i * Z:(i + 1) * Z, j * Z:(j + 1) * Z] = np.roll(
+                    eye, s % Z, axis=1
+                )
+    return H
+
+
+def detect_qc_structure(ldpc_code_params: dict, Z: int):
+    """Lift a generic design-file code onto the QC path if possible.
+
+    Partitions the code's H into Z x Z blocks and checks each is zero or
+    a cyclic shift of the identity.  Returns qc params (without the
+    encoder, which design files already provide) or None.
+    """
+    n_c = ldpc_code_params["n_cnodes"]
+    n_v = ldpc_code_params["n_vnodes"]
+    if n_c % Z or n_v % Z:
+        return None
+    Mb, Nb = n_c // Z, n_v // Z
+    cd = ldpc_code_params["max_cnode_deg"]
+    adj = ldpc_code_params["cnode_adj_list"].reshape(n_c, cd)
+    H = np.zeros((n_c, n_v), np.int8)
+    deg = ldpc_code_params["cnode_deg_list"]
+    for c in range(n_c):
+        H[c, adj[c, : deg[c]]] = 1
+    Bm = -np.ones((Mb, Nb), np.int32)
+    eye = np.eye(Z, dtype=np.int8)
+    for i in range(Mb):
+        for j in range(Nb):
+            blk = H[i * Z:(i + 1) * Z, j * Z:(j + 1) * Z]
+            nz = blk.sum()
+            if nz == 0:
+                continue
+            if nz != Z:
+                return None
+            s = int(np.argmax(blk[0]))
+            if not np.array_equal(blk, np.roll(eye, s, axis=1)):
+                return None
+            Bm[i, j] = s
+    return qc_code_params(Bm, Z, compute_encoder=False)
+
+
+def ieee80211n_params(n: int = 1944, rate: str = "1/2") -> dict:
+    """IEEE 802.11n LDPC code parameters (Annex R base matrices)."""
+    try:
+        Bm, Z = IEEE80211N_BASE[(n, rate)]
+    except KeyError:
+        raise ValueError(
+            f"no shipped 802.11n base matrix for (n={n}, rate={rate}); "
+            f"available: {sorted(IEEE80211N_BASE)}"
+        )
+    return qc_code_params(Bm, Z)
+
+
+# --------------------------------------------------------------------------
+# Encoding
+# --------------------------------------------------------------------------
+
+def qc_encode_device(message_bits, qc_params: dict):
+    """Systematic QC encode ``[..., k] -> [..., n]`` (parity appended).
+
+    Dense 0/1 matmul on the MXU; f32 accumulation is exact (k < 2^24).
+    """
+    m = jnp.asarray(message_bits)
+    P = jnp.asarray(qc_params["encode_matrix"], jnp.float32)
+    parity = jnp.mod(
+        jnp.einsum("pk,...k->...p", P, m.astype(jnp.float32)), 2.0
+    )
+    return jnp.concatenate(
+        [m.astype(jnp.int8), parity.astype(jnp.int8)], axis=-1
+    )
+
+
+# --------------------------------------------------------------------------
+# Decoding
+# --------------------------------------------------------------------------
+
+def _loo_prod(x, mask):
+    """Leave-one-out product over the last axis (prefix/suffix, exact)."""
+    xm = jnp.where(mask, x, 1.0)
+    deg = xm.shape[-1]
+    one = jnp.ones_like(xm[..., :1])
+    prefix = [one]
+    for j in range(1, deg):
+        prefix.append(prefix[-1] * xm[..., j - 1:j])
+    suffix = [one]
+    for j in range(deg - 2, -1, -1):
+        suffix.append(suffix[-1] * xm[..., j + 1:j + 2])
+    suffix.reverse()
+    out = jnp.concatenate([prefix[j] * suffix[j] for j in range(deg)], -1)
+    return jnp.where(mask, out, 0.0)
+
+
+def _loo_min(mag, mask):
+    """Leave-one-out min over the last axis (prefix/suffix mins)."""
+    m = jnp.where(mask, mag, jnp.inf)
+    deg = m.shape[-1]
+    big = jnp.full_like(m[..., :1], jnp.inf)
+    pref = [big]
+    for j in range(1, deg):
+        pref.append(jnp.minimum(pref[-1], m[..., j - 1:j]))
+    suf = [big]
+    for j in range(deg - 2, -1, -1):
+        suf.append(jnp.minimum(suf[-1], m[..., j + 1:j + 2]))
+    suf.reverse()
+    return jnp.concatenate(
+        [jnp.minimum(pref[j], suf[j]) for j in range(deg)], -1
+    )
+
+
+@partial(jax.jit,
+         static_argnames=("block_s_t", "algorithm", "n_iters", "meta"))
+def _qc_bp_core(llr, block_s_t, algorithm: str, n_iters: int, meta):
+    """BP over the QC edge tensor ``[B, Mb, Z, K]``.
+
+    meta = (Mb, Nb, Z, K, block_j as nested tuple, valid mask tuple).
+    All message routing is cyclic rolls on the Z axis — no gathers, no
+    incidence matrices; work and memory are O(E) per iteration.
+    """
+    Mb, Nb, Z, K, block_j, valid = meta
+    B = llr.shape[0]
+    vshape = (B, Nb, Z)
+    mask = jnp.asarray(np.asarray(valid), bool)[None, :, None, :]
+
+    sj = np.asarray(block_s_t)  # [Mb, K] shifts (host constants)
+    bj = np.asarray(block_j)
+
+    def to_edges(v):  # v [B, Nb, Z] -> [B, Mb, Z, K]
+        cols = []
+        for k in range(K):
+            col = jnp.stack(
+                [
+                    jnp.roll(v[:, bj[i][k]], -int(sj[i][k]), axis=-1)
+                    if bj[i][k] >= 0
+                    else jnp.zeros((B, Z), v.dtype)
+                    for i in range(Mb)
+                ],
+                axis=1,
+            )  # [B, Mb, Z]
+            cols.append(col)
+        return jnp.stack(cols, axis=-1)
+
+    def to_vnodes(e):  # e [B, Mb, Z, K] -> [B, Nb, Z]
+        acc = [jnp.zeros((B, Z), e.dtype) for _ in range(Nb)]
+        for i in range(Mb):
+            for k in range(K):
+                j = bj[i][k]
+                if j < 0:
+                    continue
+                acc[j] = acc[j] + jnp.roll(e[:, i, :, k], int(sj[i][k]),
+                                           axis=-1)
+        return jnp.stack(acc, axis=1)
+
+    def cn_update(v2c):
+        if algorithm == "SPA":
+            t = jnp.tanh(v2c * 0.5)
+            prod = _loo_prod(t, mask)
+            msg = 2.0 * jnp.arctanh(jnp.clip(prod, -1.0, 1.0))
+            return jnp.clip(msg, -_llr_max, _llr_max)
+        sign = _loo_prod(jnp.sign(v2c), mask)
+        loo = _loo_min(jnp.abs(v2c), mask)
+        return jnp.where(mask, sign * loo, 0.0)
+
+    def total_llr(c2v):
+        return llr + to_vnodes(jnp.where(mask, c2v, 0.0))
+
+    def syndrome_ok(dec):
+        par = jnp.sum(
+            jnp.where(mask, to_edges(dec.astype(jnp.float32)), 0.0),
+            axis=-1,
+        )  # [B, Mb, Z]
+        return jnp.all(jnp.mod(par, 2.0) == 0, axis=(-2, -1))
+
+    dec0 = jnp.signbit(llr).astype(jnp.int8)
+    c2v0 = jnp.zeros((B, Mb, Z, K), jnp.float32)
+
+    def cond(state):
+        it, _, _, dec = state
+        return jnp.logical_and(it < n_iters, jnp.any(~syndrome_ok(dec)))
+
+    def body(state):
+        it, c2v, out_llr, dec = state
+        act = ~syndrome_ok(dec)  # [B]
+        v2c = to_edges(total_llr(c2v))
+        v2c = jnp.where(mask, v2c - c2v, 0.0)
+        new_c2v = cn_update(v2c)
+        new_total = total_llr(new_c2v)
+        new_dec = jnp.signbit(new_total).astype(jnp.int8)
+        sel3 = act[:, None, None, None]
+        c2v = jnp.where(sel3, new_c2v, c2v)
+        out_llr = jnp.where(act[:, None, None], new_total, out_llr)
+        dec = jnp.where(act[:, None, None], new_dec, dec)
+        return it + 1, c2v, out_llr, dec
+
+    _, _, out_llr, dec = jax.lax.while_loop(
+        cond, body, (0, c2v0, llr, dec0)
+    )
+    return dec.reshape(B, Nb * Z), out_llr.reshape(B, Nb * Z)
+
+
+def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
+                        n_iters: int):
+    """Batched QC-LDPC BP decode: ``[..., n]`` LLRs -> (dec int8, llr).
+
+    Same output conventions as :func:`ldpc.ldpc_bp_decode_device` (hard
+    word via signbit, posterior LLRs, converged blocks frozen).
+    """
+    if decoder_algorithm not in ("SPA", "MSA"):
+        raise NameError(
+            'Please input a valid decoder_algorithm string '
+            '(meanning "SPA" or "MSA").'
+        )
+    Mb, Nb = qc_params["Mb"], qc_params["Nb"]
+    Z, K = qc_params["Z"], qc_params["K"]
+    x = jnp.asarray(llr, jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    lead = x.shape[:-1]
+    x = jnp.clip(x.reshape(-1, Nb, Z), -_llr_max, _llr_max)
+    bj = qc_params["block_j"]
+    meta = (
+        Mb, Nb, Z, K,
+        tuple(tuple(int(v) for v in row) for row in bj),
+        tuple(tuple(bool(v >= 0) for v in row) for row in bj),
+    )
+    dec, out = _qc_bp_core(
+        x, tuple(tuple(int(v) for v in row) for row in qc_params["block_s"]),
+        decoder_algorithm, int(n_iters), meta,
+    )
+    dec = dec.reshape(lead + (Nb * Z,))
+    out = out.reshape(lead + (Nb * Z,))
+    if squeeze:
+        return dec[0], out[0]
+    return dec, out

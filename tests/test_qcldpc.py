@@ -1,0 +1,84 @@
+"""QC-LDPC tests: 802.11n base-graph expansion, GF(2) systematic
+encoding, roll-based BP decoding, and QC detection of design-file codes
+(scales past the dense-incidence path; VERDICT r1 item 4)."""
+import os
+
+import numpy as np
+import pytest
+
+from commpy_tpu.ops import qcldpc as Q
+from commpy_tpu.ops.ldpc import get_ldpc_code_params, ldpc_bp_decode_device
+
+DESIGNS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "commpy_tpu", "designs", "ldpc",
+)
+
+
+@pytest.fixture(scope="module", params=[648, 1944])
+def wifi_params(request):
+    return Q.ieee80211n_params(request.param, "1/2")
+
+
+def test_80211n_encode_valid_and_noiseless_decode(wifi_params):
+    params = wifi_params
+    H = Q.expand_base_matrix(params["base_matrix"], params["Z"])
+    rng = np.random.RandomState(0)
+    msg = rng.randint(0, 2, (4, params["k_bits"])).astype(np.int8)
+    cw = np.asarray(Q.qc_encode_device(msg, params))
+    assert not ((H @ cw.T) % 2).any(), "encoder must satisfy H c = 0"
+    np.testing.assert_array_equal(cw[:, : params["k_bits"]], msg)
+
+    llr = (1.0 - 2.0 * cw) * 8.0
+    for alg in ("SPA", "MSA"):
+        dec, out = Q.qc_bp_decode_device(llr, params, alg, 10)
+        np.testing.assert_array_equal(np.asarray(dec), cw)
+
+
+def test_80211n_noisy_decode(wifi_params):
+    params = wifi_params
+    rng = np.random.RandomState(1)
+    msg = rng.randint(0, 2, (4, params["k_bits"])).astype(np.int8)
+    cw = np.asarray(Q.qc_encode_device(msg, params))
+    EbN0 = 10 ** (2.5 / 10)
+    sigma = np.sqrt(1 / (2 * 0.5 * EbN0))
+    y = (1 - 2.0 * cw) + rng.randn(*cw.shape) * sigma
+    llr = 2 * y / sigma**2
+    dec, _ = Q.qc_bp_decode_device(llr, params, "SPA", 30)
+    assert (np.asarray(dec) != cw).mean() < 1e-3
+
+
+def test_wimax_design_is_qc_and_matches_dense_decoder():
+    # The shipped WiMAX 1440.720 design is quasi-cyclic with Z=60; the
+    # roll-based decoder must agree with the dense-incidence decoder
+    # (identical flooding schedule) up to float summation order.
+    params = get_ldpc_code_params(
+        os.path.join(DESIGNS, "wimax", "1440.720.txt")
+    )
+    qc = Q.detect_qc_structure(params, 60)
+    assert qc is not None, "WiMAX 1440.720 should be QC with Z=60"
+    rng = np.random.RandomState(2)
+    llr = rng.randn(6, 1440).astype(np.float32) * 2
+    d1, o1 = ldpc_bp_decode_device(llr, params, "MSA", 15)
+    d2, o2 = Q.qc_bp_decode_device(llr, qc, "MSA", 15)
+    o1, o2 = np.asarray(o1), np.asarray(o2)
+    assert np.allclose(o1, o2, atol=1e-3)
+    disagree = np.asarray(d1) != np.asarray(d2)
+    # decisions may only differ where the posterior is essentially zero
+    assert np.all(np.abs(o1[disagree]) < 1e-3)
+
+
+def test_gallager_design_is_not_qc():
+    params = get_ldpc_code_params(
+        os.path.join(DESIGNS, "gallager", "96.33.964.txt")
+    )
+    assert Q.detect_qc_structure(params, 8) is None
+
+
+def test_unknown_base_matrix_raises():
+    with pytest.raises(ValueError):
+        Q.ieee80211n_params(1296, "1/2")
+    with pytest.raises(NameError):
+        Q.qc_bp_decode_device(
+            np.zeros(648), Q.ieee80211n_params(648), "BAD", 5
+        )
