@@ -34,6 +34,7 @@ __all__ = [
     "triang_ldpc_systematic_encode",
     "ldpc_bp_decode",
     "ldpc_bp_decode_device",
+    "ldpc_bp_decode_sharded",
     "ldpc_encode_device",
 ]
 
@@ -221,8 +222,9 @@ def _prod_excl(x, mask):
     return jnp.where(mask, out, 0.0)
 
 
-@partial(jax.jit, static_argnames=("algorithm", "n_iters"))
-def _bp_core(llr, cmask, Ainc, algorithm: str, n_iters: int):
+@partial(jax.jit, static_argnames=("algorithm", "n_iters", "axis_name"))
+def _bp_core(llr, cmask, Ainc, algorithm: str, n_iters: int,
+             axis_name: str | None = None):
     """Belief propagation over the padded Tanner edge arrays.
 
     GATHER-FREE: the vnode<->edge permutations run as dense one-hot
@@ -233,17 +235,26 @@ def _bp_core(llr, cmask, Ainc, algorithm: str, n_iters: int):
     llr:   [B, n_v]
     cmask: [n_c, cd]  valid-edge mask
     Ainc:  [n_c*cd, n_v] f32 one-hot: edge e -> its variable node
+
+    With ``axis_name`` set (edge-sharded mode, called under shard_map),
+    cmask/Ainc hold only this device's check rows: variable-node sums and
+    the convergence test are completed with ``psum`` over the mesh axis —
+    the Tanner graph's edges are sharded while llr/decisions stay
+    replicated (the domain's tensor parallelism).
     """
     B, n_v = llr.shape
     n_c, cd = cmask.shape
 
     def to_vnodes(edge_vals):
         # [B, n_c, cd] -> per-vnode sums [B, n_v]
-        return jax.lax.dot_general(
+        out = jax.lax.dot_general(
             edge_vals.reshape(B, n_c * cd), Ainc,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if axis_name is not None:
+            out = jax.lax.psum(out, axis_name)
+        return out
 
     def to_edges(vnode_vals):
         # [B, n_v] -> value of each edge's vnode [B, n_c, cd]
@@ -262,7 +273,10 @@ def _bp_core(llr, cmask, Ainc, algorithm: str, n_iters: int):
             jnp.where(cmask, to_edges(dec.astype(jnp.float32)), 0.0),
             axis=-1,
         )  # [B, n_c] exact small-int sums in f32
-        return jnp.all(jnp.mod(par, 2.0) == 0, axis=-1)  # [B]
+        bad = jnp.any(jnp.mod(par, 2.0) != 0, axis=-1)  # [B]
+        if axis_name is not None:
+            bad = jax.lax.psum(bad.astype(jnp.int32), axis_name) > 0
+        return ~bad
 
     def cn_update(v2c):
         if algorithm == "SPA":
@@ -365,6 +379,60 @@ def ldpc_bp_decode_device(llr, ldpc_code_params, decoder_algorithm, n_iters):
     x = jnp.clip(x, -_llr_max, _llr_max)
     cmask, Ainc = _edge_arrays(ldpc_code_params)
     dec, out_llr = _bp_core(x, cmask, Ainc, decoder_algorithm, int(n_iters))
+    dec = dec.reshape(lead + dec.shape[-1:])
+    out_llr = out_llr.reshape(lead + out_llr.shape[-1:])
+    if squeeze:
+        return dec[0], out_llr[0]
+    return dec, out_llr
+
+
+def ldpc_bp_decode_sharded(llr, ldpc_code_params, decoder_algorithm,
+                           n_iters, mesh, axis_name: str = "dp"):
+    """Edge-sharded BP decode: one Tanner graph split across the mesh.
+
+    The check rows (and their edges) are partitioned over the devices of
+    ``mesh``; each device runs check-node updates for its rows only, and
+    the variable-node sums / convergence test are completed with ``psum``
+    over ICI (SURVEY §2 tensor-parallel row).  llr ``[..., n_vnodes]`` and
+    the outputs stay replicated.  Numerically this reorders the per-vnode
+    float sums (device partials first), so posterior LLRs can differ from
+    the single-device decode by rounding.
+    """
+    from ..parallel.mesh import P, shard_map
+
+    if decoder_algorithm not in ("SPA", "MSA"):
+        raise NameError(
+            'Please input a valid decoder_algorithm string '
+            '(meanning "SPA" or "MSA").'
+        )
+    x = jnp.asarray(llr, jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    lead = x.shape[:-1]
+    x = jnp.clip(x.reshape(-1, x.shape[-1]), -_llr_max, _llr_max)
+
+    cmask, Ainc = _edge_arrays(ldpc_code_params)
+    D = mesh.shape[axis_name]
+    n_c, cd = cmask.shape
+    n_v = Ainc.shape[1]
+    pad = (-n_c) % D
+    if pad:  # all-masked rows decode as always-satisfied checks
+        cmask = np.concatenate([cmask, np.zeros((pad, cd), bool)], 0)
+        Ainc = np.concatenate(
+            [Ainc, np.zeros((pad * cd, n_v), np.float32)], 0
+        )
+
+    def local(xs, cm, ai):
+        return _bp_core(xs, cm, ai, decoder_algorithm, int(n_iters),
+                        axis_name=axis_name)
+
+    dec, out_llr = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(x, jnp.asarray(cmask), jnp.asarray(Ainc))
     dec = dec.reshape(lead + dec.shape[-1:])
     out_llr = out_llr.reshape(lead + out_llr.shape[-1:])
     if squeeze:

@@ -97,3 +97,28 @@ def test_gallager_fer_anchor():
             n_frames += B
         fer = frame_errors / n_frames
         assert np.isclose(fer, target, rtol=0.6), (ebn0, fer, target)
+
+
+def test_edge_sharded_bp_matches_single_device():
+    # Tensor parallelism over the Tanner graph: check rows sharded over 8
+    # virtual devices, vnode sums completed with psum (VERDICT r1 item 7).
+    import jax
+
+    from commpy_tpu.ops.ldpc import (
+        get_ldpc_code_params,
+        ldpc_bp_decode_device,
+        ldpc_bp_decode_sharded,
+    )
+    from commpy_tpu.parallel import make_mesh
+
+    design = os.path.join(DESIGNS, "wimax", "1440.720.txt")
+    params = get_ldpc_code_params(design)
+    rng = np.random.RandomState(11)
+    llr = rng.randn(4, 1440).astype(np.float32) * 2
+    mesh = make_mesh(len(jax.devices()))
+    d1, o1 = ldpc_bp_decode_device(llr, params, "MSA", 15)
+    d2, o2 = ldpc_bp_decode_sharded(llr, params, "MSA", 15, mesh)
+    o1, o2 = np.asarray(o1), np.asarray(o2)
+    assert np.allclose(o1, o2, atol=1e-3)
+    disagree = np.asarray(d1) != np.asarray(d2)
+    assert np.all(np.abs(o1[disagree]) < 1e-3)
