@@ -93,6 +93,35 @@ def test_kbest_mimo_reference_curve():
     assert_allclose(res.bers, [3e-2], rtol=1.0)
 
 
+@pytest.mark.slow
+def test_bestfirst_ldpc_mimo_reference_curve():
+    """Tier-3 acceptance (reference test_links.py:60-86): 4x4 16-QAM soft
+    best-first detection + WiMAX LDPC(1440,720) MSA-15, BER at SNR
+    {17,18,19} dB within the reference's rtol=2 of (1.7e-1, 1e-1, 2.5e-3).
+    The batched fixed-budget detector beats the reference's dynamic-stack
+    search outright, so it sits well inside the band from below."""
+    from commpy_tpu.models.device_links import make_bestfirst_ldpc_mimo_link
+    from commpy_tpu.ops.ldpc import get_ldpc_code_params
+    import os
+
+    design = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "commpy_tpu", "designs", "ldpc", "wimax", "1440.720.txt",
+    )
+    params = get_ldpc_code_params(design, True)
+    link = make_bestfirst_ldpc_mimo_link(ldpc_params=params)
+    snrs = np.arange(17, 20, 1.0)
+    res = montecarlo_ber(
+        link.link_step, snrs, link.noise_std_fn, link.frame_bits,
+        jax.random.PRNGKey(5), frames_per_round=16, max_rounds=40,
+        err_min=200, mesh=make_mesh(8),
+    )
+    desired = (1.7e-1, 1e-1, 2.5e-3)
+    assert_allclose(res.bers, desired, rtol=2)
+    # and never WORSE than the reference curve itself
+    assert np.all(res.bers <= np.asarray(desired) * 1.5)
+
+
 def test_compat_linkmodel_qpsk():
     """The reference-compatible LinkModel API end-to-end."""
     np.random.seed(8071996)
