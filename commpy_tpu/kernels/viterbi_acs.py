@@ -116,12 +116,180 @@ def _acs_kernel(r_ref, C_ref, Q_ref, W_ref, dec_ref, best_ref, pm_ref, *,
     pm_ref[:, :] = pm
 
 
-@partial(jax.jit, static_argnames=("trellis", "decoding_type", "time_chunk"))
+def _radix2_tables(trellis: Trellis, decoding_type: str):
+    """Host tables for the 2-step fused ACS.
+
+    Rows of the stacked [4S] candidate axis are ordered
+    ``row = j0 * 2S + j1 * S + s`` (j0 = older-step branch, j1 = newer-step
+    branch, s = end state), chosen so that
+
+    * the final 4-way min reduces over two CONTIGUOUS halves (min over j0)
+      and then two contiguous S-blocks (min over j1), and
+    * the older step's per-state ACS decisions fall out of the partial sums
+      ``part = pm[prev2] + bm_old`` by an S/2-row interleave (see kernel).
+
+    Returns (Q2 [4S, S], Ca [4S, n(+1)], Cb [4S, n(+1)]) where Ca dots the
+    older codeword r_{t-1} and Cb the newer r_t (hard metrics use a
+    homogeneous coordinate for their per-branch constant).
+    """
+    from ..ops.viterbi import _branch_vectors, _hard_const
+
+    S = trellis.number_states
+    ps = trellis.pred_state_table  # [S, 2]
+    BV = _branch_vectors(trellis, decoding_type)  # [2S, n], row s*2+j
+    if decoding_type == "hard":
+        BV = np.concatenate([BV, _hard_const(trellis)[:, None]], axis=1)
+    n = BV.shape[1]
+    Q2 = np.zeros((4 * S, S), np.float32)
+    Ca = np.zeros((4 * S, n), np.float32)
+    Cb = np.zeros((4 * S, n), np.float32)
+    for j0 in range(2):
+        for j1 in range(2):
+            for s in range(S):
+                row = j0 * 2 * S + j1 * S + s
+                i = ps[s, j1]           # intermediate state (time t-1)
+                p = ps[i, j0]           # state two steps back
+                Q2[row, p] = 1.0
+                Ca[row] = BV[i * 2 + j0]   # branch p -> i, consumes r_{t-1}
+                Cb[row] = BV[s * 2 + j1]   # branch i -> s, consumes r_t
+    return Q2, Ca, Cb
+
+
+def _mid_pack_matrix(S: int) -> np.ndarray:
+    """[G, 2S] packing matrix for mid-step decisions kept in BLOCK order.
+
+    The fused kernel evaluates the older step's per-state comparison at
+    block-order row ``j1 * S + s'`` which holds state ``i = 2 s' + j1``
+    (s' < S/2; rows with s' >= S/2 are duplicates and get weight 0).  The
+    state->bit-position permutation is folded into the powers-of-two
+    packing matmul, so the kernel never shuffles sublanes.
+    """
+    G = -(-S // _PACK)
+    W2 = np.zeros((G, 2 * S), np.float32)
+    for i in range(S):
+        row = (i % 2) * S + (i // 2)
+        W2[i // _PACK, row] = float(1 << (i % _PACK))
+    return W2
+
+
+def _acs2_kernel(r_ref, Ca_ref, Cb_ref, Q2_ref, W_ref, W2_ref, dec_ref,
+                 best_ref, pm_ref, *, n_pairs: int, S: int):
+    """Two trellis steps per loop iteration (radix-2 ACS fusion).
+
+    The radix-1 recursion is latency-bound: each step is one small
+    dependent MXU op.  Fusing two steps turns the dependent chain into ONE
+    [4S, S] @ [S, B] matmul per pair — same total FLOPs, half the number
+    of dependent ops.  Per-original-step decisions and argmin states are
+    recovered exactly (Bellman: the older step's ACS comparisons are
+    subexpressions of the 4-way candidates), so the packed traceback is
+    unchanged and outputs stay bit-identical to the radix-1 kernel.
+
+    All extractions use contiguous sublane slices; the only state-order
+    permutation (mid-step block order -> state order) is folded into the
+    host-built packing matrix ``W2`` and elementwise iota arithmetic.
+    Each ref is read/written ONCE per iteration (the two original steps
+    ride a paired axis), so no ref sees two dynamic stores per step.
+
+    r_ref:   [TC/2, 2n, B]  step-pair codewords ([0:n] older, [n:2n] newer)
+    dec_ref: [TC/2, 2G, B]  packed decisions ([0:G] older, [G:2G] newer)
+    best_ref:[TC/2, 2, B]   per-original-step argmin state (older, newer)
+    pm_ref:  [S, B]         persistent path metrics (scratch)
+    """
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        B = pm_ref.shape[1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0)
+        pm_ref[:, :] = jnp.where(row == 0, 0.0, 1e30)
+
+    H = S // 2
+    B = pm_ref.shape[1]
+    # Block-order row r = j1*S + s' holds state i = 2 s' + j1 (s' < S/2).
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * S, B), 0)
+    j1v = (r_iota >= S).astype(jnp.int32)
+    s_prime = r_iota - j1v * S
+    i_of_row = 2 * s_prime + j1v
+    row_valid = s_prime < H
+
+    def argmin_state(x):
+        # first-index argmin over the sublane (state) axis of [S, B]
+        m = jnp.min(x, axis=0, keepdims=True)
+        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        return jnp.min(jnp.where(x == m, row, S), axis=0).astype(jnp.int32), m
+
+    def pack(bits, W):
+        # bool rows -> [G, B] int32 via the powers-of-two matmul
+        return jax.lax.dot_general(
+            W, bits.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+
+    def step(tau, pm):
+        r01 = r_ref[tau, :, :]         # [2n, B] step-pair codewords
+        n = r01.shape[0] // 2
+        r0 = r01[0:n, :]               # older codeword
+        r1 = r01[n:, :]                # newer codeword
+        part = jax.lax.dot_general(
+            Q2_ref[:, :], pm,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            Ca_ref[:, :], r0,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [4S, B]: pm[prev2] + bm_{t-1}
+        cand = part + jax.lax.dot_general(
+            Cb_ref[:, :], r1,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # full 2-step candidates
+
+        # ---- older step (t-1), all in block order [2S, B] ----
+        # row j1*S + s of the j0 halves holds pm[prev(i, j0)] + bm(prev->i)
+        # for the state i = prev(s, j1) = 2s + j1 (shift trellis, s < S/2).
+        mid0 = part[0:2 * S, :]
+        mid1 = part[2 * S:4 * S, :]
+        take_mid_blk = mid1 < mid0
+        pm_mid_blk = jnp.minimum(mid0, mid1)
+        pm_valid = jnp.where(row_valid, pm_mid_blk, jnp.float32(3.0e38))
+        m_mid = jnp.min(pm_valid, axis=0, keepdims=True)
+        best_mid = jnp.min(
+            jnp.where(pm_valid == m_mid, i_of_row, S), axis=0
+        ).astype(jnp.int32)
+
+        # ---- newer step (t): 4-way min over contiguous blocks ----
+        mj0 = jnp.minimum(cand[0:2 * S, :], cand[2 * S:4 * S, :])  # min j0
+        m0 = mj0[0:S, :]       # j1 = 0
+        m1 = mj0[S:2 * S, :]   # j1 = 1
+        take_new = m1 < m0
+        new_pm = jnp.minimum(m0, m1)
+        best_new, mn = argmin_state(new_pm)
+
+        dec_ref[tau, :, :] = jnp.concatenate(
+            [pack(take_mid_blk, W2_ref[:, :]), pack(take_new, W_ref[:, :])],
+            axis=0,
+        )
+        best_ref[tau, :, :] = jnp.concatenate(
+            [best_mid[None, :], best_new[None, :]], axis=0
+        )
+        return new_pm - mn
+
+    pm = pm_ref[:, :]
+    pm = jax.lax.fori_loop(0, n_pairs, step, pm)
+    pm_ref[:, :] = pm
+
+
+@partial(jax.jit,
+         static_argnames=("trellis", "decoding_type", "time_chunk", "radix"))
 def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
-                       time_chunk: int = 512):
+                       time_chunk: int = 512, radix: int = 1):
     """Run the fused ACS forward pass.
 
     r : ``[B, T, n]`` float32 received codewords (already clipped/padded).
+    radix : 2 fuses two trellis steps per kernel iteration (same FLOPs,
+        half the dependent-MXU chain); 1 is the single-step kernel and the
+        default (radix 2 currently misdecodes on the remote-TPU Mosaic
+        at S >= 64 — under investigation; bit-exact in interpret mode).
     Returns (dec_packed ``[B, T, G]`` int32, best_state ``[B, T]`` int32).
     """
     from ..ops.viterbi import _branch_vectors, _hard_const
@@ -133,14 +301,10 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
             "the Pallas ACS kernel supports binary-input (k=1) codes; "
             "use backend='xla' for k>1"
         )
-    C = _branch_vectors(trellis, decoding_type)  # [S*I, n]
     if decoding_type == "hard":
-        # fold the per-branch constant into C via a homogeneous coordinate
-        C = np.concatenate([C, _hard_const(trellis)[:, None]], axis=1)
+        # per-branch constants ride a homogeneous coordinate
         r = jnp.concatenate([r, jnp.ones((B, T, 1), r.dtype)], axis=-1)
         n += 1
-    C = C.reshape(S, I, -1).transpose(1, 0, 2).reshape(I * S, -1)  # [I*S, n]
-    Q = _perm_matrices(trellis.pred_state_table).reshape(I * S, S)
     W = _pack_matrix(S)
     G = W.shape[0]
 
@@ -149,43 +313,97 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
     G_est = -(-S // _PACK)
     tc_cap = max(32, (4 * 1024 * 1024) // max(B * G_est * 4, 1))
     TC = min(time_chunk, T, tc_cap)
+    if radix == 2:
+        TC += TC % 2  # whole step-pairs per chunk
     n_chunks = -(-T // TC)
     T_pad = n_chunks * TC
     if T_pad != T:
+        # zero-pad: padded steps produce decisions no traceback window
+        # ever consumes (emissions stop at t = T-1)
         r = jnp.pad(r, ((0, 0), (0, T_pad - T), (0, 0)))
     r_tl = jnp.transpose(r, (1, 2, 0))  # [T, n, B] batch-last
 
-    kernel = partial(_acs_kernel, n_steps=TC, S=S, I=I)
     # Interpret mode off-TPU so tests run on the CPU backend unchanged.
     interpret = jax.default_backend() not in ("tpu", "axon")
-    dec_packed, best = pl.pallas_call(
-        kernel,
-        grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((TC, n, B), lambda i: (i, 0, 0),
+
+    if radix == 2:
+        Q2, Ca, Cb = _radix2_tables(trellis, decoding_type)
+        W2 = _mid_pack_matrix(S)
+        kernel = partial(_acs2_kernel, n_pairs=TC // 2, S=S)
+        in_mats = [jnp.asarray(Ca), jnp.asarray(Cb), jnp.asarray(Q2),
+                   jnp.asarray(W), jnp.asarray(W2)]
+        mat_specs = [
+            pl.BlockSpec((4 * S, n), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * S, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * S, S), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, S), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 2 * S), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        # step-pair layout: every ref is touched once per fused step
+        r_pairs = r_tl.astype(jnp.float32).reshape(T_pad // 2, 2 * n, B)
+        r_spec = pl.BlockSpec((TC // 2, 2 * n, B), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        out_specs = [
+            pl.BlockSpec((TC // 2, 2 * G, B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC // 2, 2, B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((T_pad // 2, 2 * G, B), jnp.int32),
+            jax.ShapeDtypeStruct((T_pad // 2, 2, B), jnp.int32),
+        ]
+    else:
+        C = _branch_vectors(trellis, decoding_type)  # [S*I, n] rows s*2+j
+        if decoding_type == "hard":
+            C = np.concatenate([C, _hard_const(trellis)[:, None]], axis=1)
+        C = C.reshape(S, I, -1).transpose(1, 0, 2).reshape(I * S, -1)
+        Q = _perm_matrices(trellis.pred_state_table).reshape(I * S, S)
+        kernel = partial(_acs_kernel, n_steps=TC, S=S, I=I)
+        in_mats = [jnp.asarray(C), jnp.asarray(Q), jnp.asarray(W)]
+        mat_specs = [
             pl.BlockSpec((I * S, n), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((I * S, S), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, S), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
+        ]
+        r_pairs = r_tl.astype(jnp.float32)
+        r_spec = pl.BlockSpec((TC, n, B), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        out_specs = [
             pl.BlockSpec((TC, G, B), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TC, B), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
+        ]
+        out_shape = [
             jax.ShapeDtypeStruct((T_pad, G, B), jnp.int32),
             jax.ShapeDtypeStruct((T_pad, B), jnp.int32),
-        ],
+        ]
+
+    dec_packed, best = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[r_spec, *mat_specs],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
         interpret=interpret,
-    )(r_tl.astype(jnp.float32), jnp.asarray(C), jnp.asarray(Q),
-      jnp.asarray(W))
+    )(r_pairs, *in_mats)
 
+    if radix == 2:
+        # unpair: [T/2, 2G, B] -> [T, G, B]; [T/2, 2, B] -> [T, B]
+        dec_packed = dec_packed.reshape(T_pad // 2, 2, G, B).reshape(
+            T_pad, G, B
+        )
+        best = best.reshape(T_pad, B)
     dec_packed = jnp.transpose(dec_packed[:T], (2, 0, 1))  # [B, T, G]
     best = best[:T].T  # [B, T]
     return dec_packed, best
