@@ -63,13 +63,25 @@ def main():
         }), flush=True)
 
     def guarded(section):
+        # Retry once (the remote compile service has flaky windows), but
+        # report EVERY failure loudly: full traceback to stderr plus a
+        # JSON error line naming the section, so a section can never
+        # silently vanish from the output.
+        import traceback
+
         for attempt in (0, 1):
             try:
                 section()
                 return
             except Exception as e:  # pragma: no cover
-                if attempt:
-                    print(json.dumps({"error": str(e)[:120]}), flush=True)
+                traceback.print_exc()
+                print(
+                    json.dumps({
+                        "error": f"{section.__name__} attempt {attempt}: "
+                                 f"{type(e).__name__}: {e}",
+                    }),
+                    flush=True,
+                )
 
     # --- soft Viterbi K=7 ---
     def sec_viterbi():
@@ -99,6 +111,21 @@ def main():
                "turbo_8it_bits_per_s")
     guarded(sec_turbo)
 
+    # --- turbo, production frame length (LTE-size), windowed BCJR ---
+    def sec_turbo_long():
+        trt = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
+        Lt, Bt = 6144, 256
+        interlv = RandInterlv(Lt, 0)
+        x0 = jnp.asarray(rng.randn(Bt, Lt).astype(np.float32))
+        def body(c):
+            d = turbo_decode_device(c, c, c, trt, 0.5, 8, interlv.p_array,
+                                    window=(256, 32))
+            return c + d.astype(c.dtype).sum() * 1e-12
+        dt = timed_chain(body, x0, rep=3)
+        report("turbo_8it_L6144_windowed", Bt * Lt / dt, "info bits/s",
+               "turbo_8it_bits_per_s")
+    guarded(sec_turbo_long)
+
     # --- LDPC WiMAX 1440.720 MSA 15 iterations ---
     def sec_ldpc():
         design = os.path.join(
@@ -115,6 +142,21 @@ def main():
         report("ldpc_wimax_msa15", Bl * 720 / dt, "info bits/s",
                "ldpc_wimax_msa15_info_bits_per_s")
     guarded(sec_ldpc)
+
+    # --- QC-LDPC 802.11n (1944, 972) MSA 15 iterations (roll-based BP) ---
+    def sec_qcldpc():
+        from commpy_tpu.ops.qcldpc import ieee80211n_params, qc_bp_decode_device
+
+        params = ieee80211n_params(1944, "1/2")
+        Bq = 256
+        x0 = jnp.asarray(rng.randn(Bq, 1944).astype(np.float32) * 2)
+        def body(c):
+            dec, out = qc_bp_decode_device(c, params, "MSA", 15)
+            return c + out * 1e-9
+        dt = timed_chain(body, x0, rep=5)
+        report("qcldpc_80211n_1944_msa15", Bq * 972 / dt, "info bits/s",
+               "ldpc_wimax_msa15_info_bits_per_s")
+    guarded(sec_qcldpc)
 
     # --- 16-QAM exact-LLR soft demod ---
     def sec_demod():

@@ -85,7 +85,6 @@ def upfirdn(x, taps, up: int = 1, down: int = 1):
         # outs[p] has length n + t_phase - 1; interleave
         t_phase = poly.shape[1]
         inter_len = up * (n + t_phase - 1)
-        y = jnp.zeros(x.shape[:-1] + (inter_len,), outs.dtype)
         y = jnp.moveaxis(outs, 0, -1).reshape(x.shape[:-1] + (inter_len,))
         y = y[..., :full_len]
     if down > 1:
