@@ -7,6 +7,9 @@ dispatch, XLA dead-code elimination, and host-link round-trip jitter.
 
 Prints one JSON object per line (metric, value, unit, vs_baseline).
 Run on the target device:  python benchmarks/bench_all.py
+Select sections (comma list, e.g. ``viterbi,turbo_long``) as argv[1] —
+useful for running each section in a fresh process when the remote
+compile service has flaky windows.
 """
 import json
 import os
@@ -62,7 +65,11 @@ def main():
             "vs_baseline": round(vs, 1) if vs else None,
         }), flush=True)
 
+    only = set(sys.argv[1].split(",")) if len(sys.argv) > 1 else None
+
     def guarded(section):
+        if only is not None and section.__name__.removeprefix("sec_") not in only:
+            return
         # Retry once (the remote compile service has flaky windows), but
         # report EVERY failure loudly: full traceback to stderr plus a
         # JSON error line naming the section, so a section can never

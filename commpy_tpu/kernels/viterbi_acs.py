@@ -37,6 +37,23 @@ from ..ops.trellis import Trellis
 
 __all__ = ["acs_forward_pallas"]
 
+# MXU precision for the in-kernel matmuls.  HIGHEST keeps the f32 inputs
+# exact (multi-pass), so kernel decisions are bit-identical across
+# radix-1/radix-2/interpret; DEFAULT rounds operands to bf16 per MXU pass,
+# which flips near-tie ACS comparisons on real TPUs (measured: ~0.1% of
+# decisions at sigma=0.33 LLR noise; BER-invisible) but runs ~2.1x faster
+# (643 vs 302 Mbit/s forward at B=1024).  DEFAULT is the throughput
+# configuration; pass exact=True to acs_forward_pallas for cross-backend
+# bit-exactness (Mosaic supports only DEFAULT and HIGHEST in-kernel).
+_DOT_PRECISION = jax.lax.Precision.DEFAULT
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=_DOT_PRECISION, preferred_element_type=jnp.float32,
+    )
+
 _PACK = 16  # states per int32 word (2^15 max is f32-exact)
 
 
@@ -83,26 +100,14 @@ def _acs_kernel(r_ref, C_ref, Q_ref, W_ref, dec_ref, best_ref, pm_ref, *,
         r_t = r_ref[t, :, :]  # [n, B]
         # both branches in ONE stacked matmul each: [2S,S]@[S,B] and
         # [2S,n]@[n,B] (halves the dependent-MXU-op chain per step)
-        permuted = jax.lax.dot_general(
-            Q_ref[:, :], pm,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [2S, B]
-        bm = jax.lax.dot_general(
-            C_ref[:, :], r_t,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [2S, B]
+        permuted = _dot(Q_ref[:, :], pm)  # [2S, B]
+        bm = _dot(C_ref[:, :], r_t)  # [2S, B]
         cand = permuted + bm
         # binary branch decision (I == 2), first-index tie-break
         take = cand[S:, :] < cand[:S, :]
         new_pm = jnp.where(take, cand[S:, :], cand[:S, :])
         # pack decision bits over the state (sublane) axis: [G,S]@[S,B]
-        packed = jax.lax.dot_general(
-            W_ref[:, :], take.astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)  # [G, B]
+        packed = _dot(W_ref[:, :], take.astype(jnp.float32)).astype(jnp.int32)  # [G, B]
         # argmin over the state (sublane) axis, first index on ties
         m = jnp.min(new_pm, axis=0, keepdims=True)
         row = jax.lax.broadcasted_iota(jnp.int32, new_pm.shape, 0)
@@ -172,8 +177,9 @@ def _mid_pack_matrix(S: int) -> np.ndarray:
     return W2
 
 
-def _acs2_kernel(r_ref, Ca_ref, Cb_ref, Q2_ref, W_ref, W2_ref, dec_ref,
-                 best_ref, pm_ref, *, n_pairs: int, S: int):
+def _acs2_kernel(r_ref, Ca_ref, Cb_ref, Q2_ref, W_ref, W2_ref, dec0_ref,
+                 dec1_ref, best0_ref, best1_ref, pm_ref, *, n_pairs: int,
+                 S: int):
     """Two trellis steps per loop iteration (radix-2 ACS fusion).
 
     The radix-1 recursion is latency-bound: each step is one small
@@ -187,13 +193,17 @@ def _acs2_kernel(r_ref, Ca_ref, Cb_ref, Q2_ref, W_ref, W2_ref, dec_ref,
     All extractions use contiguous sublane slices; the only state-order
     permutation (mid-step block order -> state order) is folded into the
     host-built packing matrix ``W2`` and elementwise iota arithmetic.
-    Each ref is read/written ONCE per iteration (the two original steps
-    ride a paired axis), so no ref sees two dynamic stores per step.
+    The two original steps write to SEPARATE refs (no in-kernel
+    concatenate, no narrow paired axis) — each ref sees exactly one
+    contiguous dynamic store per iteration; the step interleave happens
+    outside the kernel.
 
-    r_ref:   [TC/2, 2n, B]  step-pair codewords ([0:n] older, [n:2n] newer)
-    dec_ref: [TC/2, 2G, B]  packed decisions ([0:G] older, [G:2G] newer)
-    best_ref:[TC/2, 2, B]   per-original-step argmin state (older, newer)
-    pm_ref:  [S, B]         persistent path metrics (scratch)
+    r_ref:    [TC/2, 2n, B]  step-pair codewords ([0:n] older, [n:2n] newer)
+    dec0_ref: [TC/2, G, B]   packed decisions, older step of each pair
+    dec1_ref: [TC/2, G, B]   packed decisions, newer step
+    best0_ref:[TC/2, B]      argmin state, older step
+    best1_ref:[TC/2, B]      argmin state, newer step
+    pm_ref:   [S, B]         persistent path metrics (scratch)
     """
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -218,31 +228,15 @@ def _acs2_kernel(r_ref, Ca_ref, Cb_ref, Q2_ref, W_ref, W2_ref, dec_ref,
 
     def pack(bits, W):
         # bool rows -> [G, B] int32 via the powers-of-two matmul
-        return jax.lax.dot_general(
-            W, bits.astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
+        return _dot(W, bits.astype(jnp.float32)).astype(jnp.int32)
 
     def step(tau, pm):
         r01 = r_ref[tau, :, :]         # [2n, B] step-pair codewords
         n = r01.shape[0] // 2
         r0 = r01[0:n, :]               # older codeword
         r1 = r01[n:, :]                # newer codeword
-        part = jax.lax.dot_general(
-            Q2_ref[:, :], pm,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            Ca_ref[:, :], r0,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [4S, B]: pm[prev2] + bm_{t-1}
-        cand = part + jax.lax.dot_general(
-            Cb_ref[:, :], r1,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # full 2-step candidates
+        part = _dot(Q2_ref[:, :], pm) + _dot(Ca_ref[:, :], r0)  # [4S, B]: pm[prev2] + bm_{t-1}
+        cand = part + _dot(Cb_ref[:, :], r1)  # full 2-step candidates
 
         # ---- older step (t-1), all in block order [2S, B] ----
         # row j1*S + s of the j0 halves holds pm[prev(i, j0)] + bm(prev->i)
@@ -265,13 +259,10 @@ def _acs2_kernel(r_ref, Ca_ref, Cb_ref, Q2_ref, W_ref, W2_ref, dec_ref,
         new_pm = jnp.minimum(m0, m1)
         best_new, mn = argmin_state(new_pm)
 
-        dec_ref[tau, :, :] = jnp.concatenate(
-            [pack(take_mid_blk, W2_ref[:, :]), pack(take_new, W_ref[:, :])],
-            axis=0,
-        )
-        best_ref[tau, :, :] = jnp.concatenate(
-            [best_mid[None, :], best_new[None, :]], axis=0
-        )
+        dec0_ref[tau, :, :] = pack(take_mid_blk, W2_ref[:, :])
+        dec1_ref[tau, :, :] = pack(take_new, W_ref[:, :])
+        best0_ref[tau, :] = best_mid
+        best1_ref[tau, :] = best_new
         return new_pm - mn
 
     pm = pm_ref[:, :]
@@ -349,14 +340,20 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
         r_spec = pl.BlockSpec((TC // 2, 2 * n, B), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
         out_specs = [
-            pl.BlockSpec((TC // 2, 2 * G, B), lambda i: (i, 0, 0),
+            pl.BlockSpec((TC // 2, G, B), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TC // 2, 2, B), lambda i: (i, 0, 0),
+            pl.BlockSpec((TC // 2, G, B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC // 2, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC // 2, B), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((T_pad // 2, 2 * G, B), jnp.int32),
-            jax.ShapeDtypeStruct((T_pad // 2, 2, B), jnp.int32),
+            jax.ShapeDtypeStruct((T_pad // 2, G, B), jnp.int32),
+            jax.ShapeDtypeStruct((T_pad // 2, G, B), jnp.int32),
+            jax.ShapeDtypeStruct((T_pad // 2, B), jnp.int32),
+            jax.ShapeDtypeStruct((T_pad // 2, B), jnp.int32),
         ]
     else:
         C = _branch_vectors(trellis, decoding_type)  # [S*I, n] rows s*2+j
@@ -388,7 +385,7 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
             jax.ShapeDtypeStruct((T_pad, B), jnp.int32),
         ]
 
-    dec_packed, best = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(n_chunks,),
         in_specs=[r_spec, *mat_specs],
@@ -399,11 +396,13 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
     )(r_pairs, *in_mats)
 
     if radix == 2:
-        # unpair: [T/2, 2G, B] -> [T, G, B]; [T/2, 2, B] -> [T, B]
-        dec_packed = dec_packed.reshape(T_pad // 2, 2, G, B).reshape(
-            T_pad, G, B
-        )
-        best = best.reshape(T_pad, B)
+        # interleave the per-pair outputs back into step order (plain XLA
+        # ops outside the kernel)
+        dec0, dec1, best0, best1 = outs
+        dec_packed = jnp.stack([dec0, dec1], axis=1).reshape(T_pad, G, B)
+        best = jnp.stack([best0, best1], axis=1).reshape(T_pad, B)
+    else:
+        dec_packed, best = outs
     dec_packed = jnp.transpose(dec_packed[:T], (2, 0, 1))  # [B, T, G]
     best = best[:T].T  # [B, T]
     return dec_packed, best

@@ -1,0 +1,95 @@
+"""Mesh-parallel decoding demos (runs anywhere: CPU fallback included).
+
+Three parallelism axes the reference cannot express (SURVEY §2):
+
+1. frame-parallel Monte-Carlo (the production configuration) — see
+   examples/conv_encode_decode.py and commpy_tpu/parallel/montecarlo.py;
+2. sequence parallelism: ONE long turbo frame split along time across
+   the mesh, BCJR state metrics exchanged as ppermute halos;
+3. tensor parallelism: ONE LDPC Tanner graph's edges split across the
+   mesh, variable-node sums completed with psum.
+
+Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      JAX_PLATFORMS=cpu python examples/sharded_decoding.py
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+if "XLA_FLAGS" not in os.environ:
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+
+import jax
+
+# Some environments pre-register a remote accelerator backend at
+# interpreter startup and ignore the JAX_PLATFORMS env var; enforce the
+# user's choice after import (the only reliable point).
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+from commpy_tpu.channelcoding import RandInterlv
+from commpy_tpu.ops.ldpc import (
+    get_ldpc_code_params,
+    ldpc_bp_decode_device,
+    ldpc_bp_decode_sharded,
+)
+from commpy_tpu.ops.stream import sharded_turbo_stream
+from commpy_tpu.ops.trellis import Trellis
+from commpy_tpu.ops.turbo import turbo_decode_device, turbo_encode_device
+from commpy_tpu.parallel import make_mesh
+
+mesh = make_mesh()
+D = mesh.devices.size
+print(f"mesh: {D} x {jax.devices()[0].platform}")
+
+# --- sequence-sharded turbo: 16k-bit frame across the mesh --------------
+L = 512 * D
+trellis = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
+interleaver = RandInterlv(L, 0)
+rng = np.random.RandomState(1)
+msg = rng.randint(0, 2, L).astype(np.int8)
+sys_b, par1_b, par2_b = turbo_encode_device(
+    msg, trellis, trellis, np.asarray(interleaver.p_array)
+)
+sigma = 0.9
+to_sym = lambda b: (2.0 * np.asarray(b) - 1) + rng.randn(L) * sigma
+sys_s, par1_s, par2_s = to_sym(sys_b), to_sym(par1_b), to_sym(par2_b)
+
+dec_sharded = np.asarray(
+    sharded_turbo_stream(
+        sys_s, par1_s, par2_s, trellis, sigma**2, 6,
+        interleaver.p_array, mesh, warmup=64, axis_name="dp",
+    )
+)
+dec_serial = np.asarray(
+    turbo_decode_device(
+        sys_s, par1_s, par2_s, trellis, sigma**2, 6, interleaver.p_array,
+        window=(256, 64),
+    )
+)
+print(
+    f"turbo {L}-bit frame: sharded BER "
+    f"{np.mean(dec_sharded != msg):.4f}, serial BER "
+    f"{np.mean(dec_serial != msg):.4f}, "
+    f"sharded==serial on {np.mean(dec_sharded == dec_serial):.4%} of bits"
+)
+
+# --- edge-sharded LDPC: one Tanner graph across the mesh ----------------
+design = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "commpy_tpu", "designs", "ldpc", "wimax", "1440.720.txt",
+)
+params = get_ldpc_code_params(design)
+llr = jnp.asarray(rng.randn(8, 1440).astype(np.float32) * 2 + 1.0)
+dec_s, _ = ldpc_bp_decode_sharded(llr, params, "MSA", 10, mesh, "dp")
+dec_1, _ = ldpc_bp_decode_device(llr, params, "MSA", 10)
+print(
+    "LDPC(1440,720) edge-sharded over "
+    f"{D} devices: decisions identical to single-device: "
+    f"{bool(jnp.all(dec_s == dec_1))}"
+)

@@ -169,3 +169,25 @@ def test_bit_lvl_repr():
     assert_allclose(a, b, rtol=1e-6)
     with pytest.raises(ValueError):
         bit_lvl_repr(H, np.array([1, 2, 3]))
+
+
+def test_chol_qr_matches_linalg_qr_metrics():
+    # The Cholesky triangularization must give the same R (up to per-row
+    # unit phase) and the same residual metrics as linalg.qr, so beam
+    # search survivors are unchanged.
+    import jax.numpy as jnp
+    from commpy_tpu.ops.mimo import _beam_search_single, _chol_qr_batched
+
+    rng = np.random.RandomState(11)
+    for nt in (2, 4):
+        _, const, x, h, y = _rand_mimo(rng, nt, nt, 16)
+        r, yt = _chol_qr_batched(jnp.asarray(h[None]), jnp.asarray(y[None]))
+        Xc, dc = _beam_search_single(
+            jnp.asarray(y), jnp.asarray(h), jnp.asarray(const),
+            (8,) * nt, qr=(r[0], yt[0]),
+        )
+        Xq, dq = _beam_search_single(
+            jnp.asarray(y), jnp.asarray(h), jnp.asarray(const), (8,) * nt
+        )
+        assert_allclose(np.asarray(dc), np.asarray(dq), rtol=2e-3, atol=2e-3)
+        assert_allclose(np.asarray(Xc), np.asarray(Xq), atol=1e-5)
