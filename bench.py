@@ -8,8 +8,12 @@ benchmarks/measure_reference.py.
 Timing methodology (remote-TPU-safe): REP decodes are chained INSIDE one
 jitted program through a data dependency that cannot be constant-folded,
 and the host synchronizes on a scalar transfer — so neither async
-dispatch, XLA dead-code elimination, nor host-link round-trip jitter can
-distort the number.
+dispatch nor XLA dead-code elimination can distort the number.  Per-call
+host overhead (the remote tunnel here has a ~30 ms round trip — at
+REP=30 leaving it in would understate throughput ~35%) is removed by
+DIFFERENCING: the same body is timed at two chain lengths and the
+throughput comes from the slope (t_hi - t_lo) / (rep_hi - rep_lo), so
+any fixed dispatch/sync latency cancels exactly.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -33,31 +37,36 @@ def main():
     L = 1024  # message bits per frame
     B = 1024  # frames per batch
     tb_depth = 30
-    REP = 30  # decodes chained per timed call
+    REP_LO, REP_HI = 10, 40  # two chain lengths; throughput = the slope
 
     rng = np.random.RandomState(0)
     llrs = jnp.asarray(rng.randn(B, 2 * L).astype(np.float32) * 3)
 
-    def chained(x):
-        def body(c, _):
-            dec = viterbi_decode_device(
-                c, trellis, tb_depth, "soft", L=L, backend="auto"
-            )
-            c = c.at[0, 0].add(jnp.sum(dec).astype(c.dtype) * 1e-12)
-            return c, ()
-        x, _ = jax.lax.scan(body, x, None, length=REP)
-        return x, jnp.sum(x[0, :4])
+    def make_fn(rep):
+        def chained(x):
+            def body(c, _):
+                dec = viterbi_decode_device(
+                    c, trellis, tb_depth, "soft", L=L, backend="auto"
+                )
+                c = c.at[0, 0].add(jnp.sum(dec).astype(c.dtype) * 1e-12)
+                return c, ()
+            x, _ = jax.lax.scan(body, x, None, length=rep)
+            return x, jnp.sum(x[0, :4])
+        return jax.jit(chained)
 
-    fn = jax.jit(chained)
-    x, s = fn(llrs)
-    _ = float(s)  # compile + warmup with real sync
+    fn_lo, fn_hi = make_fn(REP_LO), make_fn(REP_HI)
 
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x, s = fn(x)
-        _ = float(s)
-    per_decode = (time.perf_counter() - t0) / iters / REP
+    def timed(fn, iters=3):
+        x, s = fn(llrs)
+        _ = float(s)  # compile + warmup with real sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x, s = fn(x)
+            _ = float(s)
+        return (time.perf_counter() - t0) / iters
+
+    t_lo, t_hi = timed(fn_lo), timed(fn_hi)
+    per_decode = (t_hi - t_lo) / (REP_HI - REP_LO)
     bits_per_s = B * L / per_decode
 
     baseline_path = os.path.join(

@@ -20,7 +20,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-SYNC_BASELINE = 0.03  # measured host<->device round-trip (s)
+# Per-call host overhead (remote tunnel RTT ~30 ms) is removed by
+# DIFFERENCING: each workload is timed at two chain lengths and the
+# throughput comes from the slope, so fixed dispatch/sync latency
+# cancels exactly (same methodology as bench.py).
 
 
 def main():
@@ -40,21 +43,31 @@ def main():
     ref = json.load(open(ref_path)) if os.path.exists(ref_path) else {}
     rng = np.random.RandomState(0)
 
-    def timed_chain(make_body, x0, rep, outer=3):
-        """Wall-clock seconds per body application, honestly measured."""
-        def chained(x):
-            def body(c, _):
-                return make_body(c), ()
-            x, _ = jax.lax.scan(body, x, None, length=rep)
-            return x, jnp.sum(x.reshape(-1)[:4])
-        f = jax.jit(chained)
-        x, s = f(x0)
-        _ = float(s)  # compile + warmup, real sync
-        t0 = time.perf_counter()
-        for _ in range(outer):
-            x, s = f(x)
-            _ = float(s)
-        return ((time.perf_counter() - t0) / outer - SYNC_BASELINE) / rep
+    def timed_chain(make_body, x0, rep, outer=3,
+                    score=lambda x: jnp.sum(x.reshape(-1)[:4])):
+        """Device seconds per body application, honestly measured.
+
+        Times the rep-length and the (rep//4)-length chain and returns
+        the slope, cancelling fixed per-call host overhead exactly.
+        """
+        rep_lo = max(1, rep // 4)
+
+        def run(r):
+            def chained(x):
+                def body(c, _):
+                    return make_body(c), ()
+                x, _ = jax.lax.scan(body, x, None, length=r)
+                return x, score(x)
+            f = jax.jit(chained)
+            x, s = f(x0)
+            _ = float(s)  # compile + warmup, real sync
+            t0 = time.perf_counter()
+            for _ in range(outer):
+                x, s = f(x)
+                _ = float(s)
+            return (time.perf_counter() - t0) / outer
+
+        return (run(rep) - run(rep_lo)) / (rep - rep_lo)
 
     def report(metric, value, unit, ref_key):
         vs = value / ref[ref_key] if ref_key in ref else None
@@ -174,24 +187,13 @@ def main():
 
         # complex scan carries are not supported on every TPU runtime;
         # carry (re, im) float pairs instead.
-        def chained(re, im):
-            def b(c, _):
-                r, i = c
-                llr = M.demodulate_soft(
-                    jax.lax.complex(r, i), const, 4, 0.1
-                )
-                return (r + jnp.sum(llr) * 1e-20, i), ()
-            (re, im), _ = jax.lax.scan(b, (re, im), None, length=20)
-            return re, im, jnp.sum(re[:4])
+        def body(c):
+            r, i = c
+            llr = M.demodulate_soft(jax.lax.complex(r, i), const, 4, 0.1)
+            return (r + jnp.sum(llr) * 1e-20, i)
 
-        f = jax.jit(chained)
-        re, im, s = f(re0, im0)
-        _ = float(s)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            re, im, s = f(re, im)
-            _ = float(s)
-        dt = ((time.perf_counter() - t0) / 3 - SYNC_BASELINE) / 20
+        dt = timed_chain(body, (re0, im0), rep=20,
+                         score=lambda c: jnp.sum(c[0][:4]))
         report("qam16_soft_demod", Ns / dt / 1e6, "Msamples/s",
                "qam16_soft_demod_msamples_per_s")
     guarded(sec_demod)
@@ -205,17 +207,7 @@ def main():
         def body(k0):
             errs = link.link_step(jax.random.split(k0, F), ns)
             return jax.random.fold_in(k0, errs)
-        def chained(k):
-            def b(c, _):
-                return body(c), ()
-            k, _ = jax.lax.scan(b, k, None, length=5)
-            return k, jnp.sum(k)
-        f = jax.jit(chained)
-        k, s = f(x0); _ = float(s)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            k, s = f(k); _ = float(s)
-        dt = ((time.perf_counter() - t0) / 3 - SYNC_BASELINE) / 5
+        dt = timed_chain(body, x0, rep=5, score=jnp.sum)
         report("wifi_mcs4_full_link", F * 1200 / dt, "info bits/s", "")
     guarded(sec_wifi)
 
