@@ -646,10 +646,115 @@ def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
     return decoded
 
 
+@partial(jax.jit, static_argnames=("trellis", "number_iterations",
+                                   "max_log", "p_tuple", "window",
+                                   "lane_chunk"))
+def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
+                             non_sys_symbols_2, noise_variance, p_tuple,
+                             L_int, trellis: Trellis,
+                             number_iterations: int, max_log: bool = False,
+                             window=None, lane_chunk: int = 1024):
+    """Extrinsic loop driven by the fused Pallas BCJR kernel.
+
+    Same math as `_turbo_iterations` (reference turbo.py:254-333), but
+    each MAP pass is ONE kernel call (`kernels/bcjr.py`): the 2T-step
+    recursion runs inside VMEM with the betas never leaving vector
+    registers, instead of 2T XLA scan steps shuttling [B, S] tensors.
+    Streams are transposed to batch-last [L, B] and noise-scaled once;
+    the iteration loop is unrolled (static count) so each interleaver
+    exchange is a constant-index gather at the XLA top level — gathers
+    only lower to scalar loops INSIDE scan bodies.
+
+    ``window=(chunk, warmup)`` folds the frame into ``N`` sub-blocks
+    with warmup halos ON THE LANE AXIS ([L, B] -> [Wn, N*B]) and decodes
+    every window of every frame simultaneously under the kernel's
+    valid/first masks — the long-frame path (alpha history for a whole
+    LTE frame would not fit VMEM).
+    """
+    p_np = np.asarray(p_tuple, np.int64)
+    L = p_np.shape[0]
+    inv_np = np.empty_like(p_np)
+    inv_np[p_np] = np.arange(L)
+    B = sys_symbols.shape[0]
+
+    inv_nv = 1.0 / noise_variance
+    sy = sys_symbols.T * inv_nv  # [L, B]
+    pa1 = non_sys_symbols_1.T * inv_nv
+    pa2 = non_sys_symbols_2.T * inv_nv
+    li = L_int.T
+
+    p = jnp.asarray(p_np, jnp.int32)
+    inv_p = jnp.asarray(inv_np, jnp.int32)
+    interlv = lambda x: jnp.take(x, p, axis=0)
+    deinterlv = lambda x: jnp.take(x, inv_p, axis=0)
+    sy_i = interlv(sy)
+
+    if window is None:
+        def bcjr_pass(syn, pan, lint):
+            from ..kernels.bcjr import bcjr_appdiff_pallas
+            return bcjr_appdiff_pallas(syn, pan, lint, trellis,
+                                       max_log=max_log,
+                                       lane_chunk=lane_chunk)
+        sy_f, pa1_f, syi_f, pa2_f = sy, pa1, sy_i, pa2
+        fold = unfold = lambda x: x
+    else:
+        C, W = int(window[0]), int(window[1])
+        Tp = -(-L // C) * C
+        N = Tp // C
+        Wn = W + C + W
+
+        def fold(x):  # [L, B] -> [Wn, N*B] window cores + W halos
+            xc = jnp.pad(x, ((0, Tp - L), (0, 0))).reshape(N, C, B)
+            left = jnp.pad(xc[:-1, C - W:], ((1, 0), (0, 0), (0, 0)))
+            right = jnp.pad(xc[1:, :W], ((0, 1), (0, 0), (0, 0)))
+            xw = jnp.concatenate([left, xc, right], 1)  # [N, Wn, B]
+            return jnp.moveaxis(xw, 0, 1).reshape(Wn, N * B)
+
+        def unfold(e):  # [Wn, N*B] -> [L, B] core regions
+            core = e[W:W + C].reshape(C, N, B)
+            return jnp.moveaxis(core, 1, 0).reshape(N * C, B)[:L]
+
+        gpos = np.arange(N)[:, None] * C - W + np.arange(Wn)[None, :]
+        valid_np = (gpos >= 0) & (gpos < L)  # [N, Wn]
+        valid = jnp.broadcast_to(
+            jnp.asarray(valid_np.T, jnp.float32)[:, :, None], (Wn, N, B)
+        ).reshape(Wn, N * B)
+        first = jnp.broadcast_to(
+            jnp.asarray(np.arange(N) == 0)[:, None], (N, B)
+        ).reshape(N * B)
+
+        def bcjr_pass(syn_f, pan_f, lint):
+            from ..kernels.bcjr import bcjr_appdiff_pallas
+            e = bcjr_appdiff_pallas(syn_f, pan_f, fold(lint), trellis,
+                                    max_log=max_log, valid=valid,
+                                    first=first, lane_chunk=lane_chunk)
+            return unfold(e)
+
+        sy_f, pa1_f = fold(sy), fold(pa1)
+        syi_f, pa2_f = fold(sy_i), fold(pa2)
+
+    li2 = e2 = None
+    for _ in range(number_iterations):
+        e1 = bcjr_pass(sy_f, pa1_f, li)
+        li2 = interlv(e1)
+        e2 = bcjr_pass(syi_f, pa2_f, li2)
+        li = deinterlv(e2)
+    # Posterior of decoder 2 = intrinsic + prior-free APP ratio; the
+    # deinterleave of exact copies commutes with the sign decision
+    # (turbo.py:331).
+    decoded = (deinterlv(li2 + e2) > 0).astype(jnp.int8)
+    return decoded.T
+
+
+# Largest whole-frame length the Pallas path accepts: the kernel's
+# forward-metric scratch is [T, S, lane_chunk] f32 in VMEM.
+_PALLAS_MAX_WHOLE_FRAME = 512
+
+
 def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
                         trellis: Trellis, noise_variance, number_iterations,
                         p_array, L_int=None, algorithm="log-MAP",
-                        parallel=False, window=None):
+                        parallel=False, window=None, backend="auto"):
     """Batched turbo decode (extrinsic loop of turbo.py:254-333).
 
     All symbol arrays ``[..., T]``; p_array the interleaver permutation.
@@ -657,10 +762,15 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
     (O(log T) sequential depth) — profitable for small batches where the
     recursion is latency-bound; at large Monte-Carlo batches the
     sequential scan is bandwidth-optimal and is the default.
-    ``window=(chunk, warmup)`` switches to the sliding-window BCJR
-    (`_log_bcjr_windowed`): sub-blocks decoded in parallel with
-    state-metric warmup halos — the high-throughput path for long frames
-    (sequential depth 2(chunk + 2 warmup) instead of 2T).
+    ``window=(chunk, warmup)`` switches to the sliding-window BCJR:
+    sub-blocks decoded in parallel with state-metric warmup halos — the
+    high-throughput path for long frames (sequential depth
+    2(chunk + 2 warmup) instead of 2T).
+    ``backend``: "pallas" runs each MAP pass as ONE fused VMEM-resident
+    kernel (`kernels/bcjr.py`); "xla" keeps the lax.scan core; "auto"
+    picks pallas on TPU backends for binary trellises whenever the
+    frame fits the kernel (whole frames up to 512 symbols, any length
+    windowed), xla otherwise.
     """
     sy = jnp.atleast_2d(jnp.asarray(sys_symbols, jnp.float32))
     p1 = jnp.atleast_2d(jnp.asarray(non_sys_symbols_1, jnp.float32))
@@ -669,12 +779,27 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
         L_int = jnp.zeros_like(sy)
     else:
         L_int = jnp.atleast_2d(jnp.asarray(L_int, jnp.float32))
-    out = _turbo_iterations(
-        sy, p1, p2, jnp.float32(noise_variance),
-        tuple(int(v) for v in np.asarray(p_array)), L_int, trellis,
-        int(number_iterations), algorithm == "max-log", bool(parallel),
-        None if window is None else (int(window[0]), int(window[1])),
-    )
+    p_tuple = tuple(int(v) for v in np.asarray(p_array))
+    win = None if window is None else (int(window[0]), int(window[1]))
+    if backend == "auto":
+        fits = win is not None or len(p_tuple) <= _PALLAS_MAX_WHOLE_FRAME
+        backend = (
+            "pallas"
+            if (jax.default_backend() in ("tpu", "axon") and not parallel
+                and trellis.number_inputs == 2 and fits)
+            else "xla"
+        )
+    if backend == "pallas":
+        out = _turbo_iterations_pallas(
+            sy, p1, p2, jnp.float32(noise_variance), p_tuple, L_int,
+            trellis, int(number_iterations), algorithm == "max-log", win,
+        )
+    else:
+        out = _turbo_iterations(
+            sy, p1, p2, jnp.float32(noise_variance), p_tuple, L_int,
+            trellis, int(number_iterations), algorithm == "max-log",
+            bool(parallel), win,
+        )
     if jnp.ndim(jnp.asarray(sys_symbols)) == 1:
         return out[0]
     return out

@@ -171,3 +171,27 @@ def test_turbo_decode_long_frame_l6144():
                               window=(512, 32))
     )
     assert (dec != msg).sum() == 0
+
+
+def test_turbo_pallas_backend_matches_xla():
+    # The fused Pallas BCJR kernel (kernels/bcjr.py, interpret mode on
+    # CPU) must reproduce the XLA scan core's decisions on whole frames
+    # and under the windowed sub-block decomposition.
+    np.random.seed(13)
+    mt = _trellis()
+    L = 64
+    interlv = RandInterlv(L, 2)
+    msg = np.random.randint(0, 2, (4, L))
+    s, p1, p2 = T.turbo_encode_device(msg, mt, mt, interlv.p_array)
+    sigma2 = 0.6
+    noise = np.random.randn(3, 4, L) * np.sqrt(sigma2)
+    sy = 2.0 * np.asarray(s) - 1 + noise[0]
+    py1 = 2.0 * np.asarray(p1) - 1 + noise[1]
+    py2 = 2.0 * np.asarray(p2) - 1 + noise[2]
+    args = (sy, py1, py2, mt, sigma2, 3, interlv.p_array)
+    for kw in ({}, {"window": (16, 8)}, {"algorithm": "max-log"}):
+        d_x = np.asarray(T.turbo_decode_device(*args, backend="xla", **kw))
+        d_p = np.asarray(
+            T.turbo_decode_device(*args, backend="pallas", **kw)
+        )
+        np.testing.assert_array_equal(d_x, d_p)
