@@ -406,3 +406,99 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
     dec_packed = jnp.transpose(dec_packed[:T], (2, 0, 1))  # [B, T, G]
     best = best[:T].T  # [B, T]
     return dec_packed, best
+
+
+def _traceback_kernel(dec_ref, best_ref, out_ref, *, T: int, S: int,
+                      tb_depth: int, pu_words):
+    """Packed traceback, one batch chunk fully in VMEM.
+
+    The XLA traceback (`ops/viterbi.py:_traceback_packed_structured`)
+    rolls the whole [B, T, G] decision tensor through HBM once per
+    depth step (~80 MB of traffic x tb_depth for the K=7 bench shape) —
+    it dominates the decode wall clock 10:1 over the ACS forward pass.
+    Here the chunk's decisions stay resident in VMEM and every roll is
+    an on-chip shift; the depth loop is unrolled (tb_depth is static),
+    so all shifts and emission masks are compile-time constants.
+
+    Same arithmetic, same tie-breaks, all-integer -> bit-identical to
+    the XLA version by construction.
+
+    dec_ref  : [G, BC, T] int32 packed branch decisions (word-major so
+               the 128-lane minor axis is T, not the tiny word count)
+    best_ref : [BC, T] int32 per-step argmin states
+    out_ref  : [BC, T] int32 decoded bits
+    pu_words : static ((w0, w1), ...) per-word pred_input bit packs
+    """
+    G = dec_ref.shape[0]
+    BC = dec_ref.shape[1]
+    half_mask = S // 2 - 1
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (BC, T), 1)
+
+    rolled = [dec_ref[g] for g in range(G)]
+    cur = best_ref[:, :]
+    out = jnp.zeros((BC, T), jnp.int32)
+
+    for d in range(max(tb_depth - 1, 1)):
+        cur_g = cur >> 4
+        pos = cur & 15
+        w = rolled[0]
+        pw0 = jnp.full((BC, T), pu_words[0][0], jnp.int32)
+        pw1 = jnp.full((BC, T), pu_words[0][1], jnp.int32)
+        for g in range(1, G):
+            sel = cur_g == g
+            w = jnp.where(sel, rolled[g], w)
+            pw0 = jnp.where(sel, pu_words[g][0], pw0)
+            pw1 = jnp.where(sel, pu_words[g][1], pw1)
+        j = (w >> pos) & 1
+        inp = (jnp.where(j == 0, pw0, pw1) >> pos) & 1
+        cur = ((cur & half_mask) << 1) | j
+        emit = (t_iota <= T - 1 - d) & (
+            (d == tb_depth - 2) | (t_iota == T - 1 - d)
+        )
+        # roll by -d == roll by T - d (pltpu.roll wants shift >= 0)
+        inp_pos = pltpu.roll(inp, (T - d) % T, axis=1) if d else inp
+        out = jnp.where(emit, inp_pos, out)
+        if d + 1 < max(tb_depth - 1, 1):
+            rolled = [pltpu.roll(x, 1, axis=1) for x in rolled]
+    out_ref[:, :] = out
+
+
+@partial(jax.jit, static_argnames=("S", "tb_depth", "pu_words"))
+def traceback_pallas(dec_packed, best_state, S: int, tb_depth: int,
+                     pu_words, batch_chunk: int = 128):
+    """Run the packed traceback kernel.
+
+    dec_packed : [B, T, G] int32 (from `acs_forward_pallas`)
+    best_state : [B, T] int32
+    pu_words   : tuple of (w0, w1) int pairs, one per 16-state word
+    Returns decoded bits [B, T] int8.
+    """
+    B, T, G = dec_packed.shape
+    BC = min(batch_chunk, -(-B // 8) * 8)
+    n_chunks = -(-B // BC)
+    Bp = n_chunks * BC
+    if Bp != B:
+        dec_packed = jnp.pad(dec_packed, ((0, Bp - B), (0, 0), (0, 0)))
+        best_state = jnp.pad(best_state, ((0, Bp - B), (0, 0)))
+    # word-major layout so the VMEM window's minor axis is T (a [.., G]
+    # minor axis would be lane-padded to 128: 32x the footprint)
+    dec_gmaj = jnp.transpose(dec_packed, (2, 0, 1))
+
+    kernel = partial(_traceback_kernel, T=T, S=S, tb_depth=int(tb_depth),
+                     pu_words=tuple(tuple(w) for w in pu_words))
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((G, BC, T), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BC, T), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BC, T), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, T), jnp.int32),
+        interpret=interpret,
+    )(dec_gmaj, best_state)
+    return out[:B].astype(jnp.int8)

@@ -15,6 +15,18 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Unregister the remote-TPU (axon) PJRT plugin entirely: even as a
+# non-default backend its mere presence routes something through the
+# remote tunnel during CPU execution — measured 25-140x wall-clock on
+# identical CPU programs (8-device MC round: 2.4 s without the plugin,
+# 60-360 s with it, varying with the service's own load).
+try:
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+except Exception:  # private API; harmless if it moved
+    pass
+
 # Make the reference implementation importable for golden cross-checks.
 _REF = "/root/reference"
 if os.path.isdir(_REF) and _REF not in sys.path:
