@@ -67,7 +67,16 @@ def main():
                 _ = float(s)
             return (time.perf_counter() - t0) / outer
 
-        return (run(rep) - run(rep_lo)) / (rep - rep_lo)
+        dt = (run(rep) - run(rep_lo)) / (rep - rep_lo)
+        if dt <= 0:
+            # Host-link jitter exceeded the chain-length delta — the
+            # measurement is meaningless.  Fail loudly; guarded() will
+            # retry the section once.
+            raise RuntimeError(
+                f"non-positive chain-differenced time ({dt:.3e} s); "
+                f"rep={rep} too small vs host-link jitter"
+            )
+        return dt
 
     def report(metric, value, unit, ref_key):
         vs = value / ref[ref_key] if ref_key in ref else None
@@ -173,7 +182,7 @@ def main():
         def body(c):
             dec, out = qc_bp_decode_device(c, params, "MSA", 15)
             return c + out * 1e-9
-        dt = timed_chain(body, x0, rep=5)
+        dt = timed_chain(body, x0, rep=12)
         report("qcldpc_80211n_1944_msa15", Bq * 972 / dt, "info bits/s",
                "ldpc_wimax_msa15_info_bits_per_s")
     guarded(sec_qcldpc)

@@ -474,7 +474,13 @@ def traceback_pallas(dec_packed, best_state, S: int, tb_depth: int,
     Returns decoded bits [B, T] int8.
     """
     B, T, G = dec_packed.shape
-    BC = min(batch_chunk, -(-B // 8) * 8)
+    # Cap the batch chunk so the kernel fits scoped VMEM: double-buffered
+    # dec/best/out blocks plus the unrolled walk's working set.  Theory
+    # says 4*T*BC*(2G+10) bytes; Mosaic's stack allocator measures ~1.5x
+    # that (16.64 MB at T=1205, G=4, BC=128), hence the 6x multiplier
+    # against a 14.5 MB budget.
+    cap = max(8, (14_500_000 // (6 * T * (2 * G + 10))) // 8 * 8)
+    BC = min(batch_chunk, cap, -(-B // 8) * 8)
     n_chunks = -(-B // BC)
     Bp = n_chunks * BC
     if Bp != B:
