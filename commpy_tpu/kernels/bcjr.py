@@ -11,6 +11,11 @@ Design (vs the XLA `lax.scan` core in ops/turbo.py):
 
 * **batch-last layout** [T, R]: the Monte-Carlo batch rides the 128-lane
   axis, states ride sublanes;
+* **sublane chunk-stacking**: a 4-state trellis only fills half of the
+  VPU's 8 sublanes, so P = 8 // S lane chunks are STACKED on the sublane
+  axis (alpha carries P chunks as [P*S, BC]; candidates as [I*P*S, BC])
+  — every hot op runs on full (8, 128) vector tiles and the alpha
+  history scratch pads nothing;
 * **static-slice state picks**: the predecessor/successor lookups are
   python-int sublane slices baked into the kernel at trace time — exact
   f32 on the VPU.  A one-hot MXU matmul was measured slower AND rounds
@@ -21,9 +26,9 @@ Design (vs the XLA `lax.scan` core in ops/turbo.py):
 * **linearized branch metrics**: for +-1 symbol tables the full branch
   metric + prior collapses, up to per-step uniform shifts that cancel in
   every APP difference, to ``(sy*cs + pa*cp)/nv + u*li`` — assembled per
-  step from three broadcast multiply-adds against a tiny coefficient
-  table, so no ``[B,T,S,I]`` branch tensor is ever materialized (the
-  reference carries absolute log-probs; only differences are observable);
+  step from broadcast multiply-adds against a tiny coefficient table, so
+  no ``[B,T,S,I]`` branch tensor is ever materialized (the reference
+  carries absolute log-probs; only differences are observable);
 * **no per-step normalization**: f32 accumulates the uniform drift
   harmlessly (~1e4 for LTE frames vs 3e38 range) and every shift cancels
   in the APP differences — per-step renorm ops are pure overhead here;
@@ -50,23 +55,31 @@ from ..ops.trellis import Trellis
 __all__ = ["bcjr_appdiff_pallas"]
 
 
-def _linear_tables(trellis: Trellis):
-    """Static tables for the linearized batch-last BCJR recursion.
+def _linear_tables(trellis: Trellis, P: int):
+    """Static tables for the linearized, P-chunk-stacked BCJR recursion.
+
+    Candidate rows are branch-major, then STATE, then chunk:
+    ``r = j*(P*S) + s*P + c`` — chunk-minor because ``pltpu.repeat``
+    TILES its input ([c0, c1, c0, c1, ...]), so a repeated [P, BC]
+    symbol row lands on exactly this layout; it also makes the
+    state reduction a pure contiguous-halving tree (each halving of a
+    [P*S]-row tensor splits the MSB of s, for power-of-two S), and the
+    branch (j or u) reduction stays I contiguous [P*S]-row halves.
 
     Returns (perm_a, perm_b, coef) where
 
-      perm_a [I*S] ints, j-major rows (j, s): alpha candidate row picks
-          alpha[pred_state[s, j]]
-      perm_b [I*S] ints, u-major rows (u, s): beta candidate row picks
-          beta[next_state[s, u]]
-      coef   [I*S, 8] float32, columns (a_sy, a_pa, a_pu, b_sy, b_pa,
+      perm_a [I*P*S] ints: alpha candidate row r picks
+          alpha_stacked[pred_state[s, j]*P + c]
+      perm_b [I*P*S] ints: beta candidate row r picks
+          beta_stacked[next_state[s, u]*P + c]
+      coef   [I*P*S, 8] float32, columns (a_sy, a_pa, a_pu, b_sy, b_pa,
           0, 0, 0): the (sy, pa, li) coefficients of the alpha-side
           branch+prior term and the (sy, pa) coefficients of the
-          beta-side branch term.  The beta side carries NO prior
-          column: the kernel adds ``u * li`` to the beta update alone,
-          so the same candidate tensor doubles as the prior-free APP
-          branch term (reference turbo.py:143-150 drops the prior on
-          the decision step).
+          beta-side branch term, duplicated per chunk.  The beta side
+          carries NO prior column: the kernel adds ``u * li`` to the
+          beta update alone, so the same candidate tensor doubles as
+          the prior-free APP branch term (reference turbo.py:143-150
+          drops the prior on the decision step).
     """
     from ..ops.turbo import _bcjr_tables_np
 
@@ -74,45 +87,52 @@ def _linear_tables(trellis: Trellis):
     S, I = nst.shape
     cs_re = cs[ps, pu]
     cp_re = cp[ps, pu]
-    perm_a = tuple(int(ps[s, j]) for j in range(I) for s in range(S))
-    perm_b = tuple(int(nst[s, u]) for u in range(I) for s in range(S))
-    coef = np.zeros((I * S, 8), np.float32)
+    perm_a, perm_b = [], []
+    coef = np.zeros((I * P * S, 8), np.float32)
+    r = 0
     for j in range(I):
         for s in range(S):
-            r = j * S + s
-            coef[r, 0] = cs_re[s, j]
-            coef[r, 1] = cp_re[s, j]
-            coef[r, 2] = float(pu[s, j])
+            for c in range(P):
+                perm_a.append(int(ps[s, j]) * P + c)
+                coef[r, 0] = cs_re[s, j]
+                coef[r, 1] = cp_re[s, j]
+                coef[r, 2] = float(pu[s, j])
+                r += 1
+    r = 0
     for u in range(I):
         for s in range(S):
-            r = u * S + s
-            coef[r, 3] = cs[s, u]
-            coef[r, 4] = cp[s, u]
-    return perm_a, perm_b, coef
+            for c in range(P):
+                perm_b.append(int(nst[s, u]) * P + c)
+                coef[r, 3] = cs[s, u]
+                coef[r, 4] = cp[s, u]
+                r += 1
+    return tuple(perm_a), tuple(perm_b), coef
 
 
 def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
-                 e_ref, alphas_ref, *, T: int, S: int, I: int,
+                 e_ref, alphas_ref, *, T: int, S: int, I: int, P: int,
                  perm_a, perm_b, max_log: bool, masked: bool):
-    """One lane chunk's full BCJR pass.
+    """One lane block's full BCJR pass (P chunks stacked on sublanes).
 
-    syn/pan_ref : [T, BC] symbol streams PRE-SCALED by 1/noise_variance
-    li_ref      : [T, BC] intrinsic LLRs
-    coef_ref    : [I*S, 8] linear branch coefficient table
-    valid_ref   : [T, BC] 1.0 at live positions (masked variant)
-    first_ref   : [1, BC] 1.0 where the alpha start is exact state 0
-    e_ref       : [T, BC] (out) APP log-ratio app1 - app0 (prior-free)
-    alphas_ref  : [T, SP, BC] (scratch) forward metric history
+    Stream blocks are slot-major [P, T, BC] (the chunk-slot axis leads
+    because pallas requires the last two block dims to be full-size or
+    (8, 128)-aligned, and P < 8).
+
+    syn/pan_ref : [P, T, BC] symbol streams PRE-SCALED by 1/noise_var
+    li_ref      : [P, T, BC] intrinsic LLRs
+    coef_ref    : [I*P*S, 8] linear branch coefficient table
+    valid_ref   : [P, T, BC] 1.0 at live positions (masked variant)
+    first_ref   : [P, 1, BC] 1.0 where the alpha start is exact state 0
+    e_ref       : [P, T, BC] (out) APP log-ratio app1 - app0 (prior-free)
+    alphas_ref  : [T, P*S, BC] (scratch) forward metric history
     """
-    BC = syn_ref.shape[1]
+    BC = syn_ref.shape[2]
+    PS = P * S
     neg_inf = jnp.float32(-1e30)
 
     if max_log:
         def lse2(x, y):
             return jnp.maximum(x, y)
-
-        def lse_rows(x):  # [S, BC] -> [1, BC]
-            return jnp.max(x, axis=0, keepdims=True)
     else:
         # branch-free logaddexp: metrics are finite by construction (the
         # -1e30 start sentinel underflows exp to exactly 0), so the
@@ -121,14 +141,25 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
             m = jnp.maximum(x, y)
             return m + jnp.log1p(jnp.exp(-jnp.abs(x - y)))
 
-        def lse_rows(x):
-            m = jnp.max(x, axis=0, keepdims=True)
-            return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=0,
-                                       keepdims=True))
+    def reduce_s(x):
+        # [P*S, BC] -> [P, BC]: lse over states.  Rows are (s, c) with
+        # chunk minor, so each contiguous halving splits the MSB of s —
+        # log2(S) full-width lse2 ops, no per-chunk loops (S power of 2,
+        # enforced by the wrapper's choice of P and trellis sizes).
+        while x.shape[0] > P:
+            h = x.shape[0] // 2
+            x = lse2(x[:h], x[h:])
+        return x
 
     def pick(vec, perm):
         # static sublane slices; exact f32, no gather, no MXU
         return jnp.concatenate([vec[i:i + 1] for i in perm], 0)
+
+    def srep(x):  # [P, BC] -> [P*S, BC], chunk rows duplicated per state
+        return pltpu.repeat(x, S, axis=0) if S > 1 else x
+
+    def row(ref, t):  # [P, T, BC] ref -> [P, BC] step row
+        return ref[:, pl.ds(t, 1), :].reshape(P, BC)
 
     a_sy = coef_ref[:, 0:1]
     a_pa = coef_ref[:, 1:2]
@@ -136,29 +167,33 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
     b_sy = coef_ref[:, 3:4]
     b_pa = coef_ref[:, 4:5]
 
-    # ---- alpha start ----
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (S, BC), 0)
+    # ---- alpha start ---- (rows are (s, c), chunk minor: s = r // P)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (PS, BC), 0)
+    s_of_row = r_iota // P
     if masked:
-        fr = first_ref[0:1, :]  # [1, BC]
-        alpha0 = jnp.where((s_iota > 0) & (fr > 0.5), neg_inf, 0.0)
+        fr = srep(first_ref[:, 0, :])  # [PS, BC]
+        alpha0 = jnp.where((s_of_row > 0) & (fr > 0.5), neg_inf, 0.0)
     else:
-        alpha0 = jnp.where(s_iota > 0, neg_inf, 0.0)
+        alpha0 = jnp.where(s_of_row > 0, neg_inf, 0.0)
 
     # ---- forward: store PRE-update metrics (alpha_t is what the APP
     # at t consumes) ----
     def fwd(t, alpha):
-        sy = syn_ref[pl.ds(t, 1), :]  # [1, BC]
-        pa = pan_ref[pl.ds(t, 1), :]
-        lt = li_ref[pl.ds(t, 1), :]
-        g = a_sy * sy + a_pa * pa + a_pu * lt  # [I*S, BC]
-        cand = pick(alpha, perm_a) + g
-        a = cand[0:S, :]
+        sy = srep(row(syn_ref, t))  # [PS, BC]
+        pa = srep(row(pan_ref, t))
+        lt = srep(row(li_ref, t))
+        syr = jnp.concatenate([sy] * I, 0)  # [I*PS, BC]
+        par = jnp.concatenate([pa] * I, 0)
+        ltr = jnp.concatenate([lt] * I, 0)
+        cand = (pick(alpha, perm_a)
+                + a_sy * syr + a_pa * par + a_pu * ltr)
+        a = cand[0:PS, :]
         for j in range(1, I):
-            a = lse2(a, cand[j * S:(j + 1) * S, :])
+            a = lse2(a, cand[j * PS:(j + 1) * PS, :])
         if masked:
-            vt = valid_ref[pl.ds(t, 1), :]
+            vt = srep(row(valid_ref, t))
             a = jnp.where(vt > 0.5, a, alpha)
-        alphas_ref[pl.ds(t, 1), 0:S, :] = alpha.reshape(1, S, BC)
+        alphas_ref[pl.ds(t, 1), :, :] = alpha.reshape(1, PS, BC)
         return a
 
     jax.lax.fori_loop(0, T, fwd, alpha0)
@@ -166,26 +201,27 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
     # ---- backward: beta recursion + APP inline ----
     def bwd(k, beta):
         t = T - 1 - k
-        sy = syn_ref[pl.ds(t, 1), :]
-        pa = pan_ref[pl.ds(t, 1), :]
-        lt = li_ref[pl.ds(t, 1), :]
-        gb = b_sy * sy + b_pa * pa  # [I*S, BC], prior-free
-        cand = pick(beta, perm_b) + gb
-        b = cand[0:S, :]
+        sy = srep(row(syn_ref, t))
+        pa = srep(row(pan_ref, t))
+        lt = srep(row(li_ref, t))
+        syr = jnp.concatenate([sy] * I, 0)
+        par = jnp.concatenate([pa] * I, 0)
+        cand = pick(beta, perm_b) + b_sy * syr + b_pa * par  # prior-free
+        b = cand[0:PS, :]
         for u in range(1, I):
-            b = lse2(b, cand[u * S:(u + 1) * S, :] + u * lt)
-        al = alphas_ref[pl.ds(t, 1), 0:S, :].reshape(S, BC)
-        app0 = lse_rows(al + cand[0:S, :])
-        app1 = lse_rows(al + cand[S:2 * S, :])
+            b = lse2(b, cand[u * PS:(u + 1) * PS, :] + u * lt)
+        al = alphas_ref[pl.ds(t, 1), :, :].reshape(PS, BC)
+        app0 = reduce_s(al + cand[0:PS, :])  # [P, BC]
+        app1 = reduce_s(al + cand[PS:2 * PS, :])
         for u in range(2, I):  # I > 2 trellises: fold the rest into app1
-            app1 = lse2(app1, lse_rows(al + cand[u * S:(u + 1) * S, :]))
-        e_ref[pl.ds(t, 1), :] = app1 - app0
+            app1 = lse2(app1, reduce_s(al + cand[u * PS:(u + 1) * PS, :]))
+        e_ref[:, pl.ds(t, 1), :] = (app1 - app0).reshape(P, 1, BC)
         if masked:
-            vt = valid_ref[pl.ds(t, 1), :]
+            vt = srep(row(valid_ref, t))
             b = jnp.where(vt > 0.5, b, beta)
         return b
 
-    beta_T = jnp.zeros((S, BC), jnp.float32)
+    beta_T = jnp.zeros((PS, BC), jnp.float32)
     jax.lax.fori_loop(0, T, bwd, beta_T)
 
 
@@ -206,19 +242,27 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
     """
     T, R = syn.shape
     S, I = trellis.number_states, trellis.number_inputs
-    perm_a, perm_b, coef = _linear_tables(trellis)
+    if S & (S - 1):
+        raise NotImplementedError(
+            "the Pallas BCJR kernel requires a power-of-two state count "
+            "(every shift-register trellis); use the XLA backend"
+        )
+    P = max(1, 8 // S)  # chunks stacked on the 8-sublane axis
+    perm_a, perm_b, coef = _linear_tables(trellis, P)
     masked = valid is not None
 
-    # Cap the lane chunk so the kernel fits scoped VMEM: pallas DOUBLE-
+    # Cap the lane block so the kernel fits scoped VMEM: pallas DOUBLE-
     # BUFFERS every gridded block (input and output), so the per-lane
     # footprint is 2*(streams + e [+ valid]) * T + the alpha scratch
     # S*T, in f32.  ~14 MB budget leaves headroom for Mosaic spills.
     n_blocks = 5 if masked else 4
     per_lane = 4 * (2 * n_blocks + S) * T
-    cap = max(128, (14 * 1024 * 1024 // per_lane) // 128 * 128)
-    BC = min(lane_chunk, cap, -(-R // 128) * 128)
-    n_chunks = -(-R // BC)
-    Rp = n_chunks * BC
+    cap_lanes = max(128 * P,
+                    (14 * 1024 * 1024 // per_lane) // (128 * P) * 128 * P)
+    LB = min(lane_chunk * P, cap_lanes, -(-R // (128 * P)) * 128 * P)
+    BC = LB // P
+    n_chunks = -(-R // LB)
+    Rp = n_chunks * LB
     if Rp != R:
         pad = ((0, 0), (0, Rp - R))
         syn = jnp.pad(syn, pad)
@@ -226,21 +270,28 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
         li = jnp.pad(li, pad)
         if masked:
             valid = jnp.pad(valid, pad)
+    n_slots = Rp // BC
+
+    def slot3(x):  # [T', Rp] -> slot-major [n_slots, T', BC]
+        Tx = x.shape[0]
+        return jnp.transpose(x.reshape(Tx, n_slots, BC), (1, 0, 2))
+
     if masked:
-        valid_f = jnp.asarray(valid, jnp.float32)
+        valid_f = slot3(jnp.asarray(valid, jnp.float32))
         if first is None:
             first = jnp.ones((R,), bool)
-        first_f = jnp.pad(
+        first_f = slot3(jnp.pad(
             jnp.asarray(first, jnp.float32)[None, :], ((0, 0), (0, Rp - R))
-        )
+        ))
+        Tv = T
     else:
         # placeholders keep the kernel signature static; never read
-        valid_f = jnp.zeros((1, Rp), jnp.float32)
-        first_f = jnp.zeros((1, Rp), jnp.float32)
-    Tv = valid_f.shape[0]
+        valid_f = jnp.zeros((n_slots, 1, BC), jnp.float32)
+        first_f = jnp.zeros((n_slots, 1, BC), jnp.float32)
+        Tv = 1
 
     kernel = partial(
-        _bcjr_kernel, T=T, S=S, I=I, perm_a=perm_a, perm_b=perm_b,
+        _bcjr_kernel, T=T, S=S, I=I, P=P, perm_a=perm_a, perm_b=perm_b,
         max_log=bool(max_log), masked=masked,
     )
     interpret = jax.default_backend() not in ("tpu", "axon")
@@ -249,23 +300,24 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
         kernel,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((T, BC), lambda i: (0, i),
+            pl.BlockSpec((P, T, BC), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, BC), lambda i: (0, i),
+            pl.BlockSpec((P, T, BC), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, BC), lambda i: (0, i),
+            pl.BlockSpec((P, T, BC), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((I * S, 8), lambda i: (0, 0),
+            pl.BlockSpec((I * P * S, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tv, BC), lambda i: (0, i),
+            pl.BlockSpec((P, Tv, BC), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BC), lambda i: (0, i),
+            pl.BlockSpec((P, 1, BC), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T, BC), lambda i: (0, i),
+        out_specs=pl.BlockSpec((P, T, BC), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, Rp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((T, S, BC), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((n_slots, T, BC), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((T, P * S, BC), jnp.float32)],
         interpret=interpret,
-    )(syn, pan, li, jnp.asarray(coef), valid_f, first_f)
-    return e[:, :R]
+    )(slot3(syn), slot3(pan), slot3(li), jnp.asarray(coef),
+      valid_f, first_f)
+    return jnp.transpose(e, (1, 0, 2)).reshape(T, Rp)[:, :R]
