@@ -367,11 +367,15 @@ def _qc_bp_core(llr, block_s_t, algorithm: str, n_iters: int, meta):
 
 
 def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
-                        n_iters: int):
+                        n_iters: int, backend: str = "auto"):
     """Batched QC-LDPC BP decode: ``[..., n]`` LLRs -> (dec int8, llr).
 
     Same output conventions as :func:`ldpc.ldpc_bp_decode_device` (hard
     word via signbit, posterior LLRs, converged blocks frozen).
+    ``backend``: "pallas" runs every iteration VMEM-resident
+    (`kernels/qc_bp.py` — the XLA path streams the edge tensor through
+    HBM several times per iteration); "xla" keeps the roll-based XLA
+    core; "auto" picks pallas on TPU backends.
     """
     if decoder_algorithm not in ("SPA", "MSA"):
         raise NameError(
@@ -385,17 +389,45 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
     if squeeze:
         x = x[None]
     lead = x.shape[:-1]
-    x = jnp.clip(x.reshape(-1, Nb, Z), -_llr_max, _llr_max)
-    bj = qc_params["block_j"]
-    meta = (
-        Mb, Nb, Z, K,
-        tuple(tuple(int(v) for v in row) for row in bj),
-        tuple(tuple(bool(v >= 0) for v in row) for row in bj),
-    )
-    dec, out = _qc_bp_core(
-        x, tuple(tuple(int(v) for v in row) for row in qc_params["block_s"]),
-        decoder_algorithm, int(n_iters), meta,
-    )
+    if backend == "auto":
+        backend = (
+            "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        )
+        if backend == "pallas":
+            # estimate as in kernels/qc_bp.py; large codes stay on XLA
+            nz = int(np.sum(np.asarray(qc_params["block_j"]) >= 0))
+            est = 128 * (4 * Nb * Z * 7 + 2 * Nb * Z + 4 * Z * nz)
+            if est > 13_500_000:
+                backend = "xla"
+
+    if backend == "pallas":
+        from ..kernels.qc_bp import qc_bp_pallas
+
+        bs_t, bj_t = qc_params["block_s"], qc_params["block_j"]
+        rows = tuple(
+            tuple(
+                (int(bj_t[i][k]), int(bs_t[i][k]))
+                for k in range(K) if bj_t[i][k] >= 0
+            )
+            for i in range(Mb)
+        )
+        xf = jnp.clip(x.reshape(-1, Nb * Z), -_llr_max, _llr_max)
+        dec, out = qc_bp_pallas(xf, decoder_algorithm, int(n_iters),
+                                (Z, Nb, rows))
+    else:
+        bj = qc_params["block_j"]
+        meta = (
+            Mb, Nb, Z, K,
+            tuple(tuple(int(v) for v in row) for row in bj),
+            tuple(tuple(bool(v >= 0) for v in row) for row in bj),
+        )
+        xc = jnp.clip(x.reshape(-1, Nb, Z), -_llr_max, _llr_max)
+        dec, out = _qc_bp_core(
+            xc,
+            tuple(tuple(int(v) for v in row) for row in
+                  qc_params["block_s"]),
+            decoder_algorithm, int(n_iters), meta,
+        )
     dec = dec.reshape(lead + (Nb * Z,))
     out = out.reshape(lead + (Nb * Z,))
     if squeeze:

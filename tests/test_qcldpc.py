@@ -82,3 +82,22 @@ def test_unknown_base_matrix_raises():
         Q.qc_bp_decode_device(
             np.zeros(648), Q.ieee80211n_params(648), "BAD", 5
         )
+
+
+def test_qc_bp_pallas_matches_xla():
+    # The VMEM-resident Pallas BP kernel (kernels/qc_bp.py, interpret on
+    # CPU) must reproduce the XLA roll-based core bit for bit.
+    import jax.numpy as jnp
+
+    params = Q.ieee80211n_params(648, "1/2")
+    rng = np.random.RandomState(3)
+    llr = jnp.asarray(
+        np.clip(rng.randn(4, 648) * 2 + 1.0, -500, 500).astype(np.float32)
+    )
+    for alg in ("MSA", "SPA"):
+        d_x, l_x = Q.qc_bp_decode_device(llr, params, alg, 5, backend="xla")
+        d_p, l_p = Q.qc_bp_decode_device(llr, params, alg, 5,
+                                       backend="pallas")
+        np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_p))
+        np.testing.assert_allclose(np.asarray(l_x), np.asarray(l_p),
+                                   rtol=1e-4, atol=1e-4)
