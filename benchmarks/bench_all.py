@@ -167,7 +167,9 @@ def main():
         def body(c):
             dec, out = ldpc_bp_decode_device(c, params, "MSA", 15)
             return c + out * 1e-9
-        dt = timed_chain(body, x0, rep=5)
+        # the QC-lifted VMEM kernel decodes in ~0.3 ms: long chains or
+        # the host-link jitter swamps the difference
+        dt = timed_chain(body, x0, rep=24)
         report("ldpc_wimax_msa15", Bl * 720 / dt, "info bits/s",
                "ldpc_wimax_msa15_info_bits_per_s")
     guarded(sec_ldpc)
@@ -182,7 +184,7 @@ def main():
         def body(c):
             dec, out = qc_bp_decode_device(c, params, "MSA", 15)
             return c + out * 1e-9
-        dt = timed_chain(body, x0, rep=12)
+        dt = timed_chain(body, x0, rep=24)
         report("qcldpc_80211n_1944_msa15", Bq * 972 / dt, "info bits/s",
                "ldpc_wimax_msa15_info_bits_per_s")
     guarded(sec_qcldpc)

@@ -363,13 +363,58 @@ def _edge_arrays(ldpc_code_params):
     return out
 
 
-def ldpc_bp_decode_device(llr, ldpc_code_params, decoder_algorithm, n_iters):
-    """Batched BP decode: llr ``[..., n_vnodes]`` -> (dec int8, out_llr)."""
+def _maybe_qc_params(ldpc_code_params):
+    """Detect and cache quasi-cyclic structure of a design-file code.
+
+    Every production standard's codes (WiMAX, 802.11n, DVB, 5G NR) are
+    QC; recognizing the structure lets the decoder route through the
+    roll-based / VMEM-resident QC path (ops/qcldpc.py, kernels/qc_bp.py)
+    instead of the dense [E, n_v] incidence matmuls — same message
+    schedule and latching, orders of magnitude less work.  Returns the
+    QC params dict or None; cached on the params dict.
+    """
+    if "_qc_lift" in ldpc_code_params:
+        return ldpc_code_params["_qc_lift"]
+    from .qcldpc import detect_qc_structure
+
+    n_c = ldpc_code_params["n_cnodes"]
+    n_v = ldpc_code_params["n_vnodes"]
+    g = int(np.gcd(n_c, n_v))
+    qc = None
+    for Z in sorted(
+        {d for d in range(2, g + 1) if g % d == 0}, reverse=True
+    ):
+        if n_c // Z < 2:
+            continue
+        qc = detect_qc_structure(ldpc_code_params, Z)
+        if qc is not None:
+            break
+    ldpc_code_params["_qc_lift"] = qc
+    return qc
+
+
+def ldpc_bp_decode_device(llr, ldpc_code_params, decoder_algorithm,
+                          n_iters, backend: str = "auto"):
+    """Batched BP decode: llr ``[..., n_vnodes]`` -> (dec int8, out_llr).
+
+    ``backend="auto"`` lifts quasi-cyclic codes (all production designs,
+    including the shipped WiMAX assets — 1440.720 is QC with Z=60) onto
+    the roll-based QC path with its VMEM-resident Pallas kernel;
+    ``backend="dense"`` forces the incidence-matmul core.
+    """
     if decoder_algorithm not in ("SPA", "MSA"):
         raise NameError(
             'Please input a valid decoder_algorithm string '
             '(meanning "SPA" or "MSA").'
         )
+    if backend == "auto":
+        qc = _maybe_qc_params(ldpc_code_params)
+        if qc is not None:
+            from .qcldpc import qc_bp_decode_device
+
+            return qc_bp_decode_device(
+                llr, qc, decoder_algorithm, n_iters
+            )
     x = jnp.asarray(llr, jnp.float32)
     squeeze = x.ndim == 1
     if squeeze:
