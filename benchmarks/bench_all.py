@@ -135,7 +135,7 @@ def main():
         def body(c):
             d = turbo_decode_device(c, c, c, trt, 0.5, 8, interlv.p_array)
             return c + d.astype(c.dtype).sum() * 1e-12
-        dt = timed_chain(body, x0, rep=3)
+        dt = timed_chain(body, x0, rep=10)
         report("turbo_8it", Bt * Lt / dt, "info bits/s",
                "turbo_8it_bits_per_s")
     guarded(sec_turbo)
@@ -150,7 +150,7 @@ def main():
             d = turbo_decode_device(c, c, c, trt, 0.5, 8, interlv.p_array,
                                     window=(256, 32))
             return c + d.astype(c.dtype).sum() * 1e-12
-        dt = timed_chain(body, x0, rep=3)
+        dt = timed_chain(body, x0, rep=6)
         report("turbo_8it_L6144_windowed", Bt * Lt / dt, "info bits/s",
                "turbo_8it_bits_per_s")
     guarded(sec_turbo_long)
@@ -192,7 +192,7 @@ def main():
     # --- 16-QAM exact-LLR soft demod ---
     def sec_demod():
         const = M.qam_constellation(16).astype(np.complex64)
-        Ns = 1 << 18
+        Ns = 1 << 20
         re0 = jnp.asarray(rng.randn(Ns).astype(np.float32))
         im0 = jnp.asarray(rng.randn(Ns).astype(np.float32))
 
@@ -203,7 +203,7 @@ def main():
             llr = M.demodulate_soft(jax.lax.complex(r, i), const, 4, 0.1)
             return (r + jnp.sum(llr) * 1e-20, i)
 
-        dt = timed_chain(body, (re0, im0), rep=20,
+        dt = timed_chain(body, (re0, im0), rep=48,
                          score=lambda c: jnp.sum(c[0][:4]))
         report("qam16_soft_demod", Ns / dt / 1e6, "Msamples/s",
                "qam16_soft_demod_msamples_per_s")
@@ -218,7 +218,7 @@ def main():
         def body(k0):
             errs = link.link_step(jax.random.split(k0, F), ns)
             return jax.random.fold_in(k0, errs)
-        dt = timed_chain(body, x0, rep=5, score=jnp.sum)
+        dt = timed_chain(body, x0, rep=24, score=jnp.sum)
         report("wifi_mcs4_full_link", F * 1200 / dt, "info bits/s", "")
     guarded(sec_wifi)
 
