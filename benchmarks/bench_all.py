@@ -115,7 +115,7 @@ def main():
     # --- soft Viterbi K=7 ---
     def sec_viterbi():
         tr = Trellis(np.array([6]), np.array([[133, 171]]))
-        B, L = 1024, 1024
+        B, L = 2048, 1024
         x0 = jnp.asarray(rng.randn(B, 2 * L).astype(np.float32) * 3)
         def body(c):
             dec = viterbi_decode_device(c, tr, 30, "soft", L=L,

@@ -426,7 +426,9 @@ def _traceback_kernel(dec_ref, best_ref, out_ref, *, T: int, S: int,
     dec_ref  : [G, BC, T] int32 packed branch decisions (word-major so
                the 128-lane minor axis is T, not the tiny word count)
     best_ref : [BC, T] int32 per-step argmin states
-    out_ref  : [BC, T] int32 decoded bits
+    out_ref  : [BC, T] int8 decoded bits (int8: XLA likes to place the
+               result in VMEM, and an int32 [B, T] word overflows the
+               scoped limit at B >= 2048)
     pu_words : static ((w0, w1), ...) per-word pred_input bit packs
     """
     G = dec_ref.shape[0]
@@ -460,7 +462,7 @@ def _traceback_kernel(dec_ref, best_ref, out_ref, *, T: int, S: int,
         out = jnp.where(emit, inp_pos, out)
         if d + 1 < max(tb_depth - 1, 1):
             rolled = [pltpu.roll(x, 1, axis=1) for x in rolled]
-    out_ref[:, :] = out
+    out_ref[:, :] = out.astype(jnp.int8)
 
 
 @partial(jax.jit, static_argnames=("S", "tb_depth", "pu_words"))
@@ -479,8 +481,8 @@ def traceback_pallas(dec_packed, best_state, S: int, tb_depth: int,
     # says 4*T*BC*(2G+10) bytes; Mosaic's stack allocator measures ~1.5x
     # that (16.64 MB at T=1205, G=4, BC=128), hence the 6x multiplier
     # against a 14.5 MB budget.
-    cap = max(8, (14_500_000 // (6 * T * (2 * G + 10))) // 8 * 8)
-    BC = min(batch_chunk, cap, -(-B // 8) * 8)
+    cap = max(32, (14_500_000 // (6 * T * (2 * G + 10))) // 32 * 32)
+    BC = min(batch_chunk, cap, -(-B // 32) * 32)
     n_chunks = -(-B // BC)
     Bp = n_chunks * BC
     if Bp != B:
@@ -504,7 +506,7 @@ def traceback_pallas(dec_packed, best_state, S: int, tb_depth: int,
         ],
         out_specs=pl.BlockSpec((BC, T), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, T), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Bp, T), jnp.int8),
         interpret=interpret,
     )(dec_gmaj, best_state)
-    return out[:B].astype(jnp.int8)
+    return out[:B]
