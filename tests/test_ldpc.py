@@ -122,3 +122,26 @@ def test_edge_sharded_bp_matches_single_device():
     assert np.allclose(o1, o2, atol=1e-3)
     disagree = np.asarray(d1) != np.asarray(d2)
     assert np.all(np.abs(o1[disagree]) < 1e-3)
+
+
+def test_wimax_qc_lift_matches_dense():
+    # The generic decoder auto-lifts QC designs (WiMAX 1440.720 is QC
+    # with Z=60) onto the roll-based path; decisions must match the
+    # dense incidence-matmul core.
+    import jax.numpy as jnp
+
+    design = os.path.join(DESIGNS, "wimax", "1440.720.txt")
+    params = L.get_ldpc_code_params(design)
+    qc = L._maybe_qc_params(params)
+    assert qc is not None and qc["Z"] == 60
+    rng = np.random.RandomState(11)
+    llr = jnp.asarray(
+        np.clip(rng.randn(4, 1440) * 2 + 1.0, -500, 500).astype(np.float32)
+    )
+    for alg in ("MSA", "SPA"):
+        d_d, l_d = L.ldpc_bp_decode_device(llr, params, alg, 8,
+                                           backend="dense")
+        d_q, l_q = L.ldpc_bp_decode_device(llr, params, alg, 8)
+        np.testing.assert_array_equal(np.asarray(d_d), np.asarray(d_q))
+        np.testing.assert_allclose(np.asarray(l_d), np.asarray(l_q),
+                                   rtol=1e-3, atol=1e-3)
