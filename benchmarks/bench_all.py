@@ -186,7 +186,7 @@ def main():
             return c + out * 1e-9
         dt = timed_chain(body, x0, rep=24)
         report("qcldpc_80211n_1944_msa15", Bq * 972 / dt, "info bits/s",
-               "ldpc_wimax_msa15_info_bits_per_s")
+               "qcldpc_80211n_1944_msa15_info_bits_per_s")
     guarded(sec_qcldpc)
 
     # --- 16-QAM exact-LLR soft demod ---
@@ -208,6 +208,34 @@ def main():
         report("qam16_soft_demod", Ns / dt / 1e6, "Msamples/s",
                "qam16_soft_demod_msamples_per_s")
     guarded(sec_demod)
+
+    # --- K-best (K=16) 4x4 16-QAM MIMO detection ---
+    def sec_kbest():
+        from commpy_tpu.ops.mimo import kbest_device
+        from commpy_tpu.ops.modem import qam_constellation
+
+        # NumPy on purpose: a device-resident complex closure forces a
+        # complex64 readback during jit constant embedding, which the
+        # axon TPU backend cannot do (same issue as commit 1028330).
+        const = qam_constellation(16).astype(np.complex64)
+        Bk = 4096
+        hr = rng.randn(2, Bk, 4, 4).astype(np.float32) / np.sqrt(2)
+        yr = rng.randn(2, Bk, 4).astype(np.float32)
+        h0 = (hr[0], hr[1])
+        y0 = (yr[0], yr[1])
+
+        def body(c):
+            yre, yim = c
+            y = jax.lax.complex(yre, yim)
+            h = jax.lax.complex(jnp.asarray(h0[0]), jnp.asarray(h0[1]))
+            sym = kbest_device(y, h, const, 16)
+            return (yre + jnp.real(sym[:, 0:1]) * 1e-12, yim)
+
+        dt = timed_chain(body, y0, rep=10,
+                         score=lambda c: jnp.sum(c[0][:4]))
+        report("kbest16_4x4_16qam", Bk / dt, "vectors/s",
+               "kbest16_4x4_16qam_vectors_per_s")
+    guarded(sec_kbest)
 
     # --- full 802.11 MCS-4 link step ---
     def sec_wifi():

@@ -225,10 +225,160 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
     jax.lax.fori_loop(0, T, bwd, beta_T)
 
 
-@partial(jax.jit, static_argnames=("trellis", "max_log", "lane_chunk"))
+def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
+                           first_ref, e_ref, hist_ref, *, T: int, S: int,
+                           I: int, P: int, perm_a, perm_b, max_log: bool,
+                           masked: bool):
+    """Counter-propagating BCJR: alpha and beta advance in ONE loop.
+
+    The plain kernel's 2T-step sequential chain (forward fori, then
+    backward fori) halves to T steps: iteration k updates alpha at
+    ``t = k`` AND beta at ``t = T-1-k``.  The two recursions are data-
+    independent, so their op chains interleave in the VLIW pipeline —
+    the per-iteration critical path is max(alpha, beta), not their sum.
+    Once the sweeps cross at T/2, each iteration emits TWO inline APP
+    rows (alpha live + beta history, beta live + alpha history).
+
+    ``hist_ref`` [T, P*S, BC] is shared: slot t < ceil(T/2) holds the
+    pre-update alpha_t from the first phase; slot t >= floor(T/2) holds
+    the pre-update beta_{t+1}.  (At the crossing the two ranges overlap
+    by one slot for odd T; the middle row is emitted between phases
+    before beta overwrites it.)
+    """
+    BC = syn_ref.shape[2]
+    PS = P * S
+    neg_inf = jnp.float32(-1e30)
+
+    if max_log:
+        def lse2(x, y):
+            return jnp.maximum(x, y)
+    else:
+        def lse2(x, y):
+            m = jnp.maximum(x, y)
+            return m + jnp.log1p(jnp.exp(-jnp.abs(x - y)))
+
+    def reduce_s(x):
+        while x.shape[0] > P:
+            h = x.shape[0] // 2
+            x = lse2(x[:h], x[h:])
+        return x
+
+    def pick(vec, perm):
+        return jnp.concatenate([vec[i:i + 1] for i in perm], 0)
+
+    def srep(x):
+        return pltpu.repeat(x, S, axis=0) if S > 1 else x
+
+    def row(ref, t):
+        return ref[:, pl.ds(t, 1), :].reshape(P, BC)
+
+    a_sy = coef_ref[:, 0:1]
+    a_pa = coef_ref[:, 1:2]
+    a_pu = coef_ref[:, 2:3]
+    b_sy = coef_ref[:, 3:4]
+    b_pa = coef_ref[:, 4:5]
+
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (PS, BC), 0)
+    s_of_row = r_iota // P
+    if masked:
+        fr = srep(first_ref[:, 0, :])
+        alpha0 = jnp.where((s_of_row > 0) & (fr > 0.5), neg_inf, 0.0)
+    else:
+        alpha0 = jnp.where(s_of_row > 0, neg_inf, 0.0)
+    beta0 = jnp.zeros((PS, BC), jnp.float32)
+
+    def streams3(t):
+        sy = srep(row(syn_ref, t))
+        pa = srep(row(pan_ref, t))
+        lt = srep(row(li_ref, t))
+        return sy, pa, lt
+
+    def alpha_step(t, alpha, store):
+        sy, pa, lt = streams3(t)
+        syr = jnp.concatenate([sy] * I, 0)
+        par = jnp.concatenate([pa] * I, 0)
+        ltr = jnp.concatenate([lt] * I, 0)
+        cand = (pick(alpha, perm_a)
+                + a_sy * syr + a_pa * par + a_pu * ltr)
+        a = cand[0:PS, :]
+        for j in range(1, I):
+            a = lse2(a, cand[j * PS:(j + 1) * PS, :])
+        if masked:
+            vt = srep(row(valid_ref, t))
+            a = jnp.where(vt > 0.5, a, alpha)
+        if store:
+            hist_ref[pl.ds(t, 1), :, :] = alpha.reshape(1, PS, BC)
+        return a
+
+    def beta_cand(t, beta):
+        sy, pa, lt = streams3(t)
+        syr = jnp.concatenate([sy] * I, 0)
+        par = jnp.concatenate([pa] * I, 0)
+        cand = pick(beta, perm_b) + b_sy * syr + b_pa * par
+        return cand, lt
+
+    def beta_step(t, beta, store):
+        cand, lt = beta_cand(t, beta)
+        b = cand[0:PS, :]
+        for u in range(1, I):
+            b = lse2(b, cand[u * PS:(u + 1) * PS, :] + u * lt)
+        if store:
+            hist_ref[pl.ds(t, 1), :, :] = beta.reshape(1, PS, BC)
+        if masked:
+            vt = srep(row(valid_ref, t))
+            b = jnp.where(vt > 0.5, b, beta)
+        return b, cand
+
+    def emit_app(t, al, cand):
+        app0 = reduce_s(al + cand[0:PS, :])
+        app1 = reduce_s(al + cand[PS:2 * PS, :])
+        for u in range(2, I):
+            app1 = lse2(app1, reduce_s(al + cand[u * PS:(u + 1) * PS, :]))
+        e_ref[:, pl.ds(t, 1), :] = (app1 - app0).reshape(P, 1, BC)
+
+    H = T // 2  # phase-1 length: alpha fills slots [0, H),
+    # beta fills slots [T-H, T) — disjoint for any T.
+
+    # ---- phase 1: both recursions store history, no APP yet ----
+    def phase1(k, carry):
+        alpha, beta = carry
+        a = alpha_step(k, alpha, store=True)
+        b, _ = beta_step(T - 1 - k, beta, store=True)
+        return a, b
+
+    alpha, beta = jax.lax.fori_loop(0, H, phase1, (alpha0, beta0))
+
+    # ---- odd-T middle row: both carries are live at t = H ----
+    if T % 2:
+        cand, _ = beta_cand(H, beta)  # beta carry IS beta_{H+1}
+        emit_app(H, alpha, cand)  # alpha carry IS alpha_H
+        alpha = alpha_step(H, alpha, store=False)
+        beta, _ = beta_step(H, beta, store=False)
+
+    # ---- phase 2: recursions continue; two APP rows per iteration ----
+    def phase2(k, carry):
+        alpha, beta = carry
+        ta = k
+        tb = T - 1 - k
+        # alpha side: live alpha_t + beta history (pre-update beta_{t+1})
+        bh = hist_ref[pl.ds(ta, 1), :, :].reshape(PS, BC)
+        cand_a, _ = beta_cand(ta, bh)
+        emit_app(ta, alpha, cand_a)
+        a = alpha_step(ta, alpha, store=False)
+        # beta side: live candidates + alpha history
+        b, cand_b = beta_step(tb, beta, store=False)
+        ah = hist_ref[pl.ds(tb, 1), :, :].reshape(PS, BC)
+        emit_app(tb, ah, cand_b)
+        return a, b
+
+    jax.lax.fori_loop((T + 1) // 2, T, phase2, (alpha, beta))
+
+
+@partial(jax.jit, static_argnames=("trellis", "max_log", "lane_chunk",
+                                   "butterfly"))
 def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
                         max_log: bool = False, valid=None, first=None,
-                        lane_chunk: int = 1024):
+                        lane_chunk: int = 1024, butterfly: bool = False):
     """Fused BCJR pass; returns the prior-free APP log-ratio.
 
     syn/pan : [T, R] symbol streams PRE-SCALED by 1/noise_variance
@@ -291,7 +441,8 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
         Tv = 1
 
     kernel = partial(
-        _bcjr_kernel, T=T, S=S, I=I, P=P, perm_a=perm_a, perm_b=perm_b,
+        _bcjr_butterfly_kernel if butterfly else _bcjr_kernel,
+        T=T, S=S, I=I, P=P, perm_a=perm_a, perm_b=perm_b,
         max_log=bool(max_log), masked=masked,
     )
     interpret = jax.default_backend() not in ("tpu", "axon")

@@ -271,9 +271,11 @@ def _acs2_kernel(r_ref, Ca_ref, Cb_ref, Q2_ref, W_ref, W2_ref, dec0_ref,
 
 
 @partial(jax.jit,
-         static_argnames=("trellis", "decoding_type", "time_chunk", "radix"))
+         static_argnames=("trellis", "decoding_type", "time_chunk", "radix",
+                          "layout"))
 def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
-                       time_chunk: int = 512, radix: int = 1):
+                       time_chunk: int = 512, radix: int = 1,
+                       layout: str = "btg"):
     """Run the fused ACS forward pass.
 
     r : ``[B, T, n]`` float32 received codewords (already clipped/padded).
@@ -281,7 +283,10 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
         half the dependent-MXU chain); 1 is the single-step kernel and the
         default (radix 2 currently misdecodes on the remote-TPU Mosaic
         at S >= 64 — under investigation; bit-exact in interpret mode).
-    Returns (dec_packed ``[B, T, G]`` int32, best_state ``[B, T]`` int32).
+    layout : 'btg' returns dec_packed ``[B, T, G]``; 'gmaj' returns it
+        ``[G, B, T]`` (the layout ``traceback_pallas`` consumes), saving
+        one full HBM transpose of the decision tensor in the decode path.
+    Returns (dec_packed, best_state ``[B, T]`` int32).
     """
     from ..ops.viterbi import _branch_vectors, _hard_const
 
@@ -403,8 +408,14 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
         best = jnp.stack([best0, best1], axis=1).reshape(T_pad, B)
     else:
         dec_packed, best = outs
-    dec_packed = jnp.transpose(dec_packed[:T], (2, 0, 1))  # [B, T, G]
     best = best[:T].T  # [B, T]
+    if layout == "gmaj":
+        # word-major handoff for traceback_pallas: ONE transpose
+        # [T, G, B] -> [G, B, T] instead of the [B, T, G] API layout plus
+        # a second [B,T,G] -> [G,B,T] inside the traceback wrapper (each
+        # is a full HBM round trip of the ~T*G*B*4-byte decision tensor).
+        return jnp.transpose(dec_packed[:T], (1, 2, 0)), best
+    dec_packed = jnp.transpose(dec_packed[:T], (2, 0, 1))  # [B, T, G]
     return dec_packed, best
 
 
@@ -465,17 +476,22 @@ def _traceback_kernel(dec_ref, best_ref, out_ref, *, T: int, S: int,
     out_ref[:, :] = out.astype(jnp.int8)
 
 
-@partial(jax.jit, static_argnames=("S", "tb_depth", "pu_words"))
+@partial(jax.jit, static_argnames=("S", "tb_depth", "pu_words", "layout"))
 def traceback_pallas(dec_packed, best_state, S: int, tb_depth: int,
-                     pu_words, batch_chunk: int = 128):
+                     pu_words, batch_chunk: int = 128,
+                     layout: str = "btg"):
     """Run the packed traceback kernel.
 
-    dec_packed : [B, T, G] int32 (from `acs_forward_pallas`)
+    dec_packed : [B, T, G] int32 (from `acs_forward_pallas`), or
+                 [G, B, T] when ``layout='gmaj'`` (no transpose needed)
     best_state : [B, T] int32
     pu_words   : tuple of (w0, w1) int pairs, one per 16-state word
     Returns decoded bits [B, T] int8.
     """
-    B, T, G = dec_packed.shape
+    if layout == "gmaj":
+        G, B, T = dec_packed.shape
+    else:
+        B, T, G = dec_packed.shape
     # Cap the batch chunk so the kernel fits scoped VMEM: double-buffered
     # dec/best/out blocks plus the unrolled walk's working set.  Theory
     # says 4*T*BC*(2G+10) bytes; Mosaic's stack allocator measures ~1.5x
@@ -486,11 +502,16 @@ def traceback_pallas(dec_packed, best_state, S: int, tb_depth: int,
     n_chunks = -(-B // BC)
     Bp = n_chunks * BC
     if Bp != B:
-        dec_packed = jnp.pad(dec_packed, ((0, Bp - B), (0, 0), (0, 0)))
-        best_state = jnp.pad(best_state, ((0, Bp - B), (0, 0)))
+        pad_b = Bp - B
+        if layout == "gmaj":
+            dec_packed = jnp.pad(dec_packed, ((0, 0), (0, pad_b), (0, 0)))
+        else:
+            dec_packed = jnp.pad(dec_packed, ((0, pad_b), (0, 0), (0, 0)))
+        best_state = jnp.pad(best_state, ((0, pad_b), (0, 0)))
     # word-major layout so the VMEM window's minor axis is T (a [.., G]
     # minor axis would be lane-padded to 128: 32x the footprint)
-    dec_gmaj = jnp.transpose(dec_packed, (2, 0, 1))
+    dec_gmaj = (dec_packed if layout == "gmaj"
+                else jnp.transpose(dec_packed, (2, 0, 1)))
 
     kernel = partial(_traceback_kernel, T=T, S=S, tb_depth=int(tb_depth),
                      pu_words=tuple(tuple(w) for w in pu_words))

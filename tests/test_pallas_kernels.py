@@ -50,3 +50,44 @@ def test_pallas_unquantized():
         viterbi_decode_device(llr, tr, 15, "unquantized", backend="pallas")
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_bcjr_butterfly_matches_plain():
+    # The counter-propagating butterfly kernel halves the sequential
+    # chain (T iterations instead of 2T) but must emit the exact same
+    # APP rows as the plain forward-then-backward kernel — including
+    # odd T (the crossing slot), masked windows, and max-log.
+    import jax
+    import jax.numpy as jnp
+    from commpy_tpu.kernels.bcjr import bcjr_appdiff_pallas
+
+    tr = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
+    rng = np.random.RandomState(3)
+    for T, max_log in ((64, False), (33, True)):
+        syn, pan, li = (rng.randn(T, 256).astype(np.float32) * 2
+                        for _ in range(3))
+        outs = [
+            np.asarray(jax.jit(
+                lambda s, p, l, bf=bf: bcjr_appdiff_pallas(
+                    s, p, l, tr, max_log=max_log, butterfly=bf)
+            )(syn, pan, li))
+            for bf in (False, True)
+        ]
+        np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=2e-4)
+    # masked variant: halo positions pass through, exact-start rows
+    T = 40
+    syn, pan, li = (rng.randn(T, 256).astype(np.float32) * 2
+                    for _ in range(3))
+    valid = np.ones((T, 256), np.float32)
+    valid[:4] = 0.0
+    valid[-5:] = 0.0
+    first = np.zeros((256,), bool)
+    first[:128] = True
+    outs = [
+        np.asarray(jax.jit(
+            lambda s, p, l, v, f, bf=bf: bcjr_appdiff_pallas(
+                s, p, l, tr, valid=v, first=f, butterfly=bf)
+        )(syn, pan, li, jnp.asarray(valid), jnp.asarray(first)))
+        for bf in (False, True)
+    ]
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=2e-4)
