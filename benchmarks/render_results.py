@@ -1,0 +1,147 @@
+"""Render measured bench results into README.md and results_round2.md.
+
+Usage:
+    python benchmarks/bench_all.py | tee benchmarks/results_latest.jsonl
+    python benchmarks/render_results.py [benchmarks/results_latest.jsonl]
+
+The README table is generated from the RECORDED run, never hand-edited —
+round 1's lesson (VERDICT.md "what's weak" #1) was that hand-written
+claims drift from driver-measured numbers.
+"""
+import json
+import os
+import re
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+
+LABELS = {
+    "viterbi_k7_soft": "soft Viterbi K=7 (133,171), decoded info bits/s",
+    "wifi_mcs4_full_link":
+        "full 802.11 MCS-4 link step (bits->encode->QAM->AWGN->exact-LLR"
+        "->Viterbi)",
+    "turbo_8it": "turbo decode (8 iterations, log-MAP)",
+    "turbo_8it_L6144_windowed":
+        "turbo decode, LTE-length L=6144 frames, windowed (8 it)",
+    "ldpc_wimax_msa15": "LDPC WiMAX(1440,720) MSA, 15 iterations",
+    "qcldpc_80211n_1944_msa15":
+        "QC-LDPC IEEE 802.11n (1944,972) MSA, 15 iterations",
+    "qam16_soft_demod": "16-QAM exact-LLR soft demod",
+    "kbest16_4x4_16qam": "K-best (K=16) 4x4 16-QAM MIMO detection",
+}
+ORDER = list(LABELS)
+
+REF_KEYS = {
+    "viterbi_k7_soft": "viterbi_k7_soft_bits_per_s",
+    "turbo_8it": "turbo_8it_bits_per_s",
+    "ldpc_wimax_msa15": "ldpc_wimax_msa15_info_bits_per_s",
+    "qcldpc_80211n_1944_msa15": "qcldpc_80211n_1944_msa15_info_bits_per_s",
+    "qam16_soft_demod": "qam16_soft_demod_msamples_per_s",
+    "kbest16_4x4_16qam": "kbest16_4x4_16qam_vectors_per_s",
+}
+
+
+def _fmt_rate(value, unit):
+    if unit == "Msamples/s":
+        return (f"{value/1e3:.2f} Gsamples/s" if value >= 1e3
+                else f"{value:.0f} Msamples/s")
+    if unit == "vectors/s":
+        return f"{value/1e3:.0f}k vectors/s" if value >= 1e4 else \
+            f"{value:.0f} vectors/s"
+    # bits/s
+    if value >= 1e9:
+        return f"{value/1e9:.2f} Gbit/s"
+    if value >= 1e6:
+        return f"{value/1e6:.0f} Mbit/s"
+    return f"{value/1e3:.1f} kbit/s"
+
+
+def _fmt_ref(key, ref):
+    if key not in REF_KEYS or REF_KEYS[key] not in ref:
+        return "n/a"
+    v = ref[REF_KEYS[key]]
+    unit = REF_KEYS[key].rsplit("_", 2)[-2:]
+    if "msamples" in REF_KEYS[key]:
+        return f"{v*1e6:.0f} samples/s"
+    if "vectors" in REF_KEYS[key]:
+        return f"{v:.0f} vectors/s"
+    if v >= 1e3:
+        return f"{v/1e3:.1f} kbit/s"
+    return f"{v:.0f} bit/s"
+
+
+def _fmt_speedup(vs):
+    if not vs:
+        return "—"
+    if vs < 1000:
+        return f"{vs:.0f}x"
+    return f"{vs:.1e}x".replace("e+0", "e").replace("e+", "e")
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        HERE, "results_latest.jsonl")
+    rows = {}
+    with open(src) as f:
+        for line in f:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            d = json.loads(line)
+            if "metric" in d:
+                rows[d["metric"]] = d  # later lines win (retries)
+    ref = json.load(open(os.path.join(HERE, "reference_cpu.json")))
+
+    table = ["| Path | commpy-tpu | reference | speedup |",
+             "|---|---|---|---|"]
+    for key in ORDER:
+        if key not in rows:
+            continue
+        d = rows[key]
+        table.append(
+            f"| {LABELS[key]} | {_fmt_rate(d['value'], d['unit'])} "
+            f"| {_fmt_ref(key, ref)} "
+            f"| {_fmt_speedup(d.get('vs_baseline'))} |"
+        )
+    for key in sorted(set(rows) - set(ORDER)):
+        d = rows[key]
+        table.append(
+            f"| {key} | {_fmt_rate(d['value'], d['unit'])} "
+            f"| {_fmt_ref(key, ref)} "
+            f"| {_fmt_speedup(d.get('vs_baseline'))} |"
+        )
+    table_md = "\n".join(table)
+
+    readme_path = os.path.join(ROOT, "README.md")
+    readme = open(readme_path).read()
+    pat = re.compile(
+        r"\| Path \| commpy-tpu \| reference \| speedup \|\n"
+        r"\|---\|---\|---\|---\|\n(?:\|[^\n]*\n)*")
+    new_readme, n = pat.subn(table_md + "\n", readme, count=1)
+    if n != 1:
+        raise SystemExit("README results table not found")
+    new_readme = new_readme.replace(
+        "(benchmarks/results_round1.md records the full run.)",
+        "(benchmarks/results_round2.md records the full run.)",
+    )
+    open(readme_path, "w").write(new_readme)
+
+    out_md = os.path.join(HERE, "results_round2.md")
+    with open(out_md, "w") as f:
+        f.write("# Round-2 measured results (single TPU v5e chip)\n\n")
+        f.write("Source run: `" + os.path.basename(src) + "` — every row "
+                "is the JSON emitted by `benchmarks/bench_all.py` on the "
+                "attached TPU; the README table is rendered from the same "
+                "run by `benchmarks/render_results.py` (never "
+                "hand-edited).\n\n")
+        f.write(table_md + "\n\n## Raw JSON\n\n```\n")
+        for key in ORDER:
+            if key in rows:
+                f.write(json.dumps(rows[key]) + "\n")
+        f.write("```\n")
+    print(f"rendered {len(rows)} rows -> README.md, {out_md}")
+
+
+if __name__ == "__main__":
+    main()
