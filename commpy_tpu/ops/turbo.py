@@ -695,8 +695,6 @@ def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
             return bcjr_appdiff_pallas(syn, pan, lint, trellis,
                                        max_log=max_log,
                                        lane_chunk=lane_chunk)
-        sy_f, pa1_f, syi_f, pa2_f = sy, pa1, sy_i, pa2
-        fold = unfold = lambda x: x
     else:
         C, W = int(window[0]), int(window[1])
         Tp = -(-L // C) * C
@@ -723,21 +721,54 @@ def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
             jnp.asarray(np.arange(N) == 0)[:, None], (N, B)
         ).reshape(N * B)
 
-        def bcjr_pass(syn_f, pan_f, lint):
+        def kernel_f(syn_f, pan_f, lint_f):
             from ..kernels.bcjr import bcjr_appdiff_pallas
-            e = bcjr_appdiff_pallas(syn_f, pan_f, fold(lint), trellis,
-                                    max_log=max_log, valid=valid,
-                                    first=first, lane_chunk=lane_chunk)
-            return unfold(e)
+            return bcjr_appdiff_pallas(syn_f, pan_f, lint_f, trellis,
+                                       max_log=max_log, valid=valid,
+                                       first=first, lane_chunk=lane_chunk)
+
+        # Composite refold-after-permutation: fold(perm(unfold(e))) is
+        # ONE static row gather of the folded [Wn, N*B] tensor (rows
+        # flattened to [Wn*N, B]) instead of unfold + take + fold — one
+        # HBM pass per half-iteration instead of three.
+        def make_refold(perm_np):
+            ok = valid_np.T  # [Wn, N]
+            src = np.where(ok, perm_np[np.clip(gpos.T, 0, L - 1)], 0)
+            flat = (W + src % C) * N + src // C  # row in [Wn*N, B]
+            idx = jnp.asarray(flat.reshape(-1), jnp.int32)
+
+            def refold(e_f):  # [Wn, N*B] -> [Wn, N*B], perm applied
+                rows = jnp.take(e_f.reshape(Wn * N, B), idx, axis=0)
+                return rows.reshape(Wn, N * B) * valid
+
+            return refold
+
+        refold_p = make_refold(p_np)
+        refold_ip = make_refold(inv_np)
 
         sy_f, pa1_f = fold(sy), fold(pa1)
         syi_f, pa2_f = fold(sy_i), fold(pa2)
 
+        li2_f = e2_f = None
+        li_f = fold(li)
+        for _ in range(number_iterations):
+            e1_f = kernel_f(sy_f, pa1_f, li_f)
+            li2_f = refold_p(e1_f)
+            e2_f = kernel_f(syi_f, pa2_f, li2_f)
+            li_f = refold_ip(e2_f)
+        # Posterior of decoder 2 = intrinsic + prior-free APP ratio;
+        # unfold reads core regions only, where refold placed exact
+        # copies, so unfold(li2_f) + unfold(e2_f) == li2 + e2 and the
+        # deinterleave of exact copies commutes with the sign decision
+        # (turbo.py:331).
+        decoded = (deinterlv(unfold(li2_f + e2_f)) > 0).astype(jnp.int8)
+        return decoded.T
+
     li2 = e2 = None
     for _ in range(number_iterations):
-        e1 = bcjr_pass(sy_f, pa1_f, li)
+        e1 = bcjr_pass(sy, pa1, li)
         li2 = interlv(e1)
-        e2 = bcjr_pass(syi_f, pa2_f, li2)
+        e2 = bcjr_pass(sy_i, pa2, li2)
         li = deinterlv(e2)
     # Posterior of decoder 2 = intrinsic + prior-free APP ratio; the
     # deinterleave of exact copies commutes with the sign decision
