@@ -158,8 +158,8 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
     def srep(x):  # [P, BC] -> [P*S, BC], chunk rows duplicated per state
         return pltpu.repeat(x, S, axis=0) if S > 1 else x
 
-    def row(ref, t):  # [P, T, BC] ref -> [P, BC] step row
-        return ref[:, pl.ds(t, 1), :].reshape(P, BC)
+    def row(ref, t):  # [P, T, BC] ref -> [P, BC] step row (f32 upcast)
+        return ref[:, pl.ds(t, 1), :].reshape(P, BC).astype(jnp.float32)
 
     a_sy = coef_ref[:, 0:1]
     a_pa = coef_ref[:, 1:2]
@@ -171,7 +171,7 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (PS, BC), 0)
     s_of_row = r_iota // P
     if masked:
-        fr = srep(first_ref[:, 0, :])  # [PS, BC]
+        fr = srep(first_ref[:, 0, :].astype(jnp.float32))  # [PS, BC]
         alpha0 = jnp.where((s_of_row > 0) & (fr > 0.5), neg_inf, 0.0)
     else:
         alpha0 = jnp.where(s_of_row > 0, neg_inf, 0.0)
@@ -215,7 +215,8 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
         app1 = reduce_s(al + cand[PS:2 * PS, :])
         for u in range(2, I):  # I > 2 trellises: fold the rest into app1
             app1 = lse2(app1, reduce_s(al + cand[u * PS:(u + 1) * PS, :]))
-        e_ref[:, pl.ds(t, 1), :] = (app1 - app0).reshape(P, 1, BC)
+        e_ref[:, pl.ds(t, 1), :] = (app1 - app0).reshape(
+            P, 1, BC).astype(e_ref.dtype)
         if masked:
             vt = srep(row(valid_ref, t))
             b = jnp.where(vt > 0.5, b, beta)
@@ -270,7 +271,7 @@ def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
         return pltpu.repeat(x, S, axis=0) if S > 1 else x
 
     def row(ref, t):
-        return ref[:, pl.ds(t, 1), :].reshape(P, BC)
+        return ref[:, pl.ds(t, 1), :].reshape(P, BC).astype(jnp.float32)
 
     a_sy = coef_ref[:, 0:1]
     a_pa = coef_ref[:, 1:2]
@@ -281,7 +282,7 @@ def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (PS, BC), 0)
     s_of_row = r_iota // P
     if masked:
-        fr = srep(first_ref[:, 0, :])
+        fr = srep(first_ref[:, 0, :].astype(jnp.float32))
         alpha0 = jnp.where((s_of_row > 0) & (fr > 0.5), neg_inf, 0.0)
     else:
         alpha0 = jnp.where(s_of_row > 0, neg_inf, 0.0)
@@ -334,7 +335,8 @@ def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
         app1 = reduce_s(al + cand[PS:2 * PS, :])
         for u in range(2, I):
             app1 = lse2(app1, reduce_s(al + cand[u * PS:(u + 1) * PS, :]))
-        e_ref[:, pl.ds(t, 1), :] = (app1 - app0).reshape(P, 1, BC)
+        e_ref[:, pl.ds(t, 1), :] = (app1 - app0).reshape(
+            P, 1, BC).astype(e_ref.dtype)
 
     H = T // 2  # phase-1 length: alpha fills slots [0, H),
     # beta fills slots [T-H, T) — disjoint for any T.
@@ -375,10 +377,11 @@ def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
 
 
 @partial(jax.jit, static_argnames=("trellis", "max_log", "lane_chunk",
-                                   "butterfly"))
+                                   "butterfly", "io_dtype"))
 def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
                         max_log: bool = False, valid=None, first=None,
-                        lane_chunk: int = 1024, butterfly: bool = False):
+                        lane_chunk: int = 1024, butterfly: bool = False,
+                        io_dtype: str = "f32"):
     """Fused BCJR pass; returns the prior-free APP log-ratio.
 
     syn/pan : [T, R] symbol streams PRE-SCALED by 1/noise_variance
@@ -400,13 +403,18 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
     P = max(1, 8 // S)  # chunks stacked on the 8-sublane axis
     perm_a, perm_b, coef = _linear_tables(trellis, P)
     masked = valid is not None
+    io = jnp.bfloat16 if io_dtype == "bf16" else jnp.float32
+    io_bytes = 2 if io_dtype == "bf16" else 4
 
     # Cap the lane block so the kernel fits scoped VMEM: pallas DOUBLE-
     # BUFFERS every gridded block (input and output), so the per-lane
-    # footprint is 2*(streams + e [+ valid]) * T + the alpha scratch
-    # S*T, in f32.  ~14 MB budget leaves headroom for Mosaic spills.
+    # footprint is 2*(streams + e [+ valid]) * T in the io dtype + the
+    # alpha scratch S*T in f32.  ~14 MB budget leaves headroom for
+    # Mosaic spills.  bf16 io roughly doubles the lane cap — fewer
+    # sequential grid steps per pass (LLR quantization to 8-bit
+    # mantissa; production decoders run 4-6 bit LLRs).
     n_blocks = 5 if masked else 4
-    per_lane = 4 * (2 * n_blocks + S) * T
+    per_lane = io_bytes * 2 * n_blocks * T + 4 * S * T
     cap_lanes = max(128 * P,
                     (14 * 1024 * 1024 // per_lane) // (128 * P) * 128 * P)
     LB = min(lane_chunk * P, cap_lanes, -(-R // (128 * P)) * 128 * P)
@@ -427,17 +435,17 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
         return jnp.transpose(x.reshape(Tx, n_slots, BC), (1, 0, 2))
 
     if masked:
-        valid_f = slot3(jnp.asarray(valid, jnp.float32))
+        valid_f = slot3(jnp.asarray(valid, io))
         if first is None:
             first = jnp.ones((R,), bool)
         first_f = slot3(jnp.pad(
-            jnp.asarray(first, jnp.float32)[None, :], ((0, 0), (0, Rp - R))
+            jnp.asarray(first, io)[None, :], ((0, 0), (0, Rp - R))
         ))
         Tv = T
     else:
         # placeholders keep the kernel signature static; never read
-        valid_f = jnp.zeros((n_slots, 1, BC), jnp.float32)
-        first_f = jnp.zeros((n_slots, 1, BC), jnp.float32)
+        valid_f = jnp.zeros((n_slots, 1, BC), io)
+        first_f = jnp.zeros((n_slots, 1, BC), io)
         Tv = 1
 
     kernel = partial(
@@ -466,9 +474,10 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
         ],
         out_specs=pl.BlockSpec((P, T, BC), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_slots, T, BC), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_slots, T, BC), io),
         scratch_shapes=[pltpu.VMEM((T, P * S, BC), jnp.float32)],
         interpret=interpret,
-    )(slot3(syn), slot3(pan), slot3(li), jnp.asarray(coef),
-      valid_f, first_f)
-    return jnp.transpose(e, (1, 0, 2)).reshape(T, Rp)[:, :R]
+    )(slot3(syn).astype(io), slot3(pan).astype(io), slot3(li).astype(io),
+      jnp.asarray(coef), valid_f, first_f)
+    return jnp.transpose(e, (1, 0, 2)).reshape(
+        T, Rp)[:, :R].astype(jnp.float32)

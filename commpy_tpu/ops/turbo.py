@@ -648,12 +648,13 @@ def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
 
 @partial(jax.jit, static_argnames=("trellis", "number_iterations",
                                    "max_log", "p_tuple", "window",
-                                   "lane_chunk"))
+                                   "lane_chunk", "io_dtype"))
 def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
                              non_sys_symbols_2, noise_variance, p_tuple,
                              L_int, trellis: Trellis,
                              number_iterations: int, max_log: bool = False,
-                             window=None, lane_chunk: int = 1024):
+                             window=None, lane_chunk: int = 1024,
+                             io_dtype: str = "f32"):
     """Extrinsic loop driven by the fused Pallas BCJR kernel.
 
     Same math as `_turbo_iterations` (reference turbo.py:254-333), but
@@ -694,7 +695,8 @@ def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
             from ..kernels.bcjr import bcjr_appdiff_pallas
             return bcjr_appdiff_pallas(syn, pan, lint, trellis,
                                        max_log=max_log,
-                                       lane_chunk=lane_chunk)
+                                       lane_chunk=lane_chunk,
+                                       io_dtype=io_dtype)
     else:
         C, W = int(window[0]), int(window[1])
         Tp = -(-L // C) * C
@@ -725,7 +727,8 @@ def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
             from ..kernels.bcjr import bcjr_appdiff_pallas
             return bcjr_appdiff_pallas(syn_f, pan_f, lint_f, trellis,
                                        max_log=max_log, valid=valid,
-                                       first=first, lane_chunk=lane_chunk)
+                                       first=first, lane_chunk=lane_chunk,
+                                       io_dtype=io_dtype)
 
         # Composite refold-after-permutation: fold(perm(unfold(e))) is
         # ONE static row gather of the folded [Wn, N*B] tensor (rows
@@ -785,7 +788,8 @@ _PALLAS_MAX_WHOLE_FRAME = 512
 def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
                         trellis: Trellis, noise_variance, number_iterations,
                         p_array, L_int=None, algorithm="log-MAP",
-                        parallel=False, window=None, backend="auto"):
+                        parallel=False, window=None, backend="auto",
+                        kernel_io: str = "f32"):
     """Batched turbo decode (extrinsic loop of turbo.py:254-333).
 
     All symbol arrays ``[..., T]``; p_array the interleaver permutation.
@@ -802,6 +806,11 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
     picks pallas on TPU backends for binary trellises whenever the
     frame fits the kernel (whole frames up to 512 symbols, any length
     windowed), xla otherwise.
+    ``kernel_io``: "bf16" stores the Pallas kernel's symbol/extrinsic
+    streams in bfloat16 — the VMEM lane cap roughly doubles (fewer
+    sequential grid steps per MAP pass) at the cost of quantizing LLRs
+    to an 8-bit mantissa (production hardware runs 4-6 bit LLRs; BER
+    impact is below Monte-Carlo noise, see scripts/turbo_ber_probe.py).
     """
     sy = jnp.atleast_2d(jnp.asarray(sys_symbols, jnp.float32))
     p1 = jnp.atleast_2d(jnp.asarray(non_sys_symbols_1, jnp.float32))
@@ -824,6 +833,7 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
         out = _turbo_iterations_pallas(
             sy, p1, p2, jnp.float32(noise_variance), p_tuple, L_int,
             trellis, int(number_iterations), algorithm == "max-log", win,
+            io_dtype=kernel_io,
         )
     else:
         out = _turbo_iterations(

@@ -24,7 +24,9 @@ from commpy_tpu.ops.turbo import turbo_decode_device
 L = int(sys.argv[1]) if len(sys.argv) > 1 else 6144
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 
-CONFIGS = [(256, 32), (128, 32), (64, 32), (96, 24), (64, 16)]
+CONFIGS = [((256, 32), "f32"), ((128, 32), "f32"), ((64, 32), "f32"),
+           ((64, 16), "f32"), ((64, 32), "bf16"), ((128, 32), "bf16"),
+           ((256, 32), "bf16")]
 
 trt = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
 interlv = RandInterlv(L, 0)
@@ -34,11 +36,12 @@ x0 = jnp.asarray(rng.randn(B, L).astype(np.float32))
 REP_HI, REP_LO, OUTER, ROUNDS = 6, 2, 2, 4
 
 
-def make(window, rep):
+def make(cfg, rep):
+    window, io = cfg
     def chained(x):
         def body(c, _):
             d = turbo_decode_device(c, c, c, trt, 0.5, 8, interlv.p_array,
-                                    window=window)
+                                    window=window, kernel_io=io)
             return c + d.astype(c.dtype).sum() * 1e-12, ()
         c, _ = jax.lax.scan(body, x, None, length=rep)
         return c, jnp.sum(c[0, :4])

@@ -195,3 +195,28 @@ def test_turbo_pallas_backend_matches_xla():
             T.turbo_decode_device(*args, backend="pallas", **kw)
         )
         np.testing.assert_array_equal(d_x, d_p)
+
+
+def test_turbo_pallas_bf16_io_matches_f32_decisions():
+    # kernel_io="bf16" quantizes the Pallas kernel's stream traffic to
+    # bfloat16 (8-bit mantissa LLRs; production decoders run 4-6 bits).
+    # At working SNR the decisions must match the f32 kernel's.
+    np.random.seed(21)
+    mt = _trellis()
+    L = 512
+    interlv = RandInterlv(L, 4)
+    msg = np.random.randint(0, 2, (4, L))
+    s, p1, p2 = T.turbo_encode_device(msg, mt, mt, interlv.p_array)
+    sigma2 = 0.45
+    noise = np.random.randn(3, 4, L) * np.sqrt(sigma2)
+    sy = 2.0 * np.asarray(s) - 1 + noise[0]
+    py1 = 2.0 * np.asarray(p1) - 1 + noise[1]
+    py2 = 2.0 * np.asarray(p2) - 1 + noise[2]
+    args = (sy, py1, py2, mt, sigma2, 4, interlv.p_array)
+    for kw in ({"window": (128, 32)}, {}):
+        d32 = np.asarray(T.turbo_decode_device(
+            *args, backend="pallas", kernel_io="f32", **kw))
+        d16 = np.asarray(T.turbo_decode_device(
+            *args, backend="pallas", kernel_io="bf16", **kw))
+        assert (d32 != d16).mean() < 5e-3, kw
+        assert (d16 != msg).mean() < 5e-3, kw
