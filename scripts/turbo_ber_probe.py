@@ -19,6 +19,12 @@ for snr_db in [1.0, 2.0, 3.0]:
     sy = (2.0*s-1) + ns*jax.random.normal(k1, s.shape)
     n1 = (2.0*p1-1) + ns*jax.random.normal(k2, p1.shape)
     n2 = (2.0*p2-1) + ns*jax.random.normal(k3, p2.shape)
-    dec = turbo_decode_device(sy, n1, n2, tr, ns**2, 8, interlv.p_array)
-    ber = float(jnp.mean((dec != bits).astype(jnp.float32)))
-    print(f"SNR {snr_db} dB: BER = {ber:.3e}")
+    for io in ("f32", "bf16"):
+        for win in (None, (64, 32)):
+            dec = turbo_decode_device(sy, n1, n2, tr, ns**2, 8,
+                                      interlv.p_array, window=win,
+                                      kernel_io=io,
+                                      backend="pallas")
+            ber = float(jnp.mean((dec != bits).astype(jnp.float32)))
+            print(f"SNR {snr_db} dB io={io} window={win}: "
+                  f"BER = {ber:.3e}")
