@@ -821,6 +821,11 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
         L_int = jnp.atleast_2d(jnp.asarray(L_int, jnp.float32))
     p_tuple = tuple(int(v) for v in np.asarray(p_array))
     win = None if window is None else (int(window[0]), int(window[1]))
+    if win is not None and win[1] > win[0]:
+        raise ValueError(
+            f"window warmup {win[1]} exceeds chunk {win[0]}; the halo "
+            "fold needs warmup <= chunk"
+        )
     if backend == "auto":
         fits = win is not None or len(p_tuple) <= _PALLAS_MAX_WHOLE_FRAME
         backend = (
