@@ -1,0 +1,13 @@
+#!/bin/bash
+# Run every bench_all section in its OWN process (the remote compile
+# service has flaky windows; one hung section must not take down the
+# run), appending JSON lines to results_latest.jsonl.  Re-running only
+# replaces sections that emit (render_results keeps the LAST line per
+# metric).
+cd "$(dirname "$0")/.."
+OUT=benchmarks/results_latest.jsonl
+for sec in viterbi turbo turbo_long ldpc qcldpc demod kbest wifi; do
+  echo "=== $sec ===" >&2
+  timeout 560 python benchmarks/bench_all.py "$sec" | tee -a "$OUT"
+done
+python benchmarks/render_results.py "$OUT"
