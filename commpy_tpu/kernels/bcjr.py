@@ -110,8 +110,10 @@ def _linear_tables(trellis: Trellis, P: int):
 
 
 def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
-                 e_ref, alphas_ref, *, T: int, S: int, I: int, P: int,
-                 perm_a, perm_b, max_log: bool, masked: bool):
+                 a0_ref, bT_ref, e_ref, af_ref, bf_ref, alphas_ref, *,
+                 T: int, S: int, I: int, P: int,
+                 perm_a, perm_b, max_log: bool, masked: bool,
+                 boundary: bool):
     """One lane block's full BCJR pass (P chunks stacked on sublanes).
 
     Stream blocks are slot-major [P, T, BC] (the chunk-slot axis leads
@@ -123,7 +125,12 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
     coef_ref    : [I*P*S, 8] linear branch coefficient table
     valid_ref   : [P, T, BC] 1.0 at live positions (masked variant)
     first_ref   : [P, 1, BC] 1.0 where the alpha start is exact state 0
+    a0/bT_ref   : [1, P*S, BC] initial alpha / final-position beta
+                  (boundary variant: NII state handoff between turbo
+                  iterations; placeholders otherwise)
     e_ref       : [P, T, BC] (out) APP log-ratio app1 - app0 (prior-free)
+    af/bf_ref   : [1, P*S, BC] (out) final alpha / backward-final beta
+                  carries (written only in the boundary variant)
     alphas_ref  : [T, P*S, BC] (scratch) forward metric history
     """
     BC = syn_ref.shape[2]
@@ -170,7 +177,9 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
     # ---- alpha start ---- (rows are (s, c), chunk minor: s = r // P)
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (PS, BC), 0)
     s_of_row = r_iota // P
-    if masked:
+    if boundary:
+        alpha0 = a0_ref[0, :, :]
+    elif masked:
         fr = srep(first_ref[:, 0, :].astype(jnp.float32))  # [PS, BC]
         alpha0 = jnp.where((s_of_row > 0) & (fr > 0.5), neg_inf, 0.0)
     else:
@@ -196,7 +205,9 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
         alphas_ref[pl.ds(t, 1), :, :] = alpha.reshape(1, PS, BC)
         return a
 
-    jax.lax.fori_loop(0, T, fwd, alpha0)
+    alpha_fin = jax.lax.fori_loop(0, T, fwd, alpha0)
+    if boundary:
+        af_ref[0, :, :] = alpha_fin
 
     # ---- backward: beta recursion + APP inline ----
     def bwd(k, beta):
@@ -222,14 +233,18 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
             b = jnp.where(vt > 0.5, b, beta)
         return b
 
-    beta_T = jnp.zeros((PS, BC), jnp.float32)
-    jax.lax.fori_loop(0, T, bwd, beta_T)
+    beta_T = bT_ref[0, :, :] if boundary else jnp.zeros((PS, BC),
+                                                        jnp.float32)
+    beta_fin = jax.lax.fori_loop(0, T, bwd, beta_T)
+    if boundary:
+        bf_ref[0, :, :] = beta_fin
 
 
 def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
-                           first_ref, e_ref, hist_ref, *, T: int, S: int,
+                           first_ref, a0_ref, bT_ref, e_ref, af_ref,
+                           bf_ref, hist_ref, *, T: int, S: int,
                            I: int, P: int, perm_a, perm_b, max_log: bool,
-                           masked: bool):
+                           masked: bool, boundary: bool):
     """Counter-propagating BCJR: alpha and beta advance in ONE loop.
 
     The plain kernel's 2T-step sequential chain (forward fori, then
@@ -287,6 +302,9 @@ def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
     else:
         alpha0 = jnp.where(s_of_row > 0, neg_inf, 0.0)
     beta0 = jnp.zeros((PS, BC), jnp.float32)
+    if boundary:
+        alpha0 = a0_ref[0, :, :]
+        beta0 = bT_ref[0, :, :]
 
     def streams3(t):
         sy = srep(row(syn_ref, t))
@@ -373,7 +391,11 @@ def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
         emit_app(tb, ah, cand_b)
         return a, b
 
-    jax.lax.fori_loop((T + 1) // 2, T, phase2, (alpha, beta))
+    alpha, beta = jax.lax.fori_loop((T + 1) // 2, T, phase2,
+                                    (alpha, beta))
+    if boundary:
+        af_ref[0, :, :] = alpha
+        bf_ref[0, :, :] = beta
 
 
 @partial(jax.jit, static_argnames=("trellis", "max_log", "lane_chunk",
@@ -381,7 +403,7 @@ def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
 def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
                         max_log: bool = False, valid=None, first=None,
                         lane_chunk: int = 1024, butterfly: bool = False,
-                        io_dtype: str = "f32"):
+                        io_dtype: str = "f32", boundary=None):
     """Fused BCJR pass; returns the prior-free APP log-ratio.
 
     syn/pan : [T, R] symbol streams PRE-SCALED by 1/noise_variance
@@ -390,6 +412,12 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
               unchanged (window halos / padding)
     first   : [R] bool or None; True rows start exactly in state 0,
               False rows from a uniform metric; None = all exact.
+    boundary: None, or (a0 [S, R], bT [S, R]) initial alpha / final-
+              position beta metrics (NII window handoff — see
+              ops/turbo.py).  When given, returns (e, a_fin [S, R],
+              b_fin [S, R]): the post-final forward alpha and the
+              backward-final beta carries.  Mutually exclusive with
+              ``valid`` masking.
     Returns e [T, R] with lappr = li + e (reference turbo.py:78-158 up
     to uniform per-(t, r) shifts, which cancel in the difference).
     """
@@ -403,6 +431,10 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
     P = max(1, 8 // S)  # chunks stacked on the 8-sublane axis
     perm_a, perm_b, coef = _linear_tables(trellis, P)
     masked = valid is not None
+    has_boundary = boundary is not None
+    if has_boundary and masked:
+        raise ValueError("boundary handoff and valid masking are "
+                         "mutually exclusive")
     io = jnp.bfloat16 if io_dtype == "bf16" else jnp.float32
     io_bytes = 2 if io_dtype == "bf16" else 4
 
@@ -418,8 +450,12 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
     cap_lanes = max(128 * P,
                     (14 * 1024 * 1024 // per_lane) // (128 * P) * 128 * P)
     LB = min(lane_chunk * P, cap_lanes, -(-R // (128 * P)) * 128 * P)
-    BC = LB // P
+    # balance: with the chunk count fixed by the cap, shrink the block
+    # to the smallest aligned width that still covers R — less padding
+    # (e.g. R = 24576, cap 7168 -> 4 x 6144 instead of 4 x 7168)
     n_chunks = -(-R // LB)
+    LB = min(LB, -(-R // (n_chunks * 128 * P)) * 128 * P)
+    BC = LB // P
     Rp = n_chunks * LB
     if Rp != R:
         pad = ((0, 0), (0, Rp - R))
@@ -448,14 +484,34 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
         first_f = jnp.zeros((n_slots, 1, BC), io)
         Tv = 1
 
+    PS = P * S
+    if has_boundary:
+        a0_in, bT_in = boundary
+
+        def state_blocks(x):  # [S, R] -> [n_chunks, P*S, BC], row s*P+c
+            xp = jnp.pad(jnp.asarray(x, jnp.float32),
+                         ((0, 0), (0, Rp - R)))
+            xq = xp.reshape(S, n_chunks, P, BC)
+            return jnp.transpose(xq, (1, 0, 2, 3)).reshape(
+                n_chunks, PS, BC)
+
+        a0_f = state_blocks(a0_in)
+        bT_f = state_blocks(bT_in)
+    else:
+        a0_f = jnp.zeros((n_chunks, PS, BC), jnp.float32)
+        bT_f = jnp.zeros((n_chunks, PS, BC), jnp.float32)
+
     kernel = partial(
         _bcjr_butterfly_kernel if butterfly else _bcjr_kernel,
         T=T, S=S, I=I, P=P, perm_a=perm_a, perm_b=perm_b,
         max_log=bool(max_log), masked=masked,
+        boundary=has_boundary,
     )
     interpret = jax.default_backend() not in ("tpu", "axon")
 
-    e = pl.pallas_call(
+    state_spec = pl.BlockSpec((1, PS, BC), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    e, af, bf = pl.pallas_call(
         kernel,
         grid=(n_chunks,),
         in_specs=[
@@ -471,13 +527,31 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P, 1, BC), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            state_spec,
+            state_spec,
         ],
-        out_specs=pl.BlockSpec((P, T, BC), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_slots, T, BC), io),
+        out_specs=[
+            pl.BlockSpec((P, T, BC), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            state_spec,
+            state_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_slots, T, BC), io),
+            jax.ShapeDtypeStruct((n_chunks, PS, BC), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, PS, BC), jnp.float32),
+        ],
         scratch_shapes=[pltpu.VMEM((T, P * S, BC), jnp.float32)],
         interpret=interpret,
     )(slot3(syn).astype(io), slot3(pan).astype(io), slot3(li).astype(io),
-      jnp.asarray(coef), valid_f, first_f)
-    return jnp.transpose(e, (1, 0, 2)).reshape(
+      jnp.asarray(coef), valid_f, first_f, a0_f, bT_f)
+    e_out = jnp.transpose(e, (1, 0, 2)).reshape(
         T, Rp)[:, :R].astype(jnp.float32)
+    if not has_boundary:
+        return e_out
+
+    def state_unblocks(x):  # [n_chunks, P*S, BC] -> [S, R]
+        xq = x.reshape(n_chunks, S, P, BC)
+        return jnp.transpose(xq, (1, 0, 2, 3)).reshape(S, Rp)[:, :R]
+
+    return e_out, state_unblocks(af), state_unblocks(bf)

@@ -648,13 +648,15 @@ def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
 
 @partial(jax.jit, static_argnames=("trellis", "number_iterations",
                                    "max_log", "p_tuple", "window",
-                                   "lane_chunk", "io_dtype"))
+                                   "lane_chunk", "io_dtype",
+                                   "window_init"))
 def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
                              non_sys_symbols_2, noise_variance, p_tuple,
                              L_int, trellis: Trellis,
                              number_iterations: int, max_log: bool = False,
                              window=None, lane_chunk: int = 1024,
-                             io_dtype: str = "f32"):
+                             io_dtype: str = "f32",
+                             window_init: str = "warmup"):
     """Extrinsic loop driven by the fused Pallas BCJR kernel.
 
     Same math as `_turbo_iterations` (reference turbo.py:254-333), but
@@ -697,6 +699,93 @@ def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
                                        max_log=max_log,
                                        lane_chunk=lane_chunk,
                                        io_dtype=io_dtype)
+    elif window_init == "nii":
+        # Next-Iteration Initialization: windows have NO warmup halos;
+        # each MAP pass starts its alpha/beta from the boundary metrics
+        # its neighbors produced on the PREVIOUS turbo iteration (the
+        # standard hardware sliding-window scheme).  Kills the halo
+        # recompute AND the masked valid stream, and the per-pass
+        # sequential depth is 2C, not 2(C + 2W).
+        from ..kernels.bcjr import bcjr_appdiff_pallas
+
+        C = int(window[0])
+        if L % C:
+            raise ValueError(
+                f"window_init='nii' needs chunk {C} to divide the frame "
+                f"length {L} (pad the frame or use window_init='warmup')"
+            )
+        N = L // C
+        R = N * B
+        S = trellis.number_states
+        neg = jnp.float32(-1e30)
+
+        def fold0(x):  # [L, B] -> [C, N*B], window-major columns
+            return jnp.transpose(
+                x.reshape(N, C, B), (1, 0, 2)).reshape(C, R)
+
+        def unfold0(e):  # inverse of fold0
+            return jnp.transpose(
+                e.reshape(C, N, B), (1, 0, 2)).reshape(L, B)
+
+        def make_refold(perm_np):
+            # fold0(perm(unfold0(e))) as ONE static row gather
+            g = (np.arange(N)[None, :] * C
+                 + np.arange(C)[:, None])  # [C, N]
+            src = perm_np[g]
+            flat = (src % C) * N + src // C
+            idx = jnp.asarray(flat.reshape(-1), jnp.int32)
+
+            def refold(e_f):
+                rows = jnp.take(e_f.reshape(C * N, B), idx, axis=0)
+                return rows.reshape(C, R)
+
+            return refold
+
+        refold_p = make_refold(p_np)
+        refold_ip = make_refold(inv_np)
+        sy_f, pa1_f = fold0(sy), fold0(pa1)
+        syi_f, pa2_f = fold0(sy_i), fold0(pa2)
+
+        exact_np = np.zeros((S, B), np.float32)
+        exact_np[1:, :] = -1e30  # frame start: encoder state 0
+        exact = jnp.asarray(exact_np)
+        a0_init = jnp.concatenate(
+            [exact, jnp.zeros((S, R - B), jnp.float32)], axis=1)
+        bT_init = jnp.zeros((S, R), jnp.float32)
+
+        def shift_states(af, bf):
+            # window n's next alpha start = window n-1's final alpha;
+            # window 0 keeps the exact frame-start metric.  Beta flows
+            # the other way; the last window stays uniform (frames are
+            # unterminated, matching the whole-frame kernel).  Metrics
+            # are unnormalized — renormalize per lane so the drift
+            # cannot accumulate across iterations.
+            a0 = jnp.concatenate([exact, af[:, :R - B]], axis=1)
+            bT = jnp.concatenate(
+                [bf[:, B:], jnp.zeros((S, B), jnp.float32)], axis=1)
+            a0 = a0 - jnp.max(a0, axis=0, keepdims=True)
+            bT = bT - jnp.max(bT, axis=0, keepdims=True)
+            return a0, bT
+
+        def kernel_b(syn_f, pan_f, lint_f, a0, bT):
+            return bcjr_appdiff_pallas(
+                syn_f, pan_f, lint_f, trellis, max_log=max_log,
+                lane_chunk=max(lane_chunk, 8192), io_dtype=io_dtype,
+                boundary=(a0, bT))
+
+        a01, bt1 = a0_init, bT_init
+        a02, bt2 = a0_init, bT_init
+        li_f = fold0(li)
+        li2_f = e2_f = None
+        for _ in range(number_iterations):
+            e1_f, af1, bf1 = kernel_b(sy_f, pa1_f, li_f, a01, bt1)
+            a01, bt1 = shift_states(af1, bf1)
+            li2_f = refold_p(e1_f)
+            e2_f, af2, bf2 = kernel_b(syi_f, pa2_f, li2_f, a02, bt2)
+            a02, bt2 = shift_states(af2, bf2)
+            li_f = refold_ip(e2_f)
+        decoded = (deinterlv(unfold0(li2_f + e2_f)) > 0).astype(jnp.int8)
+        return decoded.T
     else:
         C, W = int(window[0]), int(window[1])
         Tp = -(-L // C) * C
@@ -789,7 +878,8 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
                         trellis: Trellis, noise_variance, number_iterations,
                         p_array, L_int=None, algorithm="log-MAP",
                         parallel=False, window=None, backend="auto",
-                        kernel_io: str = "f32"):
+                        kernel_io: str = "f32",
+                        window_init: str = "warmup"):
     """Batched turbo decode (extrinsic loop of turbo.py:254-333).
 
     All symbol arrays ``[..., T]``; p_array the interleaver permutation.
@@ -811,6 +901,12 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
     sequential grid steps per MAP pass) at the cost of quantizing LLRs
     to an 8-bit mantissa (production hardware runs 4-6 bit LLRs; BER
     impact is below Monte-Carlo noise, see scripts/turbo_ber_probe.py).
+    ``window_init``: "warmup" re-acquires window boundary states every
+    MAP pass from W-step halos; "nii" (pallas backend only, chunk must
+    divide the frame) carries each window's boundary alpha/beta from
+    the PREVIOUS turbo iteration instead — no halo recompute, no mask
+    stream, per-pass depth 2C instead of 2(C+2W); the warmup value of
+    ``window`` is ignored.
     """
     sy = jnp.atleast_2d(jnp.asarray(sys_symbols, jnp.float32))
     p1 = jnp.atleast_2d(jnp.asarray(non_sys_symbols_1, jnp.float32))
@@ -834,11 +930,18 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
                 and trellis.number_inputs == 2 and fits)
             else "xla"
         )
+    if window_init not in ("warmup", "nii"):
+        raise ValueError('window_init must be "warmup" or "nii"')
+    if window_init == "nii" and backend != "pallas":
+        raise NotImplementedError(
+            "window_init='nii' is a pallas-backend feature; the xla "
+            "core uses warmup halos"
+        )
     if backend == "pallas":
         out = _turbo_iterations_pallas(
             sy, p1, p2, jnp.float32(noise_variance), p_tuple, L_int,
             trellis, int(number_iterations), algorithm == "max-log", win,
-            io_dtype=kernel_io,
+            io_dtype=kernel_io, window_init=window_init,
         )
     else:
         out = _turbo_iterations(

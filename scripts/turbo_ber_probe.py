@@ -20,11 +20,12 @@ for snr_db in [1.0, 2.0, 3.0]:
     n1 = (2.0*p1-1) + ns*jax.random.normal(k2, p1.shape)
     n2 = (2.0*p2-1) + ns*jax.random.normal(k3, p2.shape)
     for io in ("f32", "bf16"):
-        for win in (None, (64, 32)):
+        for win, init in ((None, "warmup"), ((64, 32), "warmup"),
+                          ((64, 0), "nii")):
             dec = turbo_decode_device(sy, n1, n2, tr, ns**2, 8,
                                       interlv.p_array, window=win,
-                                      kernel_io=io,
-                                      backend="pallas")
+                                      kernel_io=io, backend="pallas",
+                                      window_init=init)
             ber = float(jnp.mean((dec != bits).astype(jnp.float32)))
-            print(f"SNR {snr_db} dB io={io} window={win}: "
+            print(f"SNR {snr_db} dB io={io} window={win} init={init}: "
                   f"BER = {ber:.3e}")

@@ -24,9 +24,13 @@ from commpy_tpu.ops.turbo import turbo_decode_device
 L = int(sys.argv[1]) if len(sys.argv) > 1 else 6144
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 
-CONFIGS = [((256, 32), "f32"), ((128, 32), "f32"), ((64, 32), "f32"),
-           ((64, 16), "f32"), ((64, 32), "bf16"), ((128, 32), "bf16"),
-           ((256, 32), "bf16")]
+# (window, io, init)
+CONFIGS = [((256, 32), "f32", "warmup"), ((128, 32), "f32", "warmup"),
+           ((64, 32), "f32", "warmup"), ((64, 32), "bf16", "warmup"),
+           ((128, 32), "bf16", "warmup"), ((256, 32), "bf16", "warmup"),
+           ((64, 0), "f32", "nii"), ((64, 0), "bf16", "nii"),
+           ((128, 0), "bf16", "nii"), ((256, 0), "bf16", "nii"),
+           ((96, 0), "bf16", "nii")]
 
 trt = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
 interlv = RandInterlv(L, 0)
@@ -37,11 +41,12 @@ REP_HI, REP_LO, OUTER, ROUNDS = 6, 2, 2, 4
 
 
 def make(cfg, rep):
-    window, io = cfg
+    window, io, init = cfg
     def chained(x):
         def body(c, _):
             d = turbo_decode_device(c, c, c, trt, 0.5, 8, interlv.p_array,
-                                    window=window, kernel_io=io)
+                                    window=window, kernel_io=io,
+                                    backend="pallas", window_init=init)
             return c + d.astype(c.dtype).sum() * 1e-12, ()
         c, _ = jax.lax.scan(body, x, None, length=rep)
         return c, jnp.sum(c[0, :4])

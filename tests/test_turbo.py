@@ -220,3 +220,53 @@ def test_turbo_pallas_bf16_io_matches_f32_decisions():
             *args, backend="pallas", kernel_io="bf16", **kw))
         assert (d32 != d16).mean() < 5e-3, kw
         assert (d16 != msg).mean() < 5e-3, kw
+
+
+def test_turbo_nii_first_iteration_matches_warmup_w0():
+    # NII iteration 1 starts every non-first window from a uniform
+    # alpha and every window from a uniform end-beta — exactly the
+    # masked warmup path with W=0 halos.  Decisions must be
+    # bit-identical for a single iteration.
+    np.random.seed(31)
+    mt = _trellis()
+    L = 256
+    interlv = RandInterlv(L, 6)
+    msg = np.random.randint(0, 2, (3, L))
+    s, p1, p2 = T.turbo_encode_device(msg, mt, mt, interlv.p_array)
+    sigma2 = 0.7
+    noise = np.random.randn(3, 3, L) * np.sqrt(sigma2)
+    sy = 2.0 * np.asarray(s) - 1 + noise[0]
+    py1 = 2.0 * np.asarray(p1) - 1 + noise[1]
+    py2 = 2.0 * np.asarray(p2) - 1 + noise[2]
+    args = (sy, py1, py2, mt, sigma2, 1, interlv.p_array)
+    d_w0 = np.asarray(T.turbo_decode_device(
+        *args, window=(64, 0), backend="pallas"))
+    d_nii = np.asarray(T.turbo_decode_device(
+        *args, window=(64, 0), backend="pallas", window_init="nii"))
+    np.testing.assert_array_equal(d_w0, d_nii)
+
+
+def test_turbo_nii_converges_like_whole_frame():
+    # After a few iterations the carried boundary states converge: the
+    # NII decode must recover the message wherever the whole-frame
+    # decode does (same working SNR).
+    np.random.seed(32)
+    mt = _trellis()
+    L = 1024
+    interlv = RandInterlv(L, 8)
+    msg = np.random.randint(0, 2, (4, L))
+    s, p1, p2 = T.turbo_encode_device(msg, mt, mt, interlv.p_array)
+    sigma2 = 0.5
+    noise = np.random.randn(3, 4, L) * np.sqrt(sigma2)
+    sy = 2.0 * np.asarray(s) - 1 + noise[0]
+    py1 = 2.0 * np.asarray(p1) - 1 + noise[1]
+    py2 = 2.0 * np.asarray(p2) - 1 + noise[2]
+    d_nii = np.asarray(T.turbo_decode_device(
+        sy, py1, py2, mt, sigma2, 6, interlv.p_array, window=(128, 0),
+        backend="pallas", window_init="nii"))
+    assert (d_nii != msg).sum() == 0
+    # bf16 io composes with NII
+    d_nii16 = np.asarray(T.turbo_decode_device(
+        sy, py1, py2, mt, sigma2, 6, interlv.p_array, window=(128, 0),
+        backend="pallas", window_init="nii", kernel_io="bf16"))
+    assert (d_nii16 != msg).sum() == 0
