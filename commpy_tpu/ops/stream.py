@@ -111,6 +111,7 @@ def sharded_turbo_stream(
     warmup: int = 64,
     axis_name: str = "sp",
     max_log: bool = False,
+    boundary_init: str = "warmup",
 ):
     """Turbo-decode ONE long frame sharded along time across the mesh.
 
@@ -125,6 +126,11 @@ def sharded_turbo_stream(
 
     sys/par1/par2_stream : ``[T]`` BPSK-mapped symbol streams, sharded
         over ``axis_name``; T must divide by the mesh size.
+    ``boundary_init='nii'`` drops the per-iteration halos entirely:
+    each shard starts its recursions from the boundary alpha/beta its
+    neighbors produced on the PREVIOUS turbo iteration, exchanged as
+    two [S]-float ppermutes per MAP pass (vs 2 x warmup-symbol halos
+    plus their recompute).  ``warmup`` is ignored in that mode.
     Returns the decoded bits ``[T]``, sharded the same way.
     """
     from .turbo import _bcjr_masked
@@ -181,6 +187,51 @@ def sharded_turbo_stream(
             )
 
         sys_i_l = gshift(sys_l, p_j)
+
+        if boundary_init == "nii":
+            S = trellis.number_states
+            exact = jnp.where(jnp.arange(S)[None, :] == 0, 0.0,
+                              jnp.float32(-1e30))  # [1, S]
+            uni = jnp.zeros((1, S), jnp.float32)
+            valid_all = jnp.ones((1, Tl), bool)
+            sys_e, par1_e = sys_l[None], par1_l[None]
+            sysi_e, par2_e = sys_i_l[None], par2_l[None]
+            a01 = a02 = jnp.where(first[:, None], exact, uni)
+            bt1 = bt2 = uni
+
+            def exchange(af, bf):
+                # boundary handoff for the NEXT iteration: alpha flows
+                # right (shard 0 keeps the exact frame start), beta
+                # flows left (the last shard stays uniform)
+                a0 = jnp.where(first[:, None], exact,
+                               jax.lax.ppermute(af, axis_name, right))
+                bT = jnp.where(last, uni,
+                               jax.lax.ppermute(bf, axis_name, left))
+                return a0, bT
+
+            L1 = jnp.zeros((Tl,), jnp.float32)
+            L2_l = L1
+            for _ in range(int(n_iterations)):
+                apps1, af1, bf1 = _bcjr_masked(
+                    sys_e, par1_e, L1[None], nv, trellis, valid_all,
+                    first, max_log, alpha_init=a01, beta_init=bt1,
+                    return_carries=True,
+                )
+                a01, bt1 = exchange(af1, bf1)
+                ext1 = apps1[0, :, 1] - apps1[0, :, 0]
+                L2int = gshift(ext1, p_j)
+                apps2, af2, bf2 = _bcjr_masked(
+                    sysi_e, par2_e, L2int[None], nv, trellis, valid_all,
+                    first, max_log, alpha_init=a02, beta_init=bt2,
+                    return_carries=True,
+                )
+                a02, bt2 = exchange(af2, bf2)
+                diff2 = apps2[0, :, 1] - apps2[0, :, 0]
+                L2_l = L2int + diff2
+                L1 = gshift(diff2, inv_j)
+
+            return (gshift(L2_l, inv_j) > 0).astype(jnp.int8)
+
         sys_e = halo(sys_l)
         par1_e = halo(par1_l)
         sysi_e = halo(sys_i_l)

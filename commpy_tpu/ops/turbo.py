@@ -413,7 +413,8 @@ def _log_bcjr_windowed(
 
 
 def _bcjr_masked(sy, pa, li, noise_variance, trellis: Trellis, valid, first,
-                 max_log: bool):
+                 max_log: bool, alpha_init=None, beta_init=None,
+                 return_carries: bool = False):
     """Masked log-BCJR over arbitrary windows: the shared core of the
     sliding-window decoder and the mesh-sharded stream decoder.
 
@@ -421,6 +422,11 @@ def _bcjr_masked(sy, pa, li, noise_variance, trellis: Trellis, valid, first,
     positions (recursions pass through masked ones unchanged);
     ``first [R]`` selects the exact state-0 alpha start.  Returns APP
     log-probs ``[R, Wn, 2]`` (no priors on the decision step).
+
+    ``alpha_init`` / ``beta_init`` ``[R, S]`` override the start metrics
+    (NII boundary handoff); with ``return_carries`` the final
+    (per-step-normalized) alpha and backward-final beta come back too:
+    ``(apps, alpha_fin, beta_fin)``.
     """
     nst_np, cs_np, cp_np, ps_np, pu_np = _bcjr_tables_np(trellis)
     S, I = nst_np.shape
@@ -489,8 +495,9 @@ def _bcjr_masked(sy, pa, li, noise_variance, trellis: Trellis, valid, first,
         beta = jnp.where(valid_t[:, None], beta, beta_next)
         return beta, beta_next
 
-    beta_T = jnp.zeros((R, S), jnp.float32)
-    _, betas = jax.lax.scan(
+    beta_T = (jnp.zeros((R, S), jnp.float32) if beta_init is None
+              else jnp.asarray(beta_init, jnp.float32))
+    beta_fin, betas = jax.lax.scan(
         bwd, beta_T,
         (sy.T, pa.T, li.T, valid.T),
         reverse=True, unroll=8,
@@ -498,11 +505,14 @@ def _bcjr_masked(sy, pa, li, noise_variance, trellis: Trellis, valid, first,
     betas = jnp.moveaxis(betas, 0, 1)  # [R, Wn, S] = beta_{t+1}
 
     # ---- masked forward recursion + APP ----
-    alpha0 = jnp.where(
-        first[:, None],
-        jnp.where(jnp.arange(S)[None, :] == 0, 0.0, neg_inf),
-        0.0,
-    )
+    if alpha_init is None:
+        alpha0 = jnp.where(
+            first[:, None],
+            jnp.where(jnp.arange(S)[None, :] == 0, 0.0, neg_inf),
+            0.0,
+        )
+    else:
+        alpha0 = jnp.asarray(alpha_init, jnp.float32)
 
     def fwd(alpha, inputs):
         sy_t, pa_t, li_t, beta_next, valid_t = inputs
@@ -522,13 +532,16 @@ def _bcjr_masked(sy, pa, li, noise_variance, trellis: Trellis, valid, first,
         alpha_next = jnp.where(valid_t[:, None], alpha_next, alpha)
         return alpha_next, app
 
-    _, apps = jax.lax.scan(
+    alpha_fin, apps = jax.lax.scan(
         fwd,
         alpha0,
         (sy.T, pa.T, li.T, jnp.moveaxis(betas, 1, 0), valid.T),
         unroll=8,
     )
-    return jnp.moveaxis(apps, 0, 1)  # [R, Wn, 2]
+    apps_out = jnp.moveaxis(apps, 0, 1)  # [R, Wn, 2]
+    if return_carries:
+        return apps_out, alpha_fin, beta_fin
+    return apps_out
 
 
 def map_decode_device(sys_symbols, non_sys_symbols, trellis: Trellis,

@@ -87,3 +87,36 @@ def test_sharded_turbo_stream_matches_serial():
     )
     assert (serial != sharded).mean() < 1e-3
     assert (sharded != msg[0]).sum() == 0
+
+
+def test_sharded_turbo_stream_nii_matches_serial():
+    # NII sequence parallelism: boundary alpha/beta carried across
+    # turbo iterations as [S]-float ppermutes — no halo recompute.
+    # After enough iterations decisions match the serial decode and
+    # recover the message.
+    from commpy_tpu.channelcoding import RandInterlv
+    from commpy_tpu.ops import turbo as T
+    from commpy_tpu.ops.stream import sharded_turbo_stream
+
+    np.random.seed(17)
+    tr = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
+    L = 8192
+    interlv = RandInterlv(L, 1)
+    msg = np.random.randint(0, 2, (1, L))
+    s, p1, p2 = T.turbo_encode_device(msg, tr, tr, interlv.p_array)
+    sigma2 = 0.5
+    noise = np.random.randn(3, L) * np.sqrt(sigma2)
+    sy = (2.0 * np.asarray(s)[0] - 1 + noise[0]).astype(np.float32)
+    py1 = (2.0 * np.asarray(p1)[0] - 1 + noise[1]).astype(np.float32)
+    py2 = (2.0 * np.asarray(p2)[0] - 1 + noise[2]).astype(np.float32)
+
+    serial = np.asarray(
+        T.turbo_decode_device(sy, py1, py2, tr, sigma2, 5, interlv.p_array)
+    )
+    mesh = make_mesh(8, "sp")
+    sharded = np.asarray(
+        sharded_turbo_stream(sy, py1, py2, tr, sigma2, 5, interlv.p_array,
+                             mesh, boundary_init="nii")
+    )
+    assert (serial != sharded).mean() < 1e-3
+    assert (sharded != msg[0]).sum() == 0
