@@ -155,6 +155,22 @@ def main():
                "turbo_8it_bits_per_s")
     guarded(sec_turbo_long)
 
+    # --- turbo, LTE-size, NII windows + bf16 streams ---
+    def sec_turbo_nii():
+        trt = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
+        Lt, Bt = 6144, 256
+        interlv = RandInterlv(Lt, 0)
+        x0 = jnp.asarray(rng.randn(Bt, Lt).astype(np.float32))
+        def body(c):
+            d = turbo_decode_device(c, c, c, trt, 0.5, 8, interlv.p_array,
+                                    window=(128, 0), backend="pallas",
+                                    window_init="nii", kernel_io="bf16")
+            return c + d.astype(c.dtype).sum() * 1e-12
+        dt = timed_chain(body, x0, rep=6)
+        report("turbo_8it_L6144_nii_bf16", Bt * Lt / dt, "info bits/s",
+               "turbo_8it_bits_per_s")
+    guarded(sec_turbo_nii)
+
     # --- LDPC WiMAX 1440.720 MSA 15 iterations ---
     def sec_ldpc():
         design = os.path.join(

@@ -24,6 +24,8 @@ LABELS = {
     "turbo_8it": "turbo decode (8 iterations, log-MAP)",
     "turbo_8it_L6144_windowed":
         "turbo decode, LTE-length L=6144 frames, windowed (8 it)",
+    "turbo_8it_L6144_nii_bf16":
+        "turbo decode, L=6144, NII windows + bf16 streams (8 it)",
     "ldpc_wimax_msa15": "LDPC WiMAX(1440,720) MSA, 15 iterations",
     "qcldpc_80211n_1944_msa15":
         "QC-LDPC IEEE 802.11n (1944,972) MSA, 15 iterations",
@@ -35,6 +37,7 @@ ORDER = list(LABELS)
 REF_KEYS = {
     "viterbi_k7_soft": "viterbi_k7_soft_bits_per_s",
     "turbo_8it": "turbo_8it_bits_per_s",
+    "turbo_8it_L6144_nii_bf16": "turbo_8it_bits_per_s",
     "ldpc_wimax_msa15": "ldpc_wimax_msa15_info_bits_per_s",
     "qcldpc_80211n_1944_msa15": "qcldpc_80211n_1944_msa15_info_bits_per_s",
     "qam16_soft_demod": "qam16_soft_demod_msamples_per_s",
