@@ -66,6 +66,14 @@ dec_sharded = np.asarray(
         interleaver.p_array, mesh, warmup=64, axis_name="dp",
     )
 )
+# NII flavor: boundary alpha/beta ride ppermutes between iterations
+# instead of warmup halos (2 x S floats per pass, no halo recompute)
+dec_nii = np.asarray(
+    sharded_turbo_stream(
+        sys_s, par1_s, par2_s, trellis, sigma**2, 6,
+        interleaver.p_array, mesh, axis_name="dp", boundary_init="nii",
+    )
+)
 dec_serial = np.asarray(
     turbo_decode_device(
         sys_s, par1_s, par2_s, trellis, sigma**2, 6, interleaver.p_array,
@@ -74,7 +82,8 @@ dec_serial = np.asarray(
 )
 print(
     f"turbo {L}-bit frame: sharded BER "
-    f"{np.mean(dec_sharded != msg):.4f}, serial BER "
+    f"{np.mean(dec_sharded != msg):.4f}, NII BER "
+    f"{np.mean(dec_nii != msg):.4f}, serial BER "
     f"{np.mean(dec_serial != msg):.4f}, "
     f"sharded==serial on {np.mean(dec_sharded == dec_serial):.4%} of bits"
 )
