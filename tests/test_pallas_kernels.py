@@ -91,3 +91,32 @@ def test_bcjr_butterfly_matches_plain():
         for bf in (False, True)
     ]
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=2e-4)
+
+
+def test_bcjr_kernel_s8_trellis():
+    # LTE-style 8-state RSC (memory 3): exercises the P=1 sublane
+    # layout (S=8 fills the tile exactly; no chunk stacking) in both
+    # kernels and the NII boundary path.
+    import jax
+    from commpy_tpu.channelcoding import RandInterlv
+    from commpy_tpu.ops import turbo as T
+
+    np.random.seed(41)
+    tr = Trellis(np.array([3]), np.array([[1, 15]]), 13, "rsc")
+    assert tr.number_states == 8
+    L = 256
+    interlv = RandInterlv(L, 2)
+    msg = np.random.randint(0, 2, (3, L))
+    s, p1, p2 = T.turbo_encode_device(msg, tr, tr, interlv.p_array)
+    sigma2 = 0.5
+    noise = np.random.randn(3, 3, L) * np.sqrt(sigma2)
+    sy = 2.0 * np.asarray(s) - 1 + noise[0]
+    py1 = 2.0 * np.asarray(p1) - 1 + noise[1]
+    py2 = 2.0 * np.asarray(p2) - 1 + noise[2]
+    args = (sy, py1, py2, tr, sigma2, 3, interlv.p_array)
+    d_x = np.asarray(T.turbo_decode_device(*args, backend="xla"))
+    d_p = np.asarray(T.turbo_decode_device(*args, backend="pallas"))
+    np.testing.assert_array_equal(d_x, d_p)
+    d_n = np.asarray(T.turbo_decode_device(
+        *args, backend="pallas", window=(64, 0), window_init="nii"))
+    assert (d_n != msg).sum() == 0
