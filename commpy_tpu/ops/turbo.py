@@ -659,6 +659,92 @@ def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
     return decoded
 
 
+
+@partial(jax.jit, static_argnames=("trellis", "number_iterations",
+                                   "max_log", "p_tuple", "chunk"))
+def _turbo_iterations_xla_nii(sys_symbols, non_sys_symbols_1,
+                              non_sys_symbols_2, noise_variance, p_tuple,
+                              L_int, trellis: Trellis,
+                              number_iterations: int, chunk: int,
+                              max_log: bool = False):
+    """XLA twin of the pallas NII loop (window_init='nii').
+
+    Windows are a plain reshape ([B, T] -> [B*N, C], batch-major rows),
+    so the interleaver exchange stays a [B, T]-level gather; boundary
+    alpha/beta carries shift one window per iteration along the N axis.
+    `_bcjr_masked` normalizes metrics per step, so the carried states
+    need no renormalization.
+    """
+    p_np = np.asarray(p_tuple, np.int64)
+    L = p_np.shape[0]
+    if L % chunk:
+        raise ValueError(
+            f"window_init='nii' needs chunk {chunk} to divide the frame "
+            f"length {L}"
+        )
+    inv_np = np.empty_like(p_np)
+    inv_np[p_np] = np.arange(L)
+    B = sys_symbols.shape[0]
+    C = int(chunk)
+    N = L // C
+    R = B * N
+    S = trellis.number_states
+    nv = jnp.float32(noise_variance)
+    p = jnp.asarray(p_np, jnp.int32)
+    inv_p = jnp.asarray(inv_np, jnp.int32)
+
+    win = lambda x: x.reshape(R, C)
+    unwin = lambda x: x.reshape(B, L)
+    interlv = lambda x: jnp.take(x, p, axis=1)
+    deinterlv = lambda x: jnp.take(x, inv_p, axis=1)
+
+    sy_w = win(sys_symbols)
+    pa1_w = win(non_sys_symbols_1)
+    sy_i = interlv(sys_symbols)
+    syi_w = win(sy_i)
+    pa2_w = win(non_sys_symbols_2)
+    valid_all = jnp.ones((R, C), bool)
+    first = jnp.zeros((R,), bool)  # alpha_init supersedes it
+
+    exact = jnp.where(jnp.arange(S)[None, :] == 0, 0.0,
+                      jnp.float32(-1e30))  # [1, S]
+    a_init3 = jnp.broadcast_to(
+        jnp.where((jnp.arange(N) == 0)[None, :, None], exact[:, None, :],
+                  0.0),
+        (B, N, S),
+    )
+    a01 = a02 = a_init3.reshape(R, S)
+    bt1 = bt2 = jnp.zeros((R, S), jnp.float32)
+
+    def shift_states(af, bf):
+        af3 = af.reshape(B, N, S)
+        bf3 = bf.reshape(B, N, S)
+        a0 = jnp.concatenate(
+            [jnp.broadcast_to(exact[:, None, :], (B, 1, S)),
+             af3[:, :N - 1]], axis=1).reshape(R, S)
+        bT = jnp.concatenate(
+            [bf3[:, 1:], jnp.zeros((B, 1, S), jnp.float32)],
+            axis=1).reshape(R, S)
+        return a0, bT
+
+    li = L_int
+    li2 = diff2 = None
+    for _ in range(int(number_iterations)):
+        apps1, af1, bf1 = _bcjr_masked(
+            sy_w, pa1_w, win(li), nv, trellis, valid_all, first, max_log,
+            alpha_init=a01, beta_init=bt1, return_carries=True)
+        a01, bt1 = shift_states(af1, bf1)
+        ext1 = unwin(apps1[..., 1] - apps1[..., 0])
+        li2 = interlv(ext1)
+        apps2, af2, bf2 = _bcjr_masked(
+            syi_w, pa2_w, win(li2), nv, trellis, valid_all, first,
+            max_log, alpha_init=a02, beta_init=bt2, return_carries=True)
+        a02, bt2 = shift_states(af2, bf2)
+        diff2 = unwin(apps2[..., 1] - apps2[..., 0])
+        li = deinterlv(diff2)
+    return (deinterlv(li2 + diff2) > 0).astype(jnp.int8)
+
+
 @partial(jax.jit, static_argnames=("trellis", "number_iterations",
                                    "max_log", "p_tuple", "window",
                                    "lane_chunk", "io_dtype",
@@ -915,11 +1001,11 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
     to an 8-bit mantissa (production hardware runs 4-6 bit LLRs; BER
     impact is below Monte-Carlo noise, see scripts/turbo_ber_probe.py).
     ``window_init``: "warmup" re-acquires window boundary states every
-    MAP pass from W-step halos; "nii" (pallas backend only, chunk must
-    divide the frame) carries each window's boundary alpha/beta from
-    the PREVIOUS turbo iteration instead — no halo recompute, no mask
-    stream, per-pass depth 2C instead of 2(C+2W); the warmup value of
-    ``window`` is ignored.
+    MAP pass from W-step halos; "nii" (chunk must divide the frame)
+    carries each window's boundary alpha/beta from the PREVIOUS turbo
+    iteration instead — no halo recompute, no mask stream, per-pass
+    depth 2C instead of 2(C+2W); the warmup value of ``window`` is
+    ignored.  Available on both backends.
     """
     sy = jnp.atleast_2d(jnp.asarray(sys_symbols, jnp.float32))
     p1 = jnp.atleast_2d(jnp.asarray(non_sys_symbols_1, jnp.float32))
@@ -945,11 +1031,17 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
         )
     if window_init not in ("warmup", "nii"):
         raise ValueError('window_init must be "warmup" or "nii"')
-    if window_init == "nii" and backend != "pallas":
-        raise NotImplementedError(
-            "window_init='nii' is a pallas-backend feature; the xla "
-            "core uses warmup halos"
+    if window_init == "nii" and win is None:
+        raise ValueError("window_init='nii' requires window=(chunk, _)")
+    if window_init == "nii" and backend == "xla":
+        out = _turbo_iterations_xla_nii(
+            sy, p1, p2, jnp.float32(noise_variance), p_tuple, L_int,
+            trellis, int(number_iterations), int(win[0]),
+            algorithm == "max-log",
         )
+        if jnp.ndim(jnp.asarray(sys_symbols)) == 1:
+            return out[0]
+        return out
     if backend == "pallas":
         out = _turbo_iterations_pallas(
             sy, p1, p2, jnp.float32(noise_variance), p_tuple, L_int,

@@ -270,3 +270,27 @@ def test_turbo_nii_converges_like_whole_frame():
         sy, py1, py2, mt, sigma2, 6, interlv.p_array, window=(128, 0),
         backend="pallas", window_init="nii", kernel_io="bf16"))
     assert (d_nii16 != msg).sum() == 0
+
+
+def test_turbo_nii_xla_matches_pallas():
+    # NII on the xla backend (reshape windows + _bcjr_masked carries)
+    # must agree with the pallas NII loop: both recover the message and
+    # decisions match except possibly at near-zero LLRs.
+    np.random.seed(33)
+    mt = _trellis()
+    L = 512
+    interlv = RandInterlv(L, 9)
+    msg = np.random.randint(0, 2, (3, L))
+    s, p1, p2 = T.turbo_encode_device(msg, mt, mt, interlv.p_array)
+    sigma2 = 0.5
+    noise = np.random.randn(3, 3, L) * np.sqrt(sigma2)
+    sy = 2.0 * np.asarray(s) - 1 + noise[0]
+    py1 = 2.0 * np.asarray(p1) - 1 + noise[1]
+    py2 = 2.0 * np.asarray(p2) - 1 + noise[2]
+    args = (sy, py1, py2, mt, sigma2, 5, interlv.p_array)
+    d_x = np.asarray(T.turbo_decode_device(
+        *args, window=(128, 0), backend="xla", window_init="nii"))
+    d_p = np.asarray(T.turbo_decode_device(
+        *args, window=(128, 0), backend="pallas", window_init="nii"))
+    assert (d_x != msg).sum() == 0
+    assert (d_x != d_p).mean() < 2e-3
