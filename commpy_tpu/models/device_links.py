@@ -243,9 +243,17 @@ def make_turbo_awgn_link(
     frame_bits: int,
     p_array,
     n_iterations: int = 8,
+    window=None,
+    window_init: str = "warmup",
+    kernel_io: str = "f32",
     name: str = "turbo-awgn",
 ) -> DeviceLink:
-    """Rate-1/3 PCCC turbo link over real-BPSK AWGN (BASELINE config 3)."""
+    """Rate-1/3 PCCC turbo link over real-BPSK AWGN (BASELINE config 3).
+
+    ``window`` / ``window_init`` / ``kernel_io`` pass through to
+    :func:`turbo_decode_device` — long production frames should run
+    ``window=(128, 0), window_init='nii'`` (and optionally bf16 io).
+    """
     rate = 1.0 / 3.0
     p_array = np.asarray(p_array, np.int32)
     assert p_array.size == frame_bits
@@ -261,7 +269,8 @@ def make_turbo_awgn_link(
         noise_var = noise_std**2
         dec = turbo_decode_device(
             y[..., 0], y[..., 1], y[..., 2], trellis, noise_var,
-            n_iterations, p_array,
+            n_iterations, p_array, window=window,
+            window_init=window_init, kernel_io=kernel_io,
         )
         return jnp.sum(jnp.bitwise_xor(dec, bits).astype(jnp.int32))
 
