@@ -96,7 +96,8 @@ def main():
         n=1,
     )
     out["qcldpc_80211n_1944_msa15_info_bits_per_s"] = 972 / dt
-    os.unlink(design_80211n)
+    import shutil
+    shutil.rmtree(tmpdir, ignore_errors=True)
 
     # Modem: 16-QAM exact-LLR soft demod (modulation.py triple loop)
     qam = mod.QAMModem(16)

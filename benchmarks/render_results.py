@@ -37,6 +37,7 @@ ORDER = list(LABELS)
 REF_KEYS = {
     "viterbi_k7_soft": "viterbi_k7_soft_bits_per_s",
     "turbo_8it": "turbo_8it_bits_per_s",
+    "turbo_8it_L6144_windowed": "turbo_8it_bits_per_s",
     "turbo_8it_L6144_nii_bf16": "turbo_8it_bits_per_s",
     "ldpc_wimax_msa15": "ldpc_wimax_msa15_info_bits_per_s",
     "qcldpc_80211n_1944_msa15": "qcldpc_80211n_1944_msa15_info_bits_per_s",
@@ -64,7 +65,6 @@ def _fmt_ref(key, ref):
     if key not in REF_KEYS or REF_KEYS[key] not in ref:
         return "n/a"
     v = ref[REF_KEYS[key]]
-    unit = REF_KEYS[key].rsplit("_", 2)[-2:]
     if "msamples" in REF_KEYS[key]:
         return f"{v*1e6:.0f} samples/s"
     if "vectors" in REF_KEYS[key]:

@@ -143,8 +143,10 @@ def sharded_turbo_stream(
     if T % D:
         raise ValueError("frame length must divide by the mesh size")
     Tl = T // D
+    if boundary_init not in ("warmup", "nii"):
+        raise ValueError('boundary_init must be "warmup" or "nii"')
     W = int(warmup)
-    if W > Tl:
+    if boundary_init == "warmup" and W > Tl:
         raise ValueError("warmup cannot exceed the per-device shard")
     p_j = jnp.asarray(p_np, jnp.int32)
     inv_j = jnp.asarray(inv_np, jnp.int32)

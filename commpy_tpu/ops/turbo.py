@@ -816,7 +816,6 @@ def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
         N = L // C
         R = N * B
         S = trellis.number_states
-        neg = jnp.float32(-1e30)
 
         def fold0(x):  # [L, B] -> [C, N*B], window-major columns
             return jnp.transpose(

@@ -10,17 +10,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 import jax
 
-# Honor an explicit JAX_PLATFORMS=cpu even where a remote-accelerator
-# plugin pre-registers itself and ignores the env var (see
-# tests/conftest.py): enforce after import, the only reliable point.
-import os as _os
-if _os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
-    jax.config.update("jax_platforms", "cpu")
-    try:
-        from jax._src import xla_bridge as _xb
-        _xb._backend_factories.pop("axon", None)
-    except Exception:
-        pass
+import _cpu_env  # noqa: F401  (honor JAX_PLATFORMS=cpu; shared preamble)
 
 from commpy_tpu.channelcoding import RandInterlv
 from commpy_tpu.models import make_ldpc_rayleigh_link, make_turbo_awgn_link

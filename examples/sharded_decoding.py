@@ -24,11 +24,7 @@ if "XLA_FLAGS" not in os.environ:
 
 import jax
 
-# Some environments pre-register a remote accelerator backend at
-# interpreter startup and ignore the JAX_PLATFORMS env var; enforce the
-# user's choice after import (the only reliable point).
-if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
-    jax.config.update("jax_platforms", "cpu")
+import _cpu_env  # noqa: F401  (honor JAX_PLATFORMS=cpu; shared preamble)
 
 import jax.numpy as jnp
 
