@@ -46,7 +46,8 @@ _llr_max = 500.0  # match reference ldpc.py:11 clipping
 
 
 def _qc_bp_kernel(llr_ref, dec_ref, out_llr_ref, *, Z: int, Nb: int,
-                  rows, algorithm: str, n_iters: int):
+                  rows, algorithm: str, n_iters: int,
+                  schedule: str = "flooding"):
     """One lane chunk's full BP decode.
 
     llr_ref     : [Nb*Z, BC] channel LLRs
@@ -176,6 +177,40 @@ def _qc_bp_kernel(llr_ref, dec_ref, out_llr_ref, *, Z: int, Nb: int,
         act = jnp.minimum(act, synd_bad(dec_cols))
         return c2v, act
 
+    def body_layered(it, carry):
+        # serial (layered) schedule: totals update after EVERY check
+        # row, so information propagates within one iteration — the
+        # standard production convergence accelerator (~2x fewer
+        # iterations than flooding at equal BER).
+        c2v, act, tot = carry
+        c2v = list(c2v)
+        tot = list(tot)
+        e = 0
+        for r in rows:
+            v2c_row = []
+            for (j, sft) in r:
+                v2c_row.append(rollz(tot[j], Z - sft) - c2v[e])
+                e += 1
+            new_row = cn_update(v2c_row)
+            e -= len(r)
+            for k, (j, sft) in enumerate(r):
+                nc = jnp.where(act > 0.5, new_row[k], c2v[e])
+                # frozen lanes: nc == old, delta 0 — totals untouched
+                tot[j] = tot[j] + rollz(nc - c2v[e], sft)
+                c2v[e] = nc
+                e += 1
+        dec_cols = decisions(tot)
+        for j in range(Nb):
+            out_llr_ref[j * Z:(j + 1) * Z, :] = jnp.where(
+                act > 0.5, tot[j], out_llr_ref[j * Z:(j + 1) * Z, :]
+            )
+            dec_ref[j * Z:(j + 1) * Z, :] = jnp.where(
+                act > 0.5, dec_cols[j].astype(jnp.int8),
+                dec_ref[j * Z:(j + 1) * Z, :]
+            )
+        act = jnp.minimum(act, synd_bad(dec_cols))
+        return tuple(c2v), act, tuple(tot)
+
     # initial state mirrors the XLA core: decisions from channel LLRs,
     # active = syndrome-failing lanes
     dec0 = decisions(llr_cols)
@@ -183,11 +218,19 @@ def _qc_bp_kernel(llr_ref, dec_ref, out_llr_ref, *, Z: int, Nb: int,
         out_llr_ref[j * Z:(j + 1) * Z, :] = llr_cols[j]
         dec_ref[j * Z:(j + 1) * Z, :] = dec0[j].astype(jnp.int8)
     act0 = synd_bad(dec0)
-    jax.lax.fori_loop(0, n_iters, body, (c2v0, act0))
+    if schedule == "layered":
+        jax.lax.fori_loop(
+            0, n_iters, body_layered,
+            (tuple(c2v0), act0, tuple(llr_cols)),
+        )
+    else:
+        jax.lax.fori_loop(0, n_iters, body, (c2v0, act0))
 
 
-@partial(jax.jit, static_argnames=("algorithm", "n_iters", "meta"))
-def qc_bp_pallas(llr, algorithm: str, n_iters: int, meta):
+@partial(jax.jit, static_argnames=("algorithm", "n_iters", "meta",
+                                   "schedule"))
+def qc_bp_pallas(llr, algorithm: str, n_iters: int, meta,
+                 schedule: str = "flooding"):
     """Run the VMEM-resident QC BP kernel.
 
     llr  : [B, Nb*Z] channel LLRs (clipped by the caller)
@@ -215,7 +258,8 @@ def qc_bp_pallas(llr, algorithm: str, n_iters: int, meta):
         x = jnp.pad(x, ((0, 0), (0, Bp - B)))
 
     kernel = partial(_qc_bp_kernel, Z=Z, Nb=Nb, rows=rows,
-                     algorithm=algorithm, n_iters=int(n_iters))
+                     algorithm=algorithm, n_iters=int(n_iters),
+                     schedule=schedule)
     interpret = jax.default_backend() not in ("tpu", "axon")
     dec, out_llr = pl.pallas_call(
         kernel,

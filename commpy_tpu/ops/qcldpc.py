@@ -367,7 +367,8 @@ def _qc_bp_core(llr, block_s_t, algorithm: str, n_iters: int, meta):
 
 
 def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
-                        n_iters: int, backend: str = "auto"):
+                        n_iters: int, backend: str = "auto",
+                        schedule: str = "flooding"):
     """Batched QC-LDPC BP decode: ``[..., n]`` LLRs -> (dec int8, llr).
 
     Same output conventions as :func:`ldpc.ldpc_bp_decode_device` (hard
@@ -376,11 +377,22 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
     (`kernels/qc_bp.py` — the XLA path streams the edge tensor through
     HBM several times per iteration); "xla" keeps the roll-based XLA
     core; "auto" picks pallas on TPU backends.
+    ``schedule``: "flooding" matches the reference BP exactly;
+    "layered" (pallas backend) updates totals after every check row —
+    the serial schedule converges in roughly half the iterations at
+    equal BER (no reference counterpart).
     """
     if decoder_algorithm not in ("SPA", "MSA"):
         raise NameError(
             'Please input a valid decoder_algorithm string '
             '(meanning "SPA" or "MSA").'
+        )
+    if schedule not in ("flooding", "layered"):
+        raise ValueError('schedule must be "flooding" or "layered"')
+    if schedule == "layered" and backend == "xla":
+        raise NotImplementedError(
+            "layered scheduling runs in the pallas kernel; the xla "
+            "core is flooding-only"
         )
     Mb, Nb = qc_params["Mb"], qc_params["Nb"]
     Z, K = qc_params["Z"], qc_params["K"]
@@ -391,7 +403,10 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
     lead = x.shape[:-1]
     if backend == "auto":
         backend = (
-            "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+            "pallas"
+            if (jax.default_backend() in ("tpu", "axon")
+                or schedule == "layered")
+            else "xla"
         )
         if backend == "pallas":
             # estimate as in kernels/qc_bp.py; large codes stay on XLA
@@ -413,7 +428,7 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
         )
         xf = jnp.clip(x.reshape(-1, Nb * Z), -_llr_max, _llr_max)
         dec, out = qc_bp_pallas(xf, decoder_algorithm, int(n_iters),
-                                (Z, Nb, rows))
+                                (Z, Nb, rows), schedule=schedule)
     else:
         bj = qc_params["block_j"]
         meta = (

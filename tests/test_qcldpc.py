@@ -101,3 +101,44 @@ def test_qc_bp_pallas_matches_xla():
         np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_p))
         np.testing.assert_allclose(np.asarray(l_x), np.asarray(l_p),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_layered_schedule_converges_faster():
+    # Layered (serial) scheduling: same fixed point as flooding —
+    # noiseless decode is identity, noisy decode at working SNR reaches
+    # a valid codeword — and it gets there in no more iterations than
+    # flooding needs (typically ~half).
+    import jax.numpy as jnp
+
+    from commpy_tpu.ops.qcldpc import (
+        expand_base_matrix, ieee80211n_params, qc_bp_decode_device,
+        qc_encode_device,
+    )
+
+    np.random.seed(7)
+    params = ieee80211n_params(648, "1/2")
+    Z, Nb, Mb = params["Z"], params["Nb"], params["Mb"]
+    n = Nb * Z
+    kbits = (Nb - Mb) * Z
+    H = expand_base_matrix(params["base_matrix"], Z)
+
+    msg = np.random.randint(0, 2, (6, kbits))
+    cw = np.asarray(qc_encode_device(msg, params))
+    assert (H @ cw.T % 2).sum() == 0
+
+    x = 1.0 - 2.0 * cw
+    llr = 2.0 * (x + np.random.randn(*x.shape) * 0.62) / 0.62**2
+
+    dec_f, _ = qc_bp_decode_device(llr, params, "MSA", 15,
+                                   backend="pallas")
+    dec_l, _ = qc_bp_decode_device(llr, params, "MSA", 8,
+                                   backend="pallas", schedule="layered")
+    # layered at 8 iterations must be at least as good as flooding at 15
+    err_f = int((np.asarray(dec_f) != cw).sum())
+    err_l = int((np.asarray(dec_l) != cw).sum())
+    assert err_l <= err_f, (err_l, err_f)
+    # noiseless: identity in one iteration
+    clean = 2.0 * x / 0.1
+    dec_c, _ = qc_bp_decode_device(clean, params, "MSA", 1,
+                                   backend="pallas", schedule="layered")
+    assert (np.asarray(dec_c) == cw).all()
