@@ -205,6 +205,25 @@ def main():
                "qcldpc_80211n_1944_msa15_info_bits_per_s")
     guarded(sec_qcldpc)
 
+    # --- QC-LDPC 802.11n layered schedule (equal-BER at ~half the
+    # iterations of flooding-15; see tests/test_qcldpc.py) ---
+    def sec_qcldpc_layered():
+        from commpy_tpu.ops.qcldpc import ieee80211n_params, \
+            qc_bp_decode_device
+        params = ieee80211n_params(1944, "1/2")
+        Bq = 512
+        x0 = jnp.asarray(
+            rng.randn(Bq, 1944).astype(np.float32) * 2 + 1.0)
+        def body(c):
+            dec, out = qc_bp_decode_device(c, params, "MSA", 8,
+                                           backend="pallas",
+                                           schedule="layered")
+            return c + out * 1e-9
+        dt = timed_chain(body, x0, rep=24)
+        report("qcldpc_80211n_layered8", Bq * 972 / dt, "info bits/s",
+               "qcldpc_80211n_1944_msa15_info_bits_per_s")
+    guarded(sec_qcldpc_layered)
+
     # --- 16-QAM exact-LLR soft demod ---
     def sec_demod():
         const = M.qam_constellation(16).astype(np.complex64)

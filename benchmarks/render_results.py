@@ -29,6 +29,8 @@ LABELS = {
     "ldpc_wimax_msa15": "LDPC WiMAX(1440,720) MSA, 15 iterations",
     "qcldpc_80211n_1944_msa15":
         "QC-LDPC IEEE 802.11n (1944,972) MSA, 15 iterations",
+    "qcldpc_80211n_layered8":
+        "QC-LDPC 802.11n (1944,972) layered MSA, 8 it (=flooding-15 BER)",
     "qam16_soft_demod": "16-QAM exact-LLR soft demod",
     "kbest16_4x4_16qam": "K-best (K=16) 4x4 16-QAM MIMO detection",
 }
@@ -41,6 +43,7 @@ REF_KEYS = {
     "turbo_8it_L6144_nii_bf16": "turbo_8it_bits_per_s",
     "ldpc_wimax_msa15": "ldpc_wimax_msa15_info_bits_per_s",
     "qcldpc_80211n_1944_msa15": "qcldpc_80211n_1944_msa15_info_bits_per_s",
+    "qcldpc_80211n_layered8": "qcldpc_80211n_1944_msa15_info_bits_per_s",
     "qam16_soft_demod": "qam16_soft_demod_msamples_per_s",
     "kbest16_4x4_16qam": "kbest16_4x4_16qam_vectors_per_s",
 }
