@@ -120,3 +120,29 @@ def test_bcjr_kernel_s8_trellis():
     d_n = np.asarray(T.turbo_decode_device(
         *args, backend="pallas", window=(64, 0), window_init="nii"))
     assert (d_n != msg).sum() == 0
+
+
+def test_bcjr_butterfly_boundary_matches_plain():
+    # boundary (NII) handoff composed with the butterfly schedule:
+    # same APPs and final carries as the plain kernel.
+    import jax
+    import jax.numpy as jnp
+    from commpy_tpu.kernels.bcjr import bcjr_appdiff_pallas
+
+    tr = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
+    S = tr.number_states
+    rng = np.random.RandomState(5)
+    T, R = 48, 256
+    syn, pan, li = (rng.randn(T, R).astype(np.float32) * 2
+                    for _ in range(3))
+    a0 = rng.randn(S, R).astype(np.float32)
+    bT = rng.randn(S, R).astype(np.float32)
+    outs = []
+    for bf in (False, True):
+        outs.append(jax.jit(
+            lambda s, p, l, a, b, bf=bf: bcjr_appdiff_pallas(
+                s, p, l, tr, boundary=(a, b), butterfly=bf)
+        )(syn, pan, li, a0, bT))
+    for x, y in zip(outs[0], outs[1]):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-5, atol=2e-4)
