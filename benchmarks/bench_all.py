@@ -224,6 +224,28 @@ def main():
                "qcldpc_80211n_1944_msa15_info_bits_per_s")
     guarded(sec_qcldpc_layered)
 
+    # --- QC-LDPC DVB-S2-class size (n=16200) MSA 15 iterations ---
+    # Beyond the reference's reach: its largest shipped design is
+    # n=1440 and its sparse decoder is single-threaded CPU
+    # (reference ldpc.py:144-255).  Synthesized IRA-style QC code at the
+    # DVB-S2 long-frame length; roll-based O(E) BP.
+    def sec_qcldpc_dvbs2():
+        from commpy_tpu.ops.qcldpc import (
+            qc_bp_decode_device, random_qc_params,
+        )
+
+        params = random_qc_params(25, 45, 360, col_weight=3, seed=0)
+        assert params["n_vnodes"] == 16200
+        Bq = 64
+        x0 = jnp.asarray(rng.randn(Bq, 16200).astype(np.float32) * 2)
+        def body(c):
+            dec, out = qc_bp_decode_device(c, params, "MSA", 15)
+            return c + out * 1e-9
+        dt = timed_chain(body, x0, rep=12)
+        report("qcldpc_dvbs2_16200_msa15", Bq * 7200 / dt, "info bits/s",
+               "")
+    guarded(sec_qcldpc_dvbs2)
+
     # --- 16-QAM exact-LLR soft demod ---
     def sec_demod():
         const = M.qam_constellation(16).astype(np.complex64)

@@ -38,6 +38,7 @@ __all__ = [
     "qc_code_params",
     "detect_qc_structure",
     "ieee80211n_params",
+    "random_qc_params",
     "qc_encode_device",
     "qc_bp_decode_device",
     "IEEE80211N_BASE",
@@ -220,6 +221,60 @@ def ieee80211n_params(n: int = 1944, rate: str = "1/2") -> dict:
     return qc_code_params(Bm, Z)
 
 
+def random_qc_params(Mb: int, Nb: int, Z: int, *, col_weight: int = 3,
+                     seed: int = 0, girth_tries: int = 200) -> dict:
+    """Synthesize a production-scale QC-LDPC code (IRA-style protograph).
+
+    The reference decodes only shipped design files (its largest is
+    WiMAX n=1440, ldpc.py:51); this constructor generates codes at
+    DVB-S2-class sizes (e.g. ``Mb=25, Nb=45, Z=360`` -> n=16200) that
+    the roll-based QC path decodes at O(E) per iteration:
+
+    * information columns get ``col_weight`` entries in distinct random
+      check rows, with circulant shifts rejection-sampled to avoid
+      4-cycles (girth >= 6 whenever ``girth_tries`` suffices);
+    * the parity part is block dual-diagonal with identity blocks (the
+      DVB-S2/IRA accumulator structure), so encoding is a cumulative
+      XOR of per-row info syndromes — O(n), no dense GF(2) solve.
+
+    Returns the same params dict as :func:`qc_code_params`, with
+    ``parity_structure='dual_diagonal'`` selecting the structured
+    encoder in :func:`qc_encode_device`.
+    """
+    kb = Nb - Mb
+    if kb <= 0:
+        raise ValueError("Nb must exceed Mb")
+    if not 2 <= col_weight <= Mb:
+        raise ValueError("col_weight must be in [2, Mb]")
+    rng = np.random.RandomState(seed)
+    Bm = -np.ones((Mb, Nb), np.int32)
+    # accumulator chain: row i checks parity blocks i-1 and i (shift 0)
+    for i in range(Mb):
+        Bm[i, kb + i] = 0
+        if i > 0:
+            Bm[i, kb + i - 1] = 0
+    # 4-cycle bookkeeping: two columns sharing a row pair (r1, r2) form
+    # a length-4 cycle iff their shift differences agree mod Z
+    seen = {(i, i + 1): {0} for i in range(Mb - 1)}  # parity chain pairs
+    for j in range(kb):
+        for _ in range(girth_tries):
+            rows = np.sort(rng.choice(Mb, col_weight, replace=False))
+            shifts = rng.randint(0, Z, col_weight)
+            pairs = [
+                ((int(rows[a]), int(rows[b])),
+                 int(shifts[a] - shifts[b]) % Z)
+                for a in range(col_weight) for b in range(a + 1, col_weight)
+            ]
+            if all(d not in seen.get(p, ()) for p, d in pairs):
+                break
+        for p, d in pairs:
+            seen.setdefault(p, set()).add(d)
+        Bm[rows, j] = shifts
+    params = qc_code_params(Bm, Z, compute_encoder=False)
+    params["parity_structure"] = "dual_diagonal"
+    return params
+
+
 # --------------------------------------------------------------------------
 # Encoding
 # --------------------------------------------------------------------------
@@ -228,12 +283,34 @@ def qc_encode_device(message_bits, qc_params: dict):
     """Systematic QC encode ``[..., k] -> [..., n]`` (parity appended).
 
     Dense 0/1 matmul on the MXU; f32 accumulation is exact (k < 2^24).
+    Dual-diagonal (IRA) codes from :func:`random_qc_params` take the
+    structured O(n) path instead: per-row info syndromes are circulant
+    rolls and the accumulator chain is one cumulative XOR — no
+    ``[n_parity, k]`` dense matrix at DVB-S2 sizes.
     """
     m = jnp.asarray(message_bits)
-    P = jnp.asarray(qc_params["encode_matrix"], jnp.float32)
-    parity = jnp.mod(
-        jnp.einsum("pk,...k->...p", P, m.astype(jnp.float32)), 2.0
-    )
+    if qc_params.get("parity_structure") == "dual_diagonal":
+        Bm = np.asarray(qc_params["base_matrix"])
+        Mb, Nb, Z = qc_params["Mb"], qc_params["Nb"], qc_params["Z"]
+        kb = Nb - Mb
+        mB = m.reshape(m.shape[:-1] + (kb, Z)).astype(jnp.float32)
+        rows = []
+        for i in range(Mb):
+            acc = jnp.zeros(m.shape[:-1] + (Z,), jnp.float32)
+            for j in range(kb):
+                s = int(Bm[i, j])
+                if s >= 0:
+                    acc = acc + jnp.roll(mB[..., j, :], -s, axis=-1)
+            rows.append(acc)
+        s_rows = jnp.stack(rows, axis=-2)  # [..., Mb, Z]
+        # accumulator: p_i = p_{i-1} xor s_i  (exact in f32: sums < 2^24)
+        parity = jnp.mod(jnp.cumsum(s_rows, axis=-2), 2.0)
+        parity = parity.reshape(m.shape[:-1] + (Mb * Z,))
+    else:
+        P = jnp.asarray(qc_params["encode_matrix"], jnp.float32)
+        parity = jnp.mod(
+            jnp.einsum("pk,...k->...p", P, m.astype(jnp.float32)), 2.0
+        )
     return jnp.concatenate(
         [m.astype(jnp.int8), parity.astype(jnp.int8)], axis=-1
     )

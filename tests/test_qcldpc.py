@@ -103,6 +103,60 @@ def test_qc_bp_pallas_matches_xla():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_random_qc_dual_diagonal_encode_valid():
+    # IRA-style synthesized code: the structured O(n) accumulator
+    # encoder must satisfy H c = 0 against the expanded dense H.
+    params = Q.random_qc_params(8, 16, 32, col_weight=3, seed=5)
+    assert params["parity_structure"] == "dual_diagonal"
+    H = Q.expand_base_matrix(params["base_matrix"], params["Z"])
+    rng = np.random.RandomState(4)
+    msg = rng.randint(0, 2, (5, params["k_bits"])).astype(np.int8)
+    cw = np.asarray(Q.qc_encode_device(msg, params))
+    assert not ((H @ cw.T) % 2).any(), "IRA encoder must satisfy H c = 0"
+    np.testing.assert_array_equal(cw[:, : params["k_bits"]], msg)
+
+    # noiseless decode is identity, noisy decode at working SNR is clean
+    llr = (1.0 - 2.0 * cw) * 8.0
+    dec, _ = Q.qc_bp_decode_device(llr, params, "MSA", 5, backend="xla")
+    np.testing.assert_array_equal(np.asarray(dec), cw)
+
+
+def test_random_qc_girth_at_least_six():
+    # rejection sampling must avoid 4-cycles: no two columns of the
+    # expanded H may share more than one check row
+    params = Q.random_qc_params(6, 12, 16, col_weight=3, seed=1)
+    H = Q.expand_base_matrix(params["base_matrix"], params["Z"]).astype(
+        np.int32
+    )
+    overlap = H.T @ H
+    np.fill_diagonal(overlap, 0)
+    assert overlap.max() <= 1, "4-cycle found in synthesized QC code"
+
+
+def test_random_qc_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        Q.random_qc_params(8, 8, 16)
+    with pytest.raises(ValueError):
+        Q.random_qc_params(8, 16, 16, col_weight=1)
+
+
+@pytest.mark.slow
+def test_random_qc_dvbs2_scale_decode():
+    # DVB-S2-class size (n = 16200): beyond anything the reference can
+    # construct or decode (its largest shipped design is n = 1440,
+    # reference ldpc.py:51); the roll-based path stays O(E).
+    params = Q.random_qc_params(25, 45, 360, col_weight=3, seed=0)
+    assert params["n_vnodes"] == 16200
+    rng = np.random.RandomState(6)
+    msg = rng.randint(0, 2, (2, params["k_bits"])).astype(np.int8)
+    cw = np.asarray(Q.qc_encode_device(msg, params))
+    x = 1.0 - 2.0 * cw
+    sigma = 0.7
+    llr = 2.0 * (x + rng.randn(*x.shape) * sigma) / sigma**2
+    dec, _ = Q.qc_bp_decode_device(llr, params, "MSA", 20, backend="xla")
+    assert (np.asarray(dec) != cw).mean() < 1e-3
+
+
 def test_layered_schedule_converges_faster():
     # Layered (serial) scheduling: same fixed point as flooding —
     # noiseless decode is identity, noisy decode at working SNR reaches
