@@ -40,9 +40,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["qc_bp_pallas"]
+__all__ = ["qc_bp_pallas", "vmem_bytes_per_lane"]
 
 _llr_max = 500.0  # match reference ldpc.py:11 clipping
+
+_VMEM_BUDGET = 13_500_000  # scoped VMEM bytes available to the kernel
+
+
+def vmem_bytes_per_lane(n: int, Z: int, n_blocks_nz: int) -> int:
+    """Kernel VMEM footprint per batch lane, in bytes.
+
+    Double-buffered llr + out_llr (f32) + dec (int8), the per-block c2v
+    message tiles, and ~3n of working set.  The lane chunk is sized so
+    ``chunk * vmem_bytes_per_lane(...) <= budget``.
+    """
+    return 4 * n * (2 + 2 + 3) + 2 * n + 4 * Z * n_blocks_nz
 
 
 def _qc_bp_kernel(llr_ref, dec_ref, out_llr_ref, *, Z: int, Nb: int,
@@ -228,30 +240,35 @@ def _qc_bp_kernel(llr_ref, dec_ref, out_llr_ref, *, Z: int, Nb: int,
 
 
 @partial(jax.jit, static_argnames=("algorithm", "n_iters", "meta",
-                                   "schedule"))
+                                   "schedule", "lane_chunk"))
 def qc_bp_pallas(llr, algorithm: str, n_iters: int, meta,
-                 schedule: str = "flooding"):
+                 schedule: str = "flooding", lane_chunk: int | None = None):
     """Run the VMEM-resident QC BP kernel.
 
     llr  : [B, Nb*Z] channel LLRs (clipped by the caller)
     meta : (Z, Nb, rows) with rows = ((j, s), ...) per check block row.
+    lane_chunk : batch lanes per grid step; default picks the largest
+        power of two <= 128 whose VMEM footprint fits (large codes run
+        at reduced lane occupancy rather than failing — e.g. DVB-S2
+        n=16200 fits at 16 lanes).
     Returns (dec int8 [B, Nb*Z], out_llr [B, Nb*Z]).
     """
     Z, Nb, rows = meta
     B, n = llr.shape
     n_blocks_nz = sum(len(r) for r in rows)
-    # rough VMEM footprint at BC=128 lanes: double-buffered llr +
-    # out_llr (f32) + dec (int8), the c2v block tiles, and ~3n of
-    # working set; bail to the caller's XLA path for codes that cannot
-    # fit (e.g. DVB-S2 scale)
-    est = 128 * (4 * n * (2 + 2 + 3) + 2 * n + 4 * Z * n_blocks_nz)
-    if est > 13_500_000:
+    per_lane = vmem_bytes_per_lane(n, Z, n_blocks_nz)
+    BC = lane_chunk
+    if BC is None:
+        BC = 128
+        while BC > 8 and BC * per_lane > _VMEM_BUDGET:
+            BC //= 2
+    if BC * per_lane > _VMEM_BUDGET:
         raise ValueError(
             f"QC code too large for the VMEM-resident kernel "
-            f"(~{est/1e6:.0f} MB at 128 lanes); use backend='xla'"
+            f"(~{BC * per_lane / 1e6:.0f} MB at {BC} lanes); "
+            f"use backend='xla'"
         )
     x = jnp.transpose(llr)  # [n, B] batch-last
-    BC = 128
     n_chunks = -(-B // BC)
     Bp = n_chunks * BC
     if Bp != B:

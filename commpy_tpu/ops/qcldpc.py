@@ -485,11 +485,15 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
                 or schedule == "layered")
             else "xla"
         )
-        if backend == "pallas":
-            # estimate as in kernels/qc_bp.py; large codes stay on XLA
+        if backend == "pallas" and schedule != "layered":
+            # codes too large to run the kernel at full lane occupancy
+            # stay on XLA (reduced-lane pallas is untested for speed);
+            # layered has no XLA counterpart, so it always stays on
+            # pallas, which sizes its lane chunk adaptively.
+            from ..kernels.qc_bp import vmem_bytes_per_lane
+
             nz = int(np.sum(np.asarray(qc_params["block_j"]) >= 0))
-            est = 128 * (4 * Nb * Z * 7 + 2 * Nb * Z + 4 * Z * nz)
-            if est > 13_500_000:
+            if 128 * vmem_bytes_per_lane(Nb * Z, Z, nz) > 13_500_000:
                 backend = "xla"
 
     if backend == "pallas":

@@ -103,6 +103,51 @@ def test_qc_bp_pallas_matches_xla():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_qc_bp_pallas_reduced_lane_chunk_matches():
+    # Large codes run the kernel at a reduced lane chunk instead of
+    # failing; any chunk size must give identical results.
+    import jax.numpy as jnp
+
+    from commpy_tpu.kernels.qc_bp import qc_bp_pallas
+
+    params = Q.ieee80211n_params(648, "1/2")
+    bs_t, bj_t = params["block_s"], params["block_j"]
+    K = params["K"]
+    rows = tuple(
+        tuple((int(bj_t[i][k]), int(bs_t[i][k]))
+              for k in range(K) if bj_t[i][k] >= 0)
+        for i in range(params["Mb"])
+    )
+    rng = np.random.RandomState(8)
+    llr = jnp.asarray(rng.randn(5, 648).astype(np.float32) * 2)
+    meta = (params["Z"], params["Nb"], rows)
+    d128, l128 = qc_bp_pallas(llr, "MSA", 5, meta)
+    d32, l32 = qc_bp_pallas(llr, "MSA", 5, meta, lane_chunk=32)
+    np.testing.assert_array_equal(np.asarray(d128), np.asarray(d32))
+    np.testing.assert_allclose(np.asarray(l128), np.asarray(l32),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_layered_large_code_stays_on_pallas():
+    # auto backend + layered schedule on a code too big for 128 lanes
+    # must still run the (adaptive-lane-chunk) kernel — it must NOT
+    # silently downgrade to the flooding-only XLA core.
+    params = Q.random_qc_params(12, 24, 144, col_weight=3, seed=2)
+    from commpy_tpu.kernels.qc_bp import vmem_bytes_per_lane
+
+    nz = int(np.sum(np.asarray(params["block_j"]) >= 0))
+    assert 128 * vmem_bytes_per_lane(24 * 144, 144, nz) > 13_500_000, (
+        "test premise: this code must exceed the 128-lane VMEM budget"
+    )
+    rng = np.random.RandomState(9)
+    msg = rng.randint(0, 2, (2, params["k_bits"])).astype(np.int8)
+    cw = np.asarray(Q.qc_encode_device(msg, params))
+    llr = (1.0 - 2.0 * cw) * 8.0
+    dec, _ = Q.qc_bp_decode_device(llr, params, "MSA", 2,
+                                   schedule="layered")
+    np.testing.assert_array_equal(np.asarray(dec), cw)
+
+
 def test_random_qc_dual_diagonal_encode_valid():
     # IRA-style synthesized code: the structured O(n) accumulator
     # encoder must satisfy H c = 0 against the expanded dense H.
