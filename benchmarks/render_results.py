@@ -31,6 +31,9 @@ LABELS = {
         "QC-LDPC IEEE 802.11n (1944,972) MSA, 15 iterations",
     "qcldpc_80211n_layered8":
         "QC-LDPC 802.11n (1944,972) layered MSA, 8 it (=flooding-15 BER)",
+    "qcldpc_dvbs2_16200_msa15":
+        "QC-LDPC DVB-S2-class (16200,7200) MSA, 15 it (beyond reference"
+        " reach)",
     "qam16_soft_demod": "16-QAM exact-LLR soft demod",
     "kbest16_4x4_16qam": "K-best (K=16) 4x4 16-QAM MIMO detection",
 }

@@ -48,10 +48,10 @@ __all__ = ["acs_forward_pallas"]
 _DOT_PRECISION = jax.lax.Precision.DEFAULT
 
 
-def _dot(a, b):
+def _dot(a, b, precision=_DOT_PRECISION):
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=_DOT_PRECISION, preferred_element_type=jnp.float32,
+        precision=precision, preferred_element_type=jnp.float32,
     )
 
 _PACK = 16  # states per int32 word (2^15 max is f32-exact)
@@ -79,7 +79,8 @@ def _pack_matrix(S: int) -> np.ndarray:
 
 
 def _acs_kernel(r_ref, C_ref, Q_ref, W_ref, dec_ref, best_ref, pm_ref, *,
-                n_steps: int, S: int, I: int):
+                n_steps: int, S: int, I: int,
+                prec=_DOT_PRECISION):
     """One time-chunk of the ACS recursion (batch-last layout).
 
     r_ref:   [TC, n, B]   received codewords for this chunk
@@ -100,8 +101,8 @@ def _acs_kernel(r_ref, C_ref, Q_ref, W_ref, dec_ref, best_ref, pm_ref, *,
         r_t = r_ref[t, :, :]  # [n, B]
         # both branches in ONE stacked matmul each: [2S,S]@[S,B] and
         # [2S,n]@[n,B] (halves the dependent-MXU-op chain per step)
-        permuted = _dot(Q_ref[:, :], pm)  # [2S, B]
-        bm = _dot(C_ref[:, :], r_t)  # [2S, B]
+        permuted = _dot(Q_ref[:, :], pm, prec)  # [2S, B]
+        bm = _dot(C_ref[:, :], r_t, prec)  # [2S, B]
         cand = permuted + bm
         # binary branch decision (I == 2), first-index tie-break
         take = cand[S:, :] < cand[:S, :]
@@ -179,7 +180,7 @@ def _mid_pack_matrix(S: int) -> np.ndarray:
 
 def _acs2_kernel(r_ref, Ca_ref, Cb_ref, Q2_ref, W_ref, W2_ref, dec0_ref,
                  dec1_ref, best0_ref, best1_ref, pm_ref, *, n_pairs: int,
-                 S: int):
+                 S: int, prec=_DOT_PRECISION):
     """Two trellis steps per loop iteration (radix-2 ACS fusion).
 
     The radix-1 recursion is latency-bound: each step is one small
@@ -235,8 +236,8 @@ def _acs2_kernel(r_ref, Ca_ref, Cb_ref, Q2_ref, W_ref, W2_ref, dec0_ref,
         n = r01.shape[0] // 2
         r0 = r01[0:n, :]               # older codeword
         r1 = r01[n:, :]                # newer codeword
-        part = _dot(Q2_ref[:, :], pm) + _dot(Ca_ref[:, :], r0)  # [4S, B]: pm[prev2] + bm_{t-1}
-        cand = part + _dot(Cb_ref[:, :], r1)  # full 2-step candidates
+        part = _dot(Q2_ref[:, :], pm, prec) + _dot(Ca_ref[:, :], r0, prec)  # [4S, B]: pm[prev2] + bm_{t-1}
+        cand = part + _dot(Cb_ref[:, :], r1, prec)  # full 2-step candidates
 
         # ---- older step (t-1), all in block order [2S, B] ----
         # row j1*S + s of the j0 halves holds pm[prev(i, j0)] + bm(prev->i)
@@ -272,10 +273,10 @@ def _acs2_kernel(r_ref, Ca_ref, Cb_ref, Q2_ref, W_ref, W2_ref, dec0_ref,
 
 @partial(jax.jit,
          static_argnames=("trellis", "decoding_type", "time_chunk", "radix",
-                          "layout"))
+                          "layout", "exact"))
 def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
                        time_chunk: int = 512, radix: int = 1,
-                       layout: str = "btg"):
+                       layout: str = "btg", exact: bool = False):
     """Run the fused ACS forward pass.
 
     r : ``[B, T, n]`` float32 received codewords (already clipped/padded).
@@ -286,6 +287,10 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
     layout : 'btg' returns dec_packed ``[B, T, G]``; 'gmaj' returns it
         ``[G, B, T]`` (the layout ``traceback_pallas`` consumes), saving
         one full HBM transpose of the decision tensor in the decode path.
+    exact : run the metric matmuls at Precision.HIGHEST so ACS decisions
+        are bit-identical across radix/backends on real TPUs (DEFAULT
+        rounds operands to bf16 per MXU pass, flipping ~0.1% of near-tie
+        comparisons; ~2.1x slower forward pass).
     Returns (dec_packed, best_state ``[B, T]`` int32).
     """
     from ..ops.viterbi import _branch_vectors, _hard_const
@@ -325,7 +330,9 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
     if radix == 2:
         Q2, Ca, Cb = _radix2_tables(trellis, decoding_type)
         W2 = _mid_pack_matrix(S)
-        kernel = partial(_acs2_kernel, n_pairs=TC // 2, S=S)
+        kernel = partial(_acs2_kernel, n_pairs=TC // 2, S=S,
+                         prec=(jax.lax.Precision.HIGHEST if exact
+                               else _DOT_PRECISION))
         in_mats = [jnp.asarray(Ca), jnp.asarray(Cb), jnp.asarray(Q2),
                    jnp.asarray(W), jnp.asarray(W2)]
         mat_specs = [
@@ -366,7 +373,9 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
             C = np.concatenate([C, _hard_const(trellis)[:, None]], axis=1)
         C = C.reshape(S, I, -1).transpose(1, 0, 2).reshape(I * S, -1)
         Q = _perm_matrices(trellis.pred_state_table).reshape(I * S, S)
-        kernel = partial(_acs_kernel, n_steps=TC, S=S, I=I)
+        kernel = partial(_acs_kernel, n_steps=TC, S=S, I=I,
+                         prec=(jax.lax.Precision.HIGHEST if exact
+                               else _DOT_PRECISION))
         in_mats = [jnp.asarray(C), jnp.asarray(Q), jnp.asarray(W)]
         mat_specs = [
             pl.BlockSpec((I * S, n), lambda i: (0, 0),

@@ -418,14 +418,16 @@ def _qc_bp_core(llr, block_s_t, algorithm: str, n_iters: int, meta):
 
     dec0 = jnp.signbit(llr).astype(jnp.int8)
     c2v0 = jnp.zeros((B, Mb, Z, K), jnp.float32)
+    act0 = ~syndrome_ok(dec0)  # [B]; carried so each iteration computes
+    # the O(E) syndrome once (frozen lanes stay frozen: their dec never
+    # changes once the syndrome is satisfied)
 
     def cond(state):
-        it, _, _, dec = state
-        return jnp.logical_and(it < n_iters, jnp.any(~syndrome_ok(dec)))
+        it, _, _, _, act = state
+        return jnp.logical_and(it < n_iters, jnp.any(act))
 
     def body(state):
-        it, c2v, out_llr, dec = state
-        act = ~syndrome_ok(dec)  # [B]
+        it, c2v, out_llr, dec, act = state
         v2c = to_edges(total_llr(c2v))
         v2c = jnp.where(mask, v2c - c2v, 0.0)
         new_c2v = cn_update(v2c)
@@ -435,10 +437,11 @@ def _qc_bp_core(llr, block_s_t, algorithm: str, n_iters: int, meta):
         c2v = jnp.where(sel3, new_c2v, c2v)
         out_llr = jnp.where(act[:, None, None], new_total, out_llr)
         dec = jnp.where(act[:, None, None], new_dec, dec)
-        return it + 1, c2v, out_llr, dec
+        act = jnp.logical_and(act, ~syndrome_ok(dec))
+        return it + 1, c2v, out_llr, dec, act
 
-    _, _, out_llr, dec = jax.lax.while_loop(
-        cond, body, (0, c2v0, llr, dec0)
+    _, _, out_llr, dec, _ = jax.lax.while_loop(
+        cond, body, (0, c2v0, llr, dec0, act0)
     )
     return dec.reshape(B, Nb * Z), out_llr.reshape(B, Nb * Z)
 
@@ -490,10 +493,10 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
             # stay on XLA (reduced-lane pallas is untested for speed);
             # layered has no XLA counterpart, so it always stays on
             # pallas, which sizes its lane chunk adaptively.
-            from ..kernels.qc_bp import vmem_bytes_per_lane
+            from ..kernels.qc_bp import _VMEM_BUDGET, vmem_bytes_per_lane
 
             nz = int(np.sum(np.asarray(qc_params["block_j"]) >= 0))
-            if 128 * vmem_bytes_per_lane(Nb * Z, Z, nz) > 13_500_000:
+            if 128 * vmem_bytes_per_lane(Nb * Z, Z, nz) > _VMEM_BUDGET:
                 backend = "xla"
 
     if backend == "pallas":

@@ -168,7 +168,9 @@ def sharded_turbo_stream(
         left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
         def halo(x):  # [Tl] -> [1, W + Tl + W]
-            lh = jax.lax.ppermute(x[-W:], axis_name, right)
+            if W == 0:  # x[-0:] would alias the whole shard
+                return x[None]
+            lh = jax.lax.ppermute(x[Tl - W:], axis_name, right)
             rh = jax.lax.ppermute(x[:W], axis_name, left)
             return jnp.concatenate([lh, x, rh])[None]
 

@@ -98,7 +98,9 @@ def pipeline_map(stage_fns, microbatches, mesh: Mesh,
         out0 = jnp.zeros((M,) + wire_shape, mb.dtype)
         _, out = jax.lax.fori_loop(0, n_ticks, tick, (buf0, out0))
         # only the last stage holds real outputs; everyone else holds 0
-        return jax.lax.psum(jnp.where(is_last, out, 0.0), axis_name)
+        return jax.lax.psum(
+            jnp.where(is_last, out, jnp.zeros_like(out)), axis_name
+        )
 
     return jax.jit(
         shard_map(

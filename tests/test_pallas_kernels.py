@@ -146,3 +146,21 @@ def test_bcjr_butterfly_boundary_matches_plain():
     for x, y in zip(outs[0], outs[1]):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-5, atol=2e-4)
+
+
+def test_acs_forward_exact_precision_flag():
+    # exact=True (Precision.HIGHEST metric matmuls) must keep decisions
+    # identical to the default on backends without bf16 MXU rounding
+    import jax.numpy as jnp
+    import numpy as np
+
+    from commpy_tpu.kernels.viterbi_acs import acs_forward_pallas
+    from commpy_tpu.ops.trellis import Trellis
+
+    tr = Trellis(np.array([6]), np.array([[133, 171]]))
+    r = jnp.asarray(np.random.RandomState(0).randn(4, 96, 2)
+                    .astype(np.float32))
+    d0, b0 = acs_forward_pallas(r, tr, "soft")
+    d1, b1 = acs_forward_pallas(r, tr, "soft", exact=True)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))

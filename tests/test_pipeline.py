@@ -62,3 +62,13 @@ def test_pipeline_link_stages():
     np.testing.assert_array_equal(decided, bits)
     np.testing.assert_array_equal(np.asarray(out[:, 1]), bits)
     del noise_j
+
+
+def test_pipeline_preserves_integer_dtype():
+    # the final stage-selection mask must not promote int wires to float
+    mesh = make_mesh(8)
+    stages = [lambda x: x + 1 for _ in range(8)]
+    mb = jnp.asarray(np.arange(3 * 2 * 16, dtype=np.int32).reshape(3, 2, 16))
+    out = pipeline_map(stages, mb, mesh)
+    assert out.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(mb) + 8)

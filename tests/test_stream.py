@@ -120,3 +120,27 @@ def test_sharded_turbo_stream_nii_matches_serial():
     )
     assert (serial != sharded).mean() < 1e-3
     assert (sharded != msg[0]).sum() == 0
+
+
+def test_sharded_turbo_stream_warmup_zero():
+    # warmup=0 (no halos) must run, not crash on the x[-0:] slice, and
+    # still decode a clean high-SNR frame exactly
+    from commpy_tpu.channelcoding import RandInterlv
+    from commpy_tpu.ops import turbo as T
+    from commpy_tpu.ops.stream import sharded_turbo_stream
+
+    np.random.seed(23)
+    tr = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
+    L = 1024
+    interlv = RandInterlv(L, 0)
+    msg = np.random.randint(0, 2, (1, L))
+    s, p1, p2 = T.turbo_encode_device(msg, tr, tr, interlv.p_array)
+    sy = (2.0 * np.asarray(s)[0] - 1).astype(np.float32) * 4
+    py1 = (2.0 * np.asarray(p1)[0] - 1).astype(np.float32) * 4
+    py2 = (2.0 * np.asarray(p2)[0] - 1).astype(np.float32) * 4
+    mesh = make_mesh(8, "sp")
+    out = np.asarray(
+        sharded_turbo_stream(sy, py1, py2, tr, 0.5, 2, interlv.p_array,
+                             mesh, warmup=0)
+    )
+    assert (out != msg[0]).sum() == 0
