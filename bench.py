@@ -107,5 +107,35 @@ def main():
     )
 
 
+def _watchdog(seconds: int = 480):
+    """Emit an explanatory JSON line if the remote TPU service hangs.
+
+    During a service outage even ``jax.devices()`` blocks forever inside
+    a native RPC (so signal handlers never run and the driver's timeout
+    would record NOTHING).  A daemon thread turns that into one
+    diagnostic line, so an outage is distinguishable from a broken
+    benchmark.
+    """
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "viterbi_k7_soft_decoded_info_bits_per_s_per_chip",
+            "value": 0,
+            "unit": "bits/s",
+            "vs_baseline": None,
+            "error": f"TPU backend unreachable for {seconds}s "
+                     "(remote service outage); no measurement taken",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 if __name__ == "__main__":
+    _wd = _watchdog()
     main()
+    _wd.cancel()

@@ -59,7 +59,8 @@ def vmem_bytes_per_lane(n: int, Z: int, n_blocks_nz: int) -> int:
 
 def _qc_bp_kernel(llr_ref, dec_ref, out_llr_ref, *, Z: int, Nb: int,
                   rows, algorithm: str, n_iters: int,
-                  schedule: str = "flooding"):
+                  schedule: str = "flooding",
+                  msa_scale: float = 1.0, msa_offset: float = 0.0):
     """One lane chunk's full BP decode.
 
     llr_ref     : [Nb*Z, BC] channel LLRs
@@ -156,8 +157,17 @@ def _qc_bp_kernel(llr_ref, dec_ref, out_llr_ref, *, Z: int, Nb: int,
             suf_s[k], suf_m[k] = acc_s, acc_m
             acc_s = acc_s * sg[k]
             acc_m = jnp.minimum(acc_m, mg[k])
+        if (msa_scale, msa_offset) == (1.0, 0.0):
+            return [
+                pre_s[k] * suf_s[k] * jnp.minimum(pre_m[k], suf_m[k])
+                for k in range(K)
+            ]
+        # normalized/offset min-sum magnitude correction
         return [
-            pre_s[k] * suf_s[k] * jnp.minimum(pre_m[k], suf_m[k])
+            pre_s[k] * suf_s[k] * jnp.maximum(
+                msa_scale * jnp.minimum(pre_m[k], suf_m[k]) - msa_offset,
+                0.0,
+            )
             for k in range(K)
         ]
 
@@ -240,9 +250,11 @@ def _qc_bp_kernel(llr_ref, dec_ref, out_llr_ref, *, Z: int, Nb: int,
 
 
 @partial(jax.jit, static_argnames=("algorithm", "n_iters", "meta",
-                                   "schedule", "lane_chunk"))
+                                   "schedule", "lane_chunk",
+                                   "msa_scale", "msa_offset"))
 def qc_bp_pallas(llr, algorithm: str, n_iters: int, meta,
-                 schedule: str = "flooding", lane_chunk: int | None = None):
+                 schedule: str = "flooding", lane_chunk: int | None = None,
+                 msa_scale: float = 1.0, msa_offset: float = 0.0):
     """Run the VMEM-resident QC BP kernel.
 
     llr  : [B, Nb*Z] channel LLRs (clipped by the caller)
@@ -276,7 +288,8 @@ def qc_bp_pallas(llr, algorithm: str, n_iters: int, meta,
 
     kernel = partial(_qc_bp_kernel, Z=Z, Nb=Nb, rows=rows,
                      algorithm=algorithm, n_iters=int(n_iters),
-                     schedule=schedule)
+                     schedule=schedule, msa_scale=msa_scale,
+                     msa_offset=msa_offset)
     interpret = jax.default_backend() not in ("tpu", "axon")
     dec, out_llr = pl.pallas_call(
         kernel,

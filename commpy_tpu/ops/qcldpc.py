@@ -354,8 +354,10 @@ def _loo_min(mag, mask):
 
 
 @partial(jax.jit,
-         static_argnames=("block_s_t", "algorithm", "n_iters", "meta"))
-def _qc_bp_core(llr, block_s_t, algorithm: str, n_iters: int, meta):
+         static_argnames=("block_s_t", "algorithm", "n_iters", "meta",
+                          "msa_scale", "msa_offset"))
+def _qc_bp_core(llr, block_s_t, algorithm: str, n_iters: int, meta,
+                msa_scale: float = 1.0, msa_offset: float = 0.0):
     """BP over the QC edge tensor ``[B, Mb, Z, K]``.
 
     meta = (Mb, Nb, Z, K, block_j as nested tuple, valid mask tuple).
@@ -404,7 +406,9 @@ def _qc_bp_core(llr, block_s_t, algorithm: str, n_iters: int, meta):
             return jnp.clip(msg, -_llr_max, _llr_max)
         sign = _loo_prod(jnp.sign(v2c), mask)
         loo = _loo_min(jnp.abs(v2c), mask)
-        return jnp.where(mask, sign * loo, 0.0)
+        # normalized/offset min-sum: plain MSA at (1, 0) exactly
+        mag = jnp.maximum(msa_scale * loo - msa_offset, 0.0)
+        return jnp.where(mask, sign * mag, 0.0)
 
     def total_llr(c2v):
         return llr + to_vnodes(jnp.where(mask, c2v, 0.0))
@@ -448,7 +452,8 @@ def _qc_bp_core(llr, block_s_t, algorithm: str, n_iters: int, meta):
 
 def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
                         n_iters: int, backend: str = "auto",
-                        schedule: str = "flooding"):
+                        schedule: str = "flooding",
+                        msa_scale: float = 1.0, msa_offset: float = 0.0):
     """Batched QC-LDPC BP decode: ``[..., n]`` LLRs -> (dec int8, llr).
 
     Same output conventions as :func:`ldpc.ldpc_bp_decode_device` (hard
@@ -461,6 +466,10 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
     "layered" (pallas backend) updates totals after every check row —
     the serial schedule converges in roughly half the iterations at
     equal BER (no reference counterpart).
+    ``msa_scale``/``msa_offset``: normalized/offset min-sum correction
+    (check message magnitude ``max(scale*min - offset, 0)``) — the
+    standard production compensation for MSA's overestimate vs SPA
+    (Chen & Fossorier 2002); (1, 0) is plain MSA exactly.  MSA only.
     """
     if decoder_algorithm not in ("SPA", "MSA"):
         raise NameError(
@@ -469,6 +478,8 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
         )
     if schedule not in ("flooding", "layered"):
         raise ValueError('schedule must be "flooding" or "layered"')
+    if (msa_scale, msa_offset) != (1.0, 0.0) and decoder_algorithm != "MSA":
+        raise ValueError("msa_scale/msa_offset apply to MSA only")
     if schedule == "layered" and backend == "xla":
         raise NotImplementedError(
             "layered scheduling runs in the pallas kernel; the xla "
@@ -512,7 +523,9 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
         )
         xf = jnp.clip(x.reshape(-1, Nb * Z), -_llr_max, _llr_max)
         dec, out = qc_bp_pallas(xf, decoder_algorithm, int(n_iters),
-                                (Z, Nb, rows), schedule=schedule)
+                                (Z, Nb, rows), schedule=schedule,
+                                msa_scale=float(msa_scale),
+                                msa_offset=float(msa_offset))
     else:
         bj = qc_params["block_j"]
         meta = (
@@ -526,6 +539,7 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
             tuple(tuple(int(v) for v in row) for row in
                   qc_params["block_s"]),
             decoder_algorithm, int(n_iters), meta,
+            msa_scale=float(msa_scale), msa_offset=float(msa_offset),
         )
     dec = dec.reshape(lead + (Nb * Z,))
     out = out.reshape(lead + (Nb * Z,))
