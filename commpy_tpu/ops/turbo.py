@@ -578,11 +578,12 @@ def map_decode(sys_symbols, non_sys_symbols, trellis: Trellis,
 
 @partial(jax.jit, static_argnames=("trellis", "number_iterations",
                                    "max_log", "parallel", "p_tuple",
-                                   "window"))
+                                   "window", "ext_scale"))
 def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
                       noise_variance, p_tuple, L_int, trellis: Trellis,
                       number_iterations: int, max_log: bool = False,
-                      parallel: bool = False, window=None):
+                      parallel: bool = False, window=None,
+                      ext_scale: float = 1.0):
     if window is not None:
         chunk, warmup = window
         bcjr = partial(_log_bcjr_windowed, chunk=chunk, warmup=warmup)
@@ -633,13 +634,13 @@ def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
             noise_variance, trellis, compute_decode=False, max_log=max_log,
         )
         L_ext_1 = L_ext_1 - L_int_1
-        L_int_2 = interlv(L_ext_1)
+        L_int_2 = interlv(L_ext_1 * ext_scale)
         L_2, _ = bcjr(
             sys_i, non_sys_symbols_2, L_int_2,
             noise_variance, trellis, compute_decode=False, max_log=max_log,
         )
         L_ext_2 = L_2 - L_int_2
-        L_int_1 = deinterlv(L_ext_2)
+        L_int_1 = deinterlv(L_ext_2 * ext_scale)
         return L_int_1, L_2
 
     if L <= 2048:
@@ -666,7 +667,8 @@ def _turbo_iterations_xla_nii(sys_symbols, non_sys_symbols_1,
                               non_sys_symbols_2, noise_variance, p_tuple,
                               L_int, trellis: Trellis,
                               number_iterations: int, chunk: int,
-                              max_log: bool = False):
+                              max_log: bool = False,
+                              ext_scale: float = 1.0):
     """XLA twin of the pallas NII loop (window_init='nii').
 
     Windows are a plain reshape ([B, T] -> [B*N, C], batch-major rows),
@@ -735,27 +737,28 @@ def _turbo_iterations_xla_nii(sys_symbols, non_sys_symbols_1,
             alpha_init=a01, beta_init=bt1, return_carries=True)
         a01, bt1 = shift_states(af1, bf1)
         ext1 = unwin(apps1[..., 1] - apps1[..., 0])
-        li2 = interlv(ext1)
+        li2 = interlv(ext1 * ext_scale)
         apps2, af2, bf2 = _bcjr_masked(
             syi_w, pa2_w, win(li2), nv, trellis, valid_all, first,
             max_log, alpha_init=a02, beta_init=bt2, return_carries=True)
         a02, bt2 = shift_states(af2, bf2)
         diff2 = unwin(apps2[..., 1] - apps2[..., 0])
-        li = deinterlv(diff2)
+        li = deinterlv(diff2 * ext_scale)
     return (deinterlv(li2 + diff2) > 0).astype(jnp.int8)
 
 
 @partial(jax.jit, static_argnames=("trellis", "number_iterations",
                                    "max_log", "p_tuple", "window",
                                    "lane_chunk", "io_dtype",
-                                   "window_init"))
+                                   "window_init", "ext_scale"))
 def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
                              non_sys_symbols_2, noise_variance, p_tuple,
                              L_int, trellis: Trellis,
                              number_iterations: int, max_log: bool = False,
                              window=None, lane_chunk: int = 1024,
                              io_dtype: str = "f32",
-                             window_init: str = "warmup"):
+                             window_init: str = "warmup",
+                             ext_scale: float = 1.0):
     """Extrinsic loop driven by the fused Pallas BCJR kernel.
 
     Same math as `_turbo_iterations` (reference turbo.py:254-333), but
@@ -878,10 +881,10 @@ def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
         for _ in range(number_iterations):
             e1_f, af1, bf1 = kernel_b(sy_f, pa1_f, li_f, a01, bt1)
             a01, bt1 = shift_states(af1, bf1)
-            li2_f = refold_p(e1_f)
+            li2_f = refold_p(e1_f * ext_scale)
             e2_f, af2, bf2 = kernel_b(syi_f, pa2_f, li2_f, a02, bt2)
             a02, bt2 = shift_states(af2, bf2)
-            li_f = refold_ip(e2_f)
+            li_f = refold_ip(e2_f * ext_scale)
         decoded = (deinterlv(unfold0(li2_f + e2_f)) > 0).astype(jnp.int8)
         return decoded.T
     else:
@@ -943,9 +946,9 @@ def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
         li_f = fold(li)
         for _ in range(number_iterations):
             e1_f = kernel_f(sy_f, pa1_f, li_f)
-            li2_f = refold_p(e1_f)
+            li2_f = refold_p(e1_f * ext_scale)
             e2_f = kernel_f(syi_f, pa2_f, li2_f)
-            li_f = refold_ip(e2_f)
+            li_f = refold_ip(e2_f * ext_scale)
         # Posterior of decoder 2 = intrinsic + prior-free APP ratio;
         # unfold reads core regions only, where refold placed exact
         # copies, so unfold(li2_f) + unfold(e2_f) == li2 + e2 and the
@@ -957,9 +960,9 @@ def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
     li2 = e2 = None
     for _ in range(number_iterations):
         e1 = bcjr_pass(sy, pa1, li)
-        li2 = interlv(e1)
+        li2 = interlv(e1 * ext_scale)
         e2 = bcjr_pass(sy_i, pa2, li2)
-        li = deinterlv(e2)
+        li = deinterlv(e2 * ext_scale)
     # Posterior of decoder 2 = intrinsic + prior-free APP ratio; the
     # deinterleave of exact copies commutes with the sign decision
     # (turbo.py:331).
@@ -977,7 +980,8 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
                         p_array, L_int=None, algorithm="log-MAP",
                         parallel=False, window=None, backend="auto",
                         kernel_io: str = "f32",
-                        window_init: str = "warmup"):
+                        window_init: str = "warmup",
+                        ext_scale: float = 1.0):
     """Batched turbo decode (extrinsic loop of turbo.py:254-333).
 
     All symbol arrays ``[..., T]``; p_array the interleaver permutation.
@@ -1005,6 +1009,11 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
     iteration instead — no halo recompute, no mask stream, per-pass
     depth 2C instead of 2(C+2W); the warmup value of ``window`` is
     ignored.  Available on both backends.
+    ``ext_scale``: extrinsic scaling factor (Vogt & Finger 2000) applied
+    to the LLRs exchanged between the two MAP decoders; ~0.7 recovers
+    most of max-log-MAP's loss vs full log-MAP by damping its
+    overconfident extrinsics.  1.0 (default) is the reference's
+    unscaled exchange exactly (turbo.py:312-329).
     """
     sy = jnp.atleast_2d(jnp.asarray(sys_symbols, jnp.float32))
     p1 = jnp.atleast_2d(jnp.asarray(non_sys_symbols_1, jnp.float32))
@@ -1036,7 +1045,7 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
         out = _turbo_iterations_xla_nii(
             sy, p1, p2, jnp.float32(noise_variance), p_tuple, L_int,
             trellis, int(number_iterations), int(win[0]),
-            algorithm == "max-log",
+            algorithm == "max-log", ext_scale=float(ext_scale),
         )
         if jnp.ndim(jnp.asarray(sys_symbols)) == 1:
             return out[0]
@@ -1046,12 +1055,13 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
             sy, p1, p2, jnp.float32(noise_variance), p_tuple, L_int,
             trellis, int(number_iterations), algorithm == "max-log", win,
             io_dtype=kernel_io, window_init=window_init,
+            ext_scale=float(ext_scale),
         )
     else:
         out = _turbo_iterations(
             sy, p1, p2, jnp.float32(noise_variance), p_tuple, L_int,
             trellis, int(number_iterations), algorithm == "max-log",
-            bool(parallel), win,
+            bool(parallel), win, ext_scale=float(ext_scale),
         )
     if jnp.ndim(jnp.asarray(sys_symbols)) == 1:
         return out[0]

@@ -294,3 +294,37 @@ def test_turbo_nii_xla_matches_pallas():
         *args, window=(128, 0), backend="pallas", window_init="nii"))
     assert (d_x != msg).sum() == 0
     assert (d_x != d_p).mean() < 2e-3
+
+
+def test_extrinsic_scaling_improves_max_log():
+    # Vogt & Finger extrinsic scaling: damped max-log extrinsics must
+    # decode strictly better than unscaled max-log at waterfall SNR
+    # (measured: recovers ~2/3 of the gap to full log-MAP here)
+    np.random.seed(5)
+    tr = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
+    L, B = 512, 64
+    interlv = RandInterlv(L, 0)
+    msg = np.random.randint(0, 2, (B, L))
+    s, p1, p2 = T.turbo_encode_device(msg, tr, tr, interlv.p_array)
+    sigma2 = 1 / (2 * (1 / 3))  # Eb/N0 = 0 dB at rate 1/3
+    noise = np.random.randn(3, B, L) * np.sqrt(sigma2)
+    sy = (2.0 * np.asarray(s) - 1 + noise[0]).astype(np.float32)
+    py1 = (2.0 * np.asarray(p1) - 1 + noise[1]).astype(np.float32)
+    py2 = (2.0 * np.asarray(p2) - 1 + noise[2]).astype(np.float32)
+
+    errs = {}
+    for es in (1.0, 0.7):
+        d = T.turbo_decode_device(sy, py1, py2, tr, sigma2, 8,
+                                  interlv.p_array, algorithm="max-log",
+                                  ext_scale=es)
+        errs[es] = int((np.asarray(d) != msg).sum())
+    assert errs[0.7] < errs[1.0], errs
+
+    # scaling threads through the windowed/NII paths too (smoke: runs
+    # and stays in the same error ballpark)
+    d_nii = T.turbo_decode_device(sy, py1, py2, tr, sigma2, 8,
+                                  interlv.p_array, algorithm="max-log",
+                                  window=(128, 0), window_init="nii",
+                                  backend="xla", ext_scale=0.7)
+    nii_errs = int((np.asarray(d_nii) != msg).sum())
+    assert nii_errs < errs[1.0]
