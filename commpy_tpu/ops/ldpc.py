@@ -222,9 +222,11 @@ def _prod_excl(x, mask):
     return jnp.where(mask, out, 0.0)
 
 
-@partial(jax.jit, static_argnames=("algorithm", "n_iters", "axis_name"))
+@partial(jax.jit, static_argnames=("algorithm", "n_iters", "axis_name",
+                                   "msa_scale", "msa_offset"))
 def _bp_core(llr, cmask, Ainc, algorithm: str, n_iters: int,
-             axis_name: str | None = None):
+             axis_name: str | None = None,
+             msa_scale: float = 1.0, msa_offset: float = 0.0):
     """Belief propagation over the padded Tanner edge arrays.
 
     GATHER-FREE: the vnode<->edge permutations run as dense one-hot
@@ -299,7 +301,9 @@ def _bp_core(llr, cmask, Ainc, algorithm: str, n_iters: int,
             loo_min = jnp.concatenate(
                 [jnp.minimum(pref[j], suf[j]) for j in range(cd)], axis=-1
             )
-            return jnp.where(cmask, sign * loo_min, 0.0)
+            # normalized/offset min-sum: plain MSA at (1, 0) exactly
+            mag_out = jnp.maximum(msa_scale * loo_min - msa_offset, 0.0)
+            return jnp.where(cmask, sign * mag_out, 0.0)
         raise NameError(
             'Please input a valid decoder_algorithm string '
             '(meanning "SPA" or "MSA").'
@@ -394,26 +398,33 @@ def _maybe_qc_params(ldpc_code_params):
 
 
 def ldpc_bp_decode_device(llr, ldpc_code_params, decoder_algorithm,
-                          n_iters, backend: str = "auto"):
+                          n_iters, backend: str = "auto",
+                          msa_scale: float = 1.0, msa_offset: float = 0.0):
     """Batched BP decode: llr ``[..., n_vnodes]`` -> (dec int8, out_llr).
 
     ``backend="auto"`` lifts quasi-cyclic codes (all production designs,
     including the shipped WiMAX assets — 1440.720 is QC with Z=60) onto
     the roll-based QC path with its VMEM-resident Pallas kernel;
     ``backend="dense"`` forces the incidence-matmul core.
+    ``msa_scale``/``msa_offset``: normalized/offset min-sum correction
+    (same semantics as :func:`qcldpc.qc_bp_decode_device`); (1, 0) is
+    the reference's plain MSA exactly.
     """
     if decoder_algorithm not in ("SPA", "MSA"):
         raise NameError(
             'Please input a valid decoder_algorithm string '
             '(meanning "SPA" or "MSA").'
         )
+    if (msa_scale, msa_offset) != (1.0, 0.0) and decoder_algorithm != "MSA":
+        raise ValueError("msa_scale/msa_offset apply to MSA only")
     if backend == "auto":
         qc = _maybe_qc_params(ldpc_code_params)
         if qc is not None:
             from .qcldpc import qc_bp_decode_device
 
             return qc_bp_decode_device(
-                llr, qc, decoder_algorithm, n_iters
+                llr, qc, decoder_algorithm, n_iters,
+                msa_scale=msa_scale, msa_offset=msa_offset,
             )
     x = jnp.asarray(llr, jnp.float32)
     squeeze = x.ndim == 1
@@ -423,7 +434,9 @@ def ldpc_bp_decode_device(llr, ldpc_code_params, decoder_algorithm,
     x = x.reshape(-1, x.shape[-1])
     x = jnp.clip(x, -_llr_max, _llr_max)
     cmask, Ainc = _edge_arrays(ldpc_code_params)
-    dec, out_llr = _bp_core(x, cmask, Ainc, decoder_algorithm, int(n_iters))
+    dec, out_llr = _bp_core(x, cmask, Ainc, decoder_algorithm, int(n_iters),
+                            msa_scale=float(msa_scale),
+                            msa_offset=float(msa_offset))
     dec = dec.reshape(lead + dec.shape[-1:])
     out_llr = out_llr.reshape(lead + out_llr.shape[-1:])
     if squeeze:

@@ -145,3 +145,27 @@ def test_wimax_qc_lift_matches_dense():
         np.testing.assert_array_equal(np.asarray(d_d), np.asarray(d_q))
         np.testing.assert_allclose(np.asarray(l_d), np.asarray(l_q),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_min_sum_correction_dense_path():
+    # normalized min-sum on the dense-incidence backend: scale=0.75
+    # must decode far better than plain MSA at waterfall SNR (~7x
+    # fewer bit errors measured); (1, 0) stays plain MSA
+    params = L.get_ldpc_code_params(WIMAX1440, True)
+    rng = np.random.RandomState(17)
+    cw = np.zeros((48, 1440), np.int8)  # linear code: zero word suffices
+    sigma = np.sqrt(1 / (2 * 0.5 * 10 ** (1.7 / 10)))
+    y = (1 - 2.0 * cw) + rng.randn(*cw.shape) * sigma
+    llr = (2 * y / sigma**2).astype(np.float32)
+    errs = {}
+    for sc in (1.0, 0.75):
+        dec, _ = L.ldpc_bp_decode_device(llr, params, "MSA", 15,
+                                         backend="dense", msa_scale=sc)
+        errs[sc] = int((np.asarray(dec) != cw).sum())
+    assert errs[0.75] * 2 < errs[1.0], errs
+    # the auto backend (QC lift) must honor the same correction
+    dec_qc, _ = L.ldpc_bp_decode_device(llr, params, "MSA", 15,
+                                        msa_scale=0.75)
+    assert int((np.asarray(dec_qc) != cw).sum()) * 2 < errs[1.0]
+    with pytest.raises(ValueError):
+        L.ldpc_bp_decode_device(llr, params, "SPA", 5, msa_scale=0.75)
