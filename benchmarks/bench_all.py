@@ -307,6 +307,22 @@ def main():
         report("wifi_mcs4_full_link", F * 1200 / dt, "info bits/s", "")
     guarded(sec_wifi)
 
+    # --- full 802.11n LDPC PHY link step (16-QAM + QC BP MSA-15) ---
+    def sec_wifi_ldpc():
+        from commpy_tpu.models.wifi80211_link import wifi80211n_ldpc_link
+
+        link = wifi80211n_ldpc_link(n=1944, modulation_m=16)
+        F = 256
+        ns = jnp.float32(link.noise_std_fn(10.0))
+        x0 = jax.random.PRNGKey(0)
+        def body(k0):
+            errs = link.link_step(jax.random.split(k0, F), ns)
+            return jax.random.fold_in(k0, errs)
+        dt = timed_chain(body, x0, rep=12, score=jnp.sum)
+        report("wifi80211n_ldpc1944_full_link", F * link.frame_bits / dt,
+               "info bits/s", "")
+    guarded(sec_wifi_ldpc)
+
 
 if __name__ == "__main__":
     main()

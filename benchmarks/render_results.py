@@ -36,6 +36,8 @@ LABELS = {
         " reach)",
     "qam16_soft_demod": "16-QAM exact-LLR soft demod",
     "kbest16_4x4_16qam": "K-best (K=16) 4x4 16-QAM MIMO detection",
+    "wifi80211n_ldpc1944_full_link":
+        "full 802.11n LDPC PHY link step (16-QAM + QC BP MSA-15)",
 }
 ORDER = list(LABELS)
 

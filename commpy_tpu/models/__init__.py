@@ -1,11 +1,13 @@
 from .idd import idd_decoder_device
-from .wifi80211_link import WIFI_MCS_TABLE, wifi80211_device_link
+from .wifi80211_link import (WIFI_MCS_TABLE, wifi80211_device_link,
+                             wifi80211n_ldpc_link)
 from .device_links import (
     DeviceLink,
     make_conv_awgn_link,
     make_kbest_mimo_link,
     make_ldpc_rayleigh_link,
     make_ofdm_mimo_conv_link,
+    make_qcldpc_awgn_link,
     make_rrc_conv_awgn_link,
     make_turbo_awgn_link,
 )
@@ -16,9 +18,11 @@ __all__ = [
     "make_kbest_mimo_link",
     "make_ldpc_rayleigh_link",
     "make_ofdm_mimo_conv_link",
+    "make_qcldpc_awgn_link",
     "make_rrc_conv_awgn_link",
     "make_turbo_awgn_link",
     "idd_decoder_device",
     "wifi80211_device_link",
+    "wifi80211n_ldpc_link",
     "WIFI_MCS_TABLE",
 ]

@@ -36,6 +36,7 @@ __all__ = [
     "make_conv_awgn_link",
     "make_rrc_conv_awgn_link",
     "make_turbo_awgn_link",
+    "make_qcldpc_awgn_link",
     "make_ldpc_rayleigh_link",
     "make_kbest_mimo_link",
     "make_bestfirst_ldpc_mimo_link",
@@ -282,6 +283,63 @@ def make_turbo_awgn_link(
 
     return DeviceLink(link_step, frame_bits, noise_std_fn, name,
                       {"rate": rate})
+
+
+# --------------------------------------------------------------------------
+# QC-LDPC (802.11n-class) + QAM/PSK over AWGN
+# --------------------------------------------------------------------------
+
+def make_qcldpc_awgn_link(
+    *,
+    qc_params: dict,
+    modulation_m: int = 4,
+    algorithm: str = "MSA",
+    n_iterations: int = 15,
+    msa_scale: float = 1.0,
+    use_psk: bool = False,
+    name: str = "qcldpc-awgn",
+) -> DeviceLink:
+    """QC-LDPC-coded QAM/PSK link over complex AWGN.
+
+    One frame = one QC codeword through the roll-based BP decoder
+    (`ops/qcldpc.py`) — the LDPC PHY the reference's application layer
+    lacks (its wifi80211.py:29-216 is convolutional-only, and its LDPC
+    decoder tops out at the shipped n=1440 designs).
+    """
+    from ..ops.qcldpc import qc_bp_decode_device, qc_encode_device
+
+    n_v = qc_params["n_vnodes"]
+    frame_bits = qc_params["k_bits"]
+    const_np = (M.psk_constellation(modulation_m) if use_psk
+                else M.qam_constellation(modulation_m))
+    Es = float(np.mean(np.abs(const_np) ** 2))
+    const = const_np.astype(np.complex64)  # numpy closure (HLO literal)
+    bps = int(np.log2(modulation_m))
+    rate = frame_bits / n_v
+    if n_v % bps:
+        raise ValueError(
+            f"codeword length {n_v} must fill whole {bps}-bit symbols"
+        )
+
+    def link_step(keys, noise_std):
+        bits = _gen_bits(keys, frame_bits)
+        coded = qc_encode_device(bits, qc_params)  # [F, n_v]
+        symbols = M.modulate(coded, const, bps)
+        y = symbols + _frame_crandn(keys, symbols.shape[1:], 1) * (
+            noise_std * 0.5
+        )
+        llr = -M.demodulate_soft(y, const, bps, noise_std**2)
+        dec, _ = qc_bp_decode_device(llr, qc_params, algorithm,
+                                     n_iterations, msa_scale=msa_scale)
+        return jnp.sum(
+            jnp.bitwise_xor(dec[..., :frame_bits], bits).astype(jnp.int32)
+        )
+
+    def noise_std_fn(snr_db):
+        return snr_to_noise_std(snr_db, code_rate=rate, Es=Es)
+
+    return DeviceLink(link_step, frame_bits, noise_std_fn, name,
+                      {"rate": rate, "Es": Es, "n": n_v})
 
 
 # --------------------------------------------------------------------------

@@ -12,7 +12,8 @@ import numpy as np
 from ..ops.trellis import Trellis
 from .device_links import DeviceLink, make_conv_awgn_link
 
-__all__ = ["wifi80211_device_link", "WIFI_MCS_TABLE"]
+__all__ = ["wifi80211_device_link", "wifi80211n_ldpc_link",
+           "WIFI_MCS_TABLE"]
 
 # mcs -> (constellation size, use_psk, (rate_num, rate_den))
 WIFI_MCS_TABLE = {
@@ -52,4 +53,28 @@ def wifi80211_device_link(mcs: int, frame_bits: int = 1200) -> DeviceLink:
         puncture=_PUNCTURES[coding],
         use_psk=use_psk,
         name=f"wifi80211-mcs{mcs}",
+    )
+
+
+def wifi80211n_ldpc_link(n: int = 1944, modulation_m: int = 4,
+                         n_iterations: int = 15,
+                         msa_scale: float = 1.0) -> DeviceLink:
+    """802.11n LDPC PHY link: Annex R rate-1/2 code + Gray QAM/QPSK.
+
+    The 11n standard's optional LDPC coding replaces the K=7
+    convolutional code; one frame is one codeword (n in {648, 1944}).
+    The reference has no LDPC application layer at all — its
+    wifi80211.py:29-216 wires only the convolutional path.
+    """
+    from ..ops.qcldpc import ieee80211n_params
+    from .device_links import make_qcldpc_awgn_link
+
+    return make_qcldpc_awgn_link(
+        qc_params=ieee80211n_params(n, "1/2"),
+        modulation_m=modulation_m,
+        algorithm="MSA",
+        n_iterations=n_iterations,
+        msa_scale=msa_scale,
+        use_psk=(modulation_m == 2),
+        name=f"wifi80211n-ldpc{n}-qam{modulation_m}",
     )

@@ -113,3 +113,33 @@ def test_config2_rrc_waveform_link():
     assert errs == 0
     errs_low, total = _run(link, 8.0)
     assert errs_low > 0
+
+
+def test_wifi80211n_ldpc_link():
+    # 802.11n LDPC PHY (Annex R rate-1/2 + QPSK): clean at high SNR,
+    # errorful at low SNR; min-sum correction must not hurt
+    from commpy_tpu.models.wifi80211_link import wifi80211n_ldpc_link
+
+    link = wifi80211n_ldpc_link(n=648, modulation_m=4)
+    errs_hi, _ = _run(link, 12.0)
+    assert errs_hi == 0
+    errs_lo, bits = _run(link, 0.0)
+    assert errs_lo > 0
+
+    nms = wifi80211n_ldpc_link(n=648, modulation_m=4, msa_scale=0.75)
+    errs_mid = _run(link, 2.5)[0]
+    errs_mid_nms = _run(nms, 2.5)[0]
+    assert errs_mid_nms <= errs_mid
+
+
+def test_qcldpc_awgn_link_dvbs2_scale():
+    # the link factory handles synthesized DVB-S2-class codes too
+    from commpy_tpu.models.device_links import make_qcldpc_awgn_link
+    from commpy_tpu.ops.qcldpc import random_qc_params
+
+    link = make_qcldpc_awgn_link(
+        qc_params=random_qc_params(12, 24, 54, seed=4),
+        modulation_m=16, n_iterations=10,
+    )
+    errs, _ = _run(link, 14.0, F=4)
+    assert errs == 0
