@@ -58,6 +58,36 @@ def main():
     )
     print("ldpc wimax MSA25:", dict(zip(snrs, np.round(res.bers, 6))))
 
+    # 802.11n LDPC PHY (Annex R rate-1/2, n=648) + QPSK, with the
+    # normalized min-sum correction (msa_scale=0.75)
+    from commpy_tpu.models import wifi80211n_ldpc_link
+
+    link = wifi80211n_ldpc_link(n=648, modulation_m=4, msa_scale=0.75)
+    snrs = np.arange(2.0, 7.0, 1.0)
+    res = montecarlo_ber(
+        link.link_step, snrs, link.noise_std_fn, link.frame_bits,
+        jax.random.PRNGKey(2), frames_per_round=16, max_rounds=10,
+        err_min=100, mesh=mesh,
+    )
+    print("80211n ldpc648  :", dict(zip(snrs, np.round(res.bers, 6))))
+
+    # DVB-S2-class synthesized QC code (n=16200, rate 4/9) — a size the
+    # reference cannot construct or decode (its largest design is 1440)
+    from commpy_tpu.models import make_qcldpc_awgn_link
+    from commpy_tpu.ops.qcldpc import random_qc_params
+
+    link = make_qcldpc_awgn_link(
+        qc_params=random_qc_params(25, 45, 360), modulation_m=4,
+        n_iterations=20, msa_scale=0.75,
+    )
+    snrs = np.array([3.0, 5.0])
+    res = montecarlo_ber(
+        link.link_step, snrs, link.noise_std_fn, link.frame_bits,
+        jax.random.PRNGKey(3), frames_per_round=8, max_rounds=3,
+        err_min=50, mesh=mesh,
+    )
+    print("dvbs2-16200 NMS :", dict(zip(snrs, np.round(res.bers, 6))))
+
 
 if __name__ == "__main__":
     main()
