@@ -25,6 +25,9 @@ import time
 import numpy as np
 
 
+_METRIC = "viterbi_k7_soft_decoded_info_bits_per_s_per_chip"
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -95,10 +98,11 @@ def main():
             ref = json.load(f)
         vs = bits_per_s / ref["viterbi_k7_soft_bits_per_s"]
 
+    _measured.set()  # a real result is about to print; watchdog stands down
     print(
         json.dumps(
             {
-                "metric": "viterbi_k7_soft_decoded_info_bits_per_s_per_chip",
+                "metric": _METRIC,
                 "value": round(bits_per_s, 1),
                 "unit": "bits/s",
                 "vs_baseline": round(vs, 2) if vs is not None else None,
@@ -107,20 +111,28 @@ def main():
     )
 
 
-def _watchdog(seconds: int = 480):
+import threading
+
+_measured = threading.Event()
+
+
+def _watchdog(seconds: int = 540):
     """Emit an explanatory JSON line if the remote TPU service hangs.
 
     During a service outage even ``jax.devices()`` blocks forever inside
     a native RPC (so signal handlers never run and the driver's timeout
     would record NOTHING).  A daemon thread turns that into one
     diagnostic line, so an outage is distinguishable from a broken
-    benchmark.
+    benchmark.  540 s sits just under the driver's own 560 s timeout:
+    a slow-but-healthy run that long was getting killed either way, and
+    ``_measured`` guards the race where the real result prints as the
+    timer fires (no contradictory second line).
     """
-    import threading
-
     def fire():
+        if _measured.is_set():
+            return
         print(json.dumps({
-            "metric": "viterbi_k7_soft_decoded_info_bits_per_s_per_chip",
+            "metric": _METRIC,
             "value": 0,
             "unit": "bits/s",
             "vs_baseline": None,

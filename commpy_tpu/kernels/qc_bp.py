@@ -157,12 +157,8 @@ def _qc_bp_kernel(llr_ref, dec_ref, out_llr_ref, *, Z: int, Nb: int,
             suf_s[k], suf_m[k] = acc_s, acc_m
             acc_s = acc_s * sg[k]
             acc_m = jnp.minimum(acc_m, mg[k])
-        if (msa_scale, msa_offset) == (1.0, 0.0):
-            return [
-                pre_s[k] * suf_s[k] * jnp.minimum(pre_m[k], suf_m[k])
-                for k in range(K)
-            ]
-        # normalized/offset min-sum magnitude correction
+        # normalized/offset min-sum magnitude correction; (1, 0) is
+        # IEEE-exact plain MSA (loo-min >= 0, x*1.0 and x-0.0 exact)
         return [
             pre_s[k] * suf_s[k] * jnp.maximum(
                 msa_scale * jnp.minimum(pre_m[k], suf_m[k]) - msa_offset,

@@ -296,6 +296,7 @@ def make_qcldpc_awgn_link(
     algorithm: str = "MSA",
     n_iterations: int = 15,
     msa_scale: float = 1.0,
+    msa_offset: float = 0.0,
     use_psk: bool = False,
     name: str = "qcldpc-awgn",
 ) -> DeviceLink:
@@ -330,7 +331,8 @@ def make_qcldpc_awgn_link(
         )
         llr = -M.demodulate_soft(y, const, bps, noise_std**2)
         dec, _ = qc_bp_decode_device(llr, qc_params, algorithm,
-                                     n_iterations, msa_scale=msa_scale)
+                                     n_iterations, msa_scale=msa_scale,
+                                     msa_offset=msa_offset)
         return jnp.sum(
             jnp.bitwise_xor(dec[..., :frame_bits], bits).astype(jnp.int32)
         )

@@ -58,7 +58,8 @@ def wifi80211_device_link(mcs: int, frame_bits: int = 1200) -> DeviceLink:
 
 def wifi80211n_ldpc_link(n: int = 1944, modulation_m: int = 4,
                          n_iterations: int = 15,
-                         msa_scale: float = 1.0) -> DeviceLink:
+                         msa_scale: float = 1.0,
+                         msa_offset: float = 0.0) -> DeviceLink:
     """802.11n LDPC PHY link: Annex R rate-1/2 code + Gray QAM/QPSK.
 
     The 11n standard's optional LDPC coding replaces the K=7
@@ -75,6 +76,7 @@ def wifi80211n_ldpc_link(n: int = 1944, modulation_m: int = 4,
         algorithm="MSA",
         n_iterations=n_iterations,
         msa_scale=msa_scale,
+        msa_offset=msa_offset,
         use_psk=(modulation_m == 2),
         name=f"wifi80211n-ldpc{n}-qam{modulation_m}",
     )

@@ -662,7 +662,8 @@ def _turbo_iterations(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
 
 
 @partial(jax.jit, static_argnames=("trellis", "number_iterations",
-                                   "max_log", "p_tuple", "chunk"))
+                                   "max_log", "p_tuple", "chunk",
+                                   "ext_scale"))
 def _turbo_iterations_xla_nii(sys_symbols, non_sys_symbols_1,
                               non_sys_symbols_2, noise_variance, p_tuple,
                               L_int, trellis: Trellis,
