@@ -45,4 +45,5 @@ run butterfly    timeout 3000 python scripts/bcjr_butterfly_ab.py
 run vit_layout   timeout 3000 python scripts/viterbi_layout_ab.py
 run ber_probe    timeout 3000 python scripts/turbo_ber_probe.py
 run wifi_stage   timeout 3000 python scripts/wifi_stage_profile.py
+run qcldpc_ab    timeout 3000 python scripts/qcldpc_ab.py
 echo "$(date -Is) queue complete" >> "$OUT/watch.log"
