@@ -236,13 +236,32 @@ def _qc_bp_kernel(llr_ref, dec_ref, out_llr_ref, *, Z: int, Nb: int,
         out_llr_ref[j * Z:(j + 1) * Z, :] = llr_cols[j]
         dec_ref[j * Z:(j + 1) * Z, :] = dec0[j].astype(jnp.int8)
     act0 = synd_bad(dec0)
+
+    # Early exit once every lane's syndrome is satisfied (like the XLA
+    # core's while_loop): outputs are identical — converged lanes are
+    # frozen either way — but a chunk of clean-channel frames stops
+    # after the 2-5 iterations it actually needs, not n_iters.
+    def going(carry):
+        it = carry[0]
+        act = carry[1]
+        return jnp.logical_and(it < n_iters, jnp.max(act) > 0.5)
+
     if schedule == "layered":
-        jax.lax.fori_loop(
-            0, n_iters, body_layered,
-            (tuple(c2v0), act0, tuple(llr_cols)),
+        def step_l(carry):
+            it, act, c2v, tot = carry
+            c2v, act, tot = body_layered(it, (c2v, act, tot))
+            return it + 1, act, c2v, tot
+
+        jax.lax.while_loop(
+            going, step_l, (0, act0, tuple(c2v0), tuple(llr_cols))
         )
     else:
-        jax.lax.fori_loop(0, n_iters, body, (c2v0, act0))
+        def step_f(carry):
+            it, act, c2v = carry
+            c2v, act = body(it, (list(c2v), act))
+            return it + 1, act, tuple(c2v)
+
+        jax.lax.while_loop(going, step_f, (0, act0, tuple(c2v0)))
 
 
 @partial(jax.jit, static_argnames=("algorithm", "n_iters", "meta",
