@@ -7,6 +7,7 @@ from .device_links import (
     make_kbest_mimo_link,
     make_ldpc_rayleigh_link,
     make_ofdm_mimo_conv_link,
+    make_ofdm_qcldpc_link,
     make_qcldpc_awgn_link,
     make_rrc_conv_awgn_link,
     make_turbo_awgn_link,
@@ -18,6 +19,7 @@ __all__ = [
     "make_kbest_mimo_link",
     "make_ldpc_rayleigh_link",
     "make_ofdm_mimo_conv_link",
+    "make_ofdm_qcldpc_link",
     "make_qcldpc_awgn_link",
     "make_rrc_conv_awgn_link",
     "make_turbo_awgn_link",

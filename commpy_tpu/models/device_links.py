@@ -37,6 +37,7 @@ __all__ = [
     "make_rrc_conv_awgn_link",
     "make_turbo_awgn_link",
     "make_qcldpc_awgn_link",
+    "make_ofdm_qcldpc_link",
     "make_ldpc_rayleigh_link",
     "make_kbest_mimo_link",
     "make_bestfirst_ldpc_mimo_link",
@@ -342,6 +343,110 @@ def make_qcldpc_awgn_link(
 
     return DeviceLink(link_step, frame_bits, noise_std_fn, name,
                       {"rate": rate, "Es": Es, "n": n_v})
+
+
+def make_ofdm_qcldpc_link(
+    *,
+    qc_params: dict,
+    modulation_m: int = 4,
+    nfft: int = 64,
+    nsc: int = 54,
+    cp_length: int = 16,
+    n_taps: int = 4,
+    algorithm: str = "MSA",
+    n_iterations: int = 15,
+    msa_scale: float = 1.0,
+    name: str = "ofdm-qcldpc",
+) -> DeviceLink:
+    """802.11n-style OFDM PHY with LDPC coding over a multipath channel.
+
+    One frame = one QC codeword spread over an OFDM grid; the channel is
+    an ``n_taps``-tap Rayleigh delay line (time-domain convolution, CP
+    absorbs the delay spread), so subcarriers fade SELECTIVELY — the
+    scenario OFDM exists for, and one the reference cannot express (its
+    channels.py:101-627 models are frequency-flat only).  Perfect-CSI
+    per-subcarrier equalization; per-subcarrier effective noise variance
+    feeds the exact-LLR demapper.
+    """
+    from ..ops.qcldpc import qc_bp_decode_device, qc_encode_device
+
+    n_v = qc_params["n_vnodes"]
+    frame_bits = qc_params["k_bits"]
+    const_np = M.qam_constellation(modulation_m)
+    Es = float(np.mean(np.abs(const_np) ** 2))
+    const = const_np.astype(np.complex64)  # numpy closure (HLO literal)
+    bps = int(np.log2(modulation_m))
+    rate = frame_bits / n_v
+    n_sym = n_v // bps
+    if n_v % bps or n_sym % nsc:
+        raise ValueError(
+            f"codeword ({n_v} bits, {n_sym} symbols) must fill whole "
+            f"{bps}-bit symbols and whole {nsc}-subcarrier OFDM symbols"
+        )
+    n_ofdm = n_sym // nsc
+    if n_taps > cp_length:
+        raise ValueError("delay spread must fit inside the cyclic prefix")
+    half = nsc // 2
+    # subcarrier slot j <-> FFT bin (ofdm_tx map, reference
+    # modulation.py:272-276): slots [0, half) ride the negative-frequency
+    # bins, slots [half, nsc) the positive ones
+    bins = np.concatenate(
+        [np.arange(nfft - half, nfft), np.arange(1, half + 1)]
+    )
+    # DFT vectors for the mapped bins: H = W @ g  ([nsc, n_taps])
+    W = np.exp(
+        -2j * np.pi * bins[:, None] * np.arange(n_taps)[None, :] / nfft
+    ).astype(np.complex64)
+    nv_scale = float(nfft)  # unnormalized-FFT noise gain (see MIMO link)
+
+    def link_step(keys, noise_std):
+        bits = _gen_bits(keys, frame_bits)
+        coded = qc_encode_device(bits, qc_params)
+        symbols = M.modulate(coded, const, bps)  # [F, n_sym]
+        F = symbols.shape[0]
+        grids = jnp.moveaxis(
+            symbols.reshape(F, n_ofdm, nsc), -1, -2
+        )  # [F, nsc, n_ofdm]
+        tx = OFDM.ofdm_tx(grids, nfft, nsc, cp_length)  # [F, T]
+
+        # n_taps-tap Rayleigh delay line, unit average energy
+        g = _frame_crandn(keys, (n_taps,), 2) * jnp.sqrt(0.5 / n_taps)
+        rx = jnp.zeros_like(tx)
+        for tap in range(n_taps):  # static unroll: y[t] = sum g_l x[t-l]
+            shifted = tx if tap == 0 else jnp.pad(
+                tx, ((0, 0), (tap, 0))
+            )[:, : tx.shape[1]]
+            rx = rx + g[:, tap:tap + 1] * shifted
+        rx = rx + _frame_crandn(keys, rx.shape[1:], 1) * (noise_std * 0.5)
+
+        rx_grids = OFDM.ofdm_rx(rx, nfft, nsc, cp_length)  # [F, nsc, n_ofdm]
+        H = jnp.einsum("st,ft->fs", jnp.asarray(W), g)  # [F, nsc]
+        z = rx_grids / H[:, :, None]
+        noise_var = noise_std**2 * nv_scale
+        nv_eff = noise_var / jnp.maximum(jnp.abs(H[:, :, None]) ** 2,
+                                         1e-12)
+        z = jnp.moveaxis(z, -1, -2).reshape(F, n_sym)
+        nv_eff = jnp.moveaxis(
+            jnp.broadcast_to(nv_eff, (F, nsc, n_ofdm)), -1, -2
+        ).reshape(F, n_sym)
+        llr = -M.demodulate_soft(z, const, bps, nv_eff)
+        dec, _ = qc_bp_decode_device(llr, qc_params, algorithm,
+                                     n_iterations, msa_scale=msa_scale)
+        return jnp.sum(
+            jnp.bitwise_xor(dec[..., :frame_bits], bits).astype(jnp.int32)
+        )
+
+    def noise_std_fn(snr_db):
+        # per-subcarrier SNR calibration (reference channels.py:74);
+        # time-domain std divided by sqrt(nfft) (FFT gain, see the OFDM
+        # MIMO link), unit-energy delay line keeps the average intact
+        return snr_to_noise_std(
+            snr_db, code_rate=rate, Es=Es
+        ) / np.sqrt(nfft)
+
+    return DeviceLink(link_step, frame_bits, noise_std_fn, name,
+                      {"rate": rate, "Es": Es, "n": n_v,
+                       "n_ofdm_symbols": n_ofdm})
 
 
 # --------------------------------------------------------------------------

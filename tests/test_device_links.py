@@ -143,3 +143,21 @@ def test_qcldpc_awgn_link_dvbs2_scale():
     )
     errs, _ = _run(link, 14.0, F=4)
     assert errs == 0
+
+
+def test_ofdm_qcldpc_multipath_link():
+    # 802.11n-style OFDM + LDPC over a 4-tap selective channel: clean
+    # at high SNR (per-subcarrier equalization + LLR weighting works),
+    # errorful at low SNR
+    from commpy_tpu.models.device_links import make_ofdm_qcldpc_link
+    from commpy_tpu.ops.qcldpc import ieee80211n_params
+
+    link = make_ofdm_qcldpc_link(
+        qc_params=ieee80211n_params(648, "1/2"), modulation_m=4,
+    )
+    errs_hi, _ = _run(link, 20.0)
+    assert errs_hi == 0
+    errs_lo, _ = _run(link, 2.0)
+    assert errs_lo > 0
+    # grid bookkeeping: 324 QPSK symbols = 6 OFDM symbols of 54 carriers
+    assert link.extras["n_ofdm_symbols"] == 6

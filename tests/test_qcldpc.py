@@ -295,3 +295,15 @@ def test_layered_schedule_converges_faster():
     dec_c, _ = qc_bp_decode_device(clean, params, "MSA", 1,
                                    backend="pallas", schedule="layered")
     assert (np.asarray(dec_c) == cw).all()
+
+
+def test_layered_spa_noiseless_identity():
+    # the layered schedule must also run the SPA check update
+    params = Q.ieee80211n_params(648, "1/2")
+    rng = np.random.RandomState(15)
+    msg = rng.randint(0, 2, (3, params["k_bits"])).astype(np.int8)
+    cw = np.asarray(Q.qc_encode_device(msg, params))
+    llr = (1.0 - 2.0 * cw) * 6.0
+    dec, _ = Q.qc_bp_decode_device(llr, params, "SPA", 3,
+                                   backend="pallas", schedule="layered")
+    np.testing.assert_array_equal(np.asarray(dec), cw)
