@@ -356,6 +356,7 @@ def make_ofdm_qcldpc_link(
     algorithm: str = "MSA",
     n_iterations: int = 15,
     msa_scale: float = 1.0,
+    csi: str = "perfect",
     name: str = "ofdm-qcldpc",
 ) -> DeviceLink:
     """802.11n-style OFDM PHY with LDPC coding over a multipath channel.
@@ -364,9 +365,14 @@ def make_ofdm_qcldpc_link(
     an ``n_taps``-tap Rayleigh delay line (time-domain convolution, CP
     absorbs the delay spread), so subcarriers fade SELECTIVELY — the
     scenario OFDM exists for, and one the reference cannot express (its
-    channels.py:101-627 models are frequency-flat only).  Perfect-CSI
-    per-subcarrier equalization; per-subcarrier effective noise variance
-    feeds the exact-LLR demapper.
+    channels.py:101-627 models are frequency-flat only).  Per-subcarrier
+    equalization with per-subcarrier effective noise variance into the
+    exact-LLR demapper.
+
+    ``csi``: "perfect" uses the true per-subcarrier response;
+    "ls" prepends one known BPSK pilot OFDM symbol (the 802.11 long
+    training field pattern) and least-squares-estimates
+    ``H = rx_pilot / pilot`` — the receiver sees only the waveform.
     """
     from ..ops.qcldpc import qc_bp_decode_device, qc_encode_device
 
@@ -398,6 +404,12 @@ def make_ofdm_qcldpc_link(
         -2j * np.pi * bins[:, None] * np.arange(n_taps)[None, :] / nfft
     ).astype(np.complex64)
     nv_scale = float(nfft)  # unnormalized-FFT noise gain (see MIMO link)
+    if csi not in ("perfect", "ls"):
+        raise ValueError('csi must be "perfect" or "ls"')
+    # BPSK pilot with the average data symbol energy (LS noise then
+    # matches the data-symbol SNR)
+    pilot = (np.sqrt(Es)
+             * (1.0 - 2.0 * (np.arange(nsc) % 2))).astype(np.complex64)
 
     def link_step(keys, noise_std):
         bits = _gen_bits(keys, frame_bits)
@@ -407,6 +419,11 @@ def make_ofdm_qcldpc_link(
         grids = jnp.moveaxis(
             symbols.reshape(F, n_ofdm, nsc), -1, -2
         )  # [F, nsc, n_ofdm]
+        if csi == "ls":
+            pgrid = jnp.broadcast_to(
+                jnp.asarray(pilot)[None, :, None], (F, nsc, 1)
+            )
+            grids = jnp.concatenate([pgrid, grids], axis=-1)
         tx = OFDM.ofdm_tx(grids, nfft, nsc, cp_length)  # [F, T]
 
         # n_taps-tap Rayleigh delay line, unit average energy
@@ -419,8 +436,12 @@ def make_ofdm_qcldpc_link(
             rx = rx + g[:, tap:tap + 1] * shifted
         rx = rx + _frame_crandn(keys, rx.shape[1:], 1) * (noise_std * 0.5)
 
-        rx_grids = OFDM.ofdm_rx(rx, nfft, nsc, cp_length)  # [F, nsc, n_ofdm]
-        H = jnp.einsum("st,ft->fs", jnp.asarray(W), g)  # [F, nsc]
+        rx_grids = OFDM.ofdm_rx(rx, nfft, nsc, cp_length)  # [F, nsc, n_sym+?]
+        if csi == "ls":
+            H = rx_grids[:, :, 0] / jnp.asarray(pilot)[None, :]  # LS
+            rx_grids = rx_grids[:, :, 1:]
+        else:
+            H = jnp.einsum("st,ft->fs", jnp.asarray(W), g)  # [F, nsc]
         z = rx_grids / H[:, :, None]
         noise_var = noise_std**2 * nv_scale
         nv_eff = noise_var / jnp.maximum(jnp.abs(H[:, :, None]) ** 2,

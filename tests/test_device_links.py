@@ -161,3 +161,25 @@ def test_ofdm_qcldpc_multipath_link():
     assert errs_lo > 0
     # grid bookkeeping: 324 QPSK symbols = 6 OFDM symbols of 54 carriers
     assert link.extras["n_ofdm_symbols"] == 6
+
+
+def test_ofdm_qcldpc_ls_channel_estimation():
+    # blind receiver: LS estimate from one pilot OFDM symbol must still
+    # decode cleanly at high SNR, and estimation noise must cost
+    # something vs perfect CSI at mid SNR
+    from commpy_tpu.models.device_links import make_ofdm_qcldpc_link
+    from commpy_tpu.ops.qcldpc import ieee80211n_params
+
+    params = ieee80211n_params(648, "1/2")
+    ls = make_ofdm_qcldpc_link(qc_params=params, modulation_m=4, csi="ls")
+    errs_hi, _ = _run(ls, 22.0)
+    assert errs_hi == 0
+    perfect = make_ofdm_qcldpc_link(qc_params=params, modulation_m=4)
+    mid = 9.0
+    e_ls = _run(ls, mid, F=16)[0]
+    e_pf = _run(perfect, mid, F=16)[0]
+    assert e_pf <= e_ls  # same noise draws; estimation can only hurt
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        make_ofdm_qcldpc_link(qc_params=params, csi="mmse")
