@@ -36,23 +36,24 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["qc_bp_pallas", "vmem_bytes_per_lane"]
+from ..ops.qcldpc import _llr_max  # single source for the clip constant
 
-_llr_max = 500.0  # match reference ldpc.py:11 clipping
+__all__ = ["qc_bp_pallas", "vmem_bytes_per_lane"]
 
 _VMEM_BUDGET = 13_500_000  # scoped VMEM bytes available to the kernel
 
 
 def vmem_bytes_per_lane(n: int, Z: int, n_blocks_nz: int) -> int:
-    """Kernel VMEM footprint per batch lane, in bytes.
+    """Kernel VMEM footprint per batch lane at the 128-lane chunk.
 
     Double-buffered llr + out_llr (f32) + dec (int8), the per-block c2v
-    message tiles, and ~3n of working set.  The lane chunk is sized so
-    ``chunk * vmem_bytes_per_lane(...) <= budget``.
+    message tiles, and ~3n of working set.  The batch rides the minor
+    (lane) axis, which VMEM pads to 128 — a smaller chunk does NOT
+    shrink the footprint, so codes whose 128-lane footprint exceeds the
+    budget cannot run this kernel at all (use the XLA core).
     """
     return 4 * n * (2 + 2 + 3) + 2 * n + 4 * Z * n_blocks_nz
 
@@ -102,7 +103,9 @@ def _qc_bp_kernel(llr_ref, dec_ref, out_llr_ref, *, Z: int, Nb: int,
         return tot
 
     def decisions(tot):
-        return [(t < 0).astype(jnp.float32) for t in tot]
+        # signbit, not (t < 0): totals of exactly -0.0 must decode to
+        # bit 1 like the XLA core's jnp.signbit decision
+        return [jnp.signbit(t).astype(jnp.float32) for t in tot]
 
     def synd_bad(dec_cols):
         # [1, BC] 1.0 where ANY check fails for that lane
@@ -265,30 +268,26 @@ def _qc_bp_kernel(llr_ref, dec_ref, out_llr_ref, *, Z: int, Nb: int,
 
 
 @partial(jax.jit, static_argnames=("algorithm", "n_iters", "meta",
-                                   "schedule", "lane_chunk",
-                                   "msa_scale", "msa_offset"))
+                                   "schedule", "msa_scale", "msa_offset"))
 def qc_bp_pallas(llr, algorithm: str, n_iters: int, meta,
-                 schedule: str = "flooding", lane_chunk: int | None = None,
+                 schedule: str = "flooding",
                  msa_scale: float = 1.0, msa_offset: float = 0.0):
     """Run the VMEM-resident QC BP kernel.
 
     llr  : [B, Nb*Z] channel LLRs (clipped by the caller)
     meta : (Z, Nb, rows) with rows = ((j, s), ...) per check block row.
-    lane_chunk : batch lanes per grid step; default picks the largest
-        power of two <= 128 whose VMEM footprint fits (large codes run
-        at reduced lane occupancy rather than failing — e.g. DVB-S2
-        n=16200 fits at 16 lanes).
     Returns (dec int8 [B, Nb*Z], out_llr [B, Nb*Z]).
+
+    Raises ValueError for codes whose VMEM footprint exceeds the budget
+    (the batch lane axis pads to 128, so there is no smaller-chunk
+    escape — DVB-S2-scale codes must use the XLA core, which also has
+    the layered schedule).
     """
     Z, Nb, rows = meta
     B, n = llr.shape
     n_blocks_nz = sum(len(r) for r in rows)
     per_lane = vmem_bytes_per_lane(n, Z, n_blocks_nz)
-    BC = lane_chunk
-    if BC is None:
-        BC = 128
-        while BC > 8 and BC * per_lane > _VMEM_BUDGET:
-            BC //= 2
+    BC = 128
     if BC * per_lane > _VMEM_BUDGET:
         raise ValueError(
             f"QC code too large for the VMEM-resident kernel "

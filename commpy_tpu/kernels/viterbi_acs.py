@@ -79,8 +79,7 @@ def _pack_matrix(S: int) -> np.ndarray:
 
 
 def _acs_kernel(r_ref, C_ref, Q_ref, W_ref, dec_ref, best_ref, pm_ref, *,
-                n_steps: int, S: int, I: int,
-                prec=_DOT_PRECISION):
+                n_steps: int, S: int, prec=_DOT_PRECISION):
     """One time-chunk of the ACS recursion (batch-last layout).
 
     r_ref:   [TC, n, B]   received codewords for this chunk
@@ -309,10 +308,25 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
     W = _pack_matrix(S)
     G = W.shape[0]
 
-    # Cap the time chunk so the largest VMEM block (the packed-decision
-    # output, [TC, G, B] int32) stays within the scoped-vmem budget.
+    # The kernels assume the binary shift-trellis predecessor closed
+    # form (prev(s, j) = ((s & (S/2-1)) << 1) | j, see _perm_matrices /
+    # _radix2_tables); reject other predecessor layouts loudly instead
+    # of decoding garbage.
+    from ..ops.viterbi import _is_shift_structured
+
+    if not _is_shift_structured(trellis):
+        raise NotImplementedError(
+            "the Pallas ACS kernels require a shift-structured binary "
+            "trellis; use backend='xla'"
+        )
+
+    # Cap the time chunk so the per-grid-step VMEM blocks — r input
+    # [TC, n, B] f32, packed decisions [TC, G, B] int32, best [TC, B]
+    # int32, each double-buffered — fit the scoped budget (14 MiB: the
+    # measured-working K=7 B=2048 TC=128 configuration).
     G_est = -(-S // _PACK)
-    tc_cap = max(32, (4 * 1024 * 1024) // max(B * G_est * 4, 1))
+    step_bytes = 2 * 4 * B * (n + G_est + 1)  # double-buffered
+    tc_cap = max(32, (14 * 1024 * 1024) // max(step_bytes, 1))
     TC = min(time_chunk, T, tc_cap)
     if radix == 2:
         TC += TC % 2  # whole step-pairs per chunk
@@ -373,7 +387,7 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
             C = np.concatenate([C, _hard_const(trellis)[:, None]], axis=1)
         C = C.reshape(S, I, -1).transpose(1, 0, 2).reshape(I * S, -1)
         Q = _perm_matrices(trellis.pred_state_table).reshape(I * S, S)
-        kernel = partial(_acs_kernel, n_steps=TC, S=S, I=I,
+        kernel = partial(_acs_kernel, n_steps=TC, S=S,
                          prec=(jax.lax.Precision.HIGHEST if exact
                                else _DOT_PRECISION))
         in_mats = [jnp.asarray(C), jnp.asarray(Q), jnp.asarray(W)]

@@ -355,14 +355,19 @@ def _loo_min(mag, mask):
 
 @partial(jax.jit,
          static_argnames=("block_s_t", "algorithm", "n_iters", "meta",
-                          "msa_scale", "msa_offset"))
+                          "msa_scale", "msa_offset", "schedule"))
 def _qc_bp_core(llr, block_s_t, algorithm: str, n_iters: int, meta,
-                msa_scale: float = 1.0, msa_offset: float = 0.0):
+                msa_scale: float = 1.0, msa_offset: float = 0.0,
+                schedule: str = "flooding"):
     """BP over the QC edge tensor ``[B, Mb, Z, K]``.
 
     meta = (Mb, Nb, Z, K, block_j as nested tuple, valid mask tuple).
     All message routing is cyclic rolls on the Z axis — no gathers, no
     incidence matrices; work and memory are O(E) per iteration.
+    ``schedule="layered"`` updates the running totals after every check
+    block row (serial schedule) — same fixed point, ~half the
+    iterations at equal BER; this is the path for codes too large for
+    the VMEM-resident kernel.
     """
     Mb, Nb, Z, K, block_j, valid = meta
     B = llr.shape[0]
@@ -398,17 +403,17 @@ def _qc_bp_core(llr, block_s_t, algorithm: str, n_iters: int, meta,
                                            axis=-1)
         return jnp.stack(acc, axis=1)
 
-    def cn_update(v2c):
+    def cn_update(v2c, m=mask):
         if algorithm == "SPA":
             t = jnp.tanh(v2c * 0.5)
-            prod = _loo_prod(t, mask)
+            prod = _loo_prod(t, m)
             msg = 2.0 * jnp.arctanh(jnp.clip(prod, -1.0, 1.0))
             return jnp.clip(msg, -_llr_max, _llr_max)
-        sign = _loo_prod(jnp.sign(v2c), mask)
-        loo = _loo_min(jnp.abs(v2c), mask)
+        sign = _loo_prod(jnp.sign(v2c), m)
+        loo = _loo_min(jnp.abs(v2c), m)
         # normalized/offset min-sum: plain MSA at (1, 0) exactly
         mag = jnp.maximum(msa_scale * loo - msa_offset, 0.0)
-        return jnp.where(mask, sign * mag, 0.0)
+        return jnp.where(m, sign * mag, 0.0)
 
     def total_llr(c2v):
         return llr + to_vnodes(jnp.where(mask, c2v, 0.0))
@@ -444,8 +449,38 @@ def _qc_bp_core(llr, block_s_t, algorithm: str, n_iters: int, meta,
         act = jnp.logical_and(act, ~syndrome_ok(dec))
         return it + 1, c2v, out_llr, dec, act
 
+    def body_layered(state):
+        # serial schedule: totals update after EVERY check block row;
+        # frozen lanes contribute zero deltas, so tot/dec latch
+        it, c2v, tot, dec, act = state
+        for i in range(Mb):
+            cols = []
+            for k in range(K):
+                j = bj[i][k]
+                cols.append(
+                    jnp.roll(tot[:, j], -int(sj[i][k]), axis=-1)
+                    if j >= 0 else jnp.zeros((B, Z), jnp.float32)
+                )
+            v2c = jnp.stack(cols, axis=-1) - c2v[:, i]  # [B, Z, K]
+            mrow = mask[0, i][None]  # [1, 1, K]
+            new_row = cn_update(jnp.where(mrow, v2c, 0.0), mrow)
+            new_row = jnp.where(act[:, None, None], new_row, c2v[:, i])
+            delta = jnp.where(mrow, new_row - c2v[:, i], 0.0)
+            for k in range(K):
+                j = bj[i][k]
+                if j >= 0:
+                    tot = tot.at[:, j].add(
+                        jnp.roll(delta[..., k], int(sj[i][k]), axis=-1)
+                    )
+            c2v = c2v.at[:, i].set(new_row)
+        new_dec = jnp.signbit(tot).astype(jnp.int8)
+        dec = jnp.where(act[:, None, None], new_dec, dec)
+        act = jnp.logical_and(act, ~syndrome_ok(dec))
+        return it + 1, c2v, tot, dec, act
+
     _, _, out_llr, dec, _ = jax.lax.while_loop(
-        cond, body, (0, c2v0, llr, dec0, act0)
+        cond, body_layered if schedule == "layered" else body,
+        (0, c2v0, llr, dec0, act0)
     )
     return dec.reshape(B, Nb * Z), out_llr.reshape(B, Nb * Z)
 
@@ -463,9 +498,9 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
     HBM several times per iteration); "xla" keeps the roll-based XLA
     core; "auto" picks pallas on TPU backends.
     ``schedule``: "flooding" matches the reference BP exactly;
-    "layered" (pallas backend) updates totals after every check row —
-    the serial schedule converges in roughly half the iterations at
-    equal BER (no reference counterpart).
+    "layered" updates totals after every check block row — the serial
+    schedule converges in roughly half the iterations at equal BER (no
+    reference counterpart); available on both backends.
     ``msa_scale``/``msa_offset``: normalized/offset min-sum correction
     (check message magnitude ``max(scale*min - offset, 0)``) — the
     standard production compensation for MSA's overestimate vs SPA
@@ -480,11 +515,6 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
         raise ValueError('schedule must be "flooding" or "layered"')
     if (msa_scale, msa_offset) != (1.0, 0.0) and decoder_algorithm != "MSA":
         raise ValueError("msa_scale/msa_offset apply to MSA only")
-    if schedule == "layered" and backend == "xla":
-        raise NotImplementedError(
-            "layered scheduling runs in the pallas kernel; the xla "
-            "core is flooding-only"
-        )
     Mb, Nb = qc_params["Mb"], qc_params["Nb"]
     Z, K = qc_params["Z"], qc_params["K"]
     x = jnp.asarray(llr, jnp.float32)
@@ -499,11 +529,11 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
                 or schedule == "layered")
             else "xla"
         )
-        if backend == "pallas" and schedule != "layered":
-            # codes too large to run the kernel at full lane occupancy
-            # stay on XLA (reduced-lane pallas is untested for speed);
-            # layered has no XLA counterpart, so it always stays on
-            # pallas, which sizes its lane chunk adaptively.
+        if backend == "pallas":
+            # codes whose VMEM footprint exceeds the kernel budget run
+            # the XLA core instead (the batch lane axis pads to 128, so
+            # a smaller chunk cannot save them); both schedules exist
+            # on both backends
             from ..kernels.qc_bp import _VMEM_BUDGET, vmem_bytes_per_lane
 
             nz = int(np.sum(np.asarray(qc_params["block_j"]) >= 0))
@@ -540,6 +570,7 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
                   qc_params["block_s"]),
             decoder_algorithm, int(n_iters), meta,
             msa_scale=float(msa_scale), msa_offset=float(msa_offset),
+            schedule=schedule,
         )
     dec = dec.reshape(lead + (Nb * Z,))
     out = out.reshape(lead + (Nb * Z,))

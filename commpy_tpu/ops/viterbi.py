@@ -356,6 +356,10 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
         L = int(x.shape[-1] * k / n)
     if tb_depth is None:
         tb_depth = min(5 * tm, L)
+    if tb_depth < 2:
+        # both traceback implementations emit at back-step depth
+        # tb_depth-2; a 1-deep window would silently return zeros
+        raise ValueError(f"tb_depth must be >= 2 (got {tb_depth})")
 
     # Number of ACS steps: reference runs t = 1 .. (L+tm)/k - 1, reading
     # codeword (t-1); i.e. T = (L+tm)//k - 1 steps consuming codewords
@@ -381,7 +385,11 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
 
         from ..kernels.viterbi_acs import traceback_pallas
 
-        assert shift_structured, "pallas backend requires k=1 shift trellis"
+        if not shift_structured:  # raise (not assert: survives python -O)
+            raise NotImplementedError(
+                "backend='pallas' requires a k=1 shift-structured "
+                "trellis; use backend='xla'"
+            )
         dec_packed, best = acs_forward_pallas(r, trellis, decoding_type,
                                               layout="gmaj")
         pu_words = np.stack(

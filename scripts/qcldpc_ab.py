@@ -6,12 +6,12 @@ Ranks, in ONE process (service throughput drifts +-20-40% between
 processes — sequential runs cannot rank variants):
 
   80211n-1944: pallas-flooding-15  vs  xla-flooding-15  vs  layered-8
-  dvbs2-16200: xla-flooding-15     vs  pallas-16-lane-flooding-15
+  dvbs2-16200: xla-flooding-15     vs  xla-layered-8
 
-Decision the dvbs2 row feeds: ``backend='auto'`` currently routes codes
-past the 128-lane VMEM budget to XLA (reduced-lane pallas untested for
-speed, ops/qcldpc.py); if the 16-lane kernel wins here, flip auto to
-keep them on pallas.
+(Codes past the kernel's 128-lane VMEM budget can only run the XLA
+core — the lane axis pads to 128, so there is no reduced-chunk kernel;
+the dvbs2 row ranks the two XLA schedules at equal-BER iteration
+counts.)
 """
 import sys as _s; _s.path.insert(0, "/root/repo")
 import time
@@ -27,12 +27,13 @@ from commpy_tpu.ops.qcldpc import (
 rng = np.random.RandomState(0)
 
 
-def make_runner(params, B, rep, info_bits, **decode_kw):
+def make_runner(params, B, rep, info_bits, n_iters=15, **decode_kw):
     x0 = jnp.asarray(
         rng.randn(B, params["n_vnodes"]).astype(np.float32) * 2)
 
     def body_fn(c):
-        dec, out = qc_bp_decode_device(c, params, "MSA", 15, **decode_kw)
+        dec, out = qc_bp_decode_device(c, params, "MSA", n_iters,
+                                       **decode_kw)
         return c + out * 1e-9
 
     def chained(x, r):
@@ -65,7 +66,8 @@ if __name__ == "__main__":
     variants_11n = {
         "pallas-flood15": dict(backend="pallas"),
         "xla-flood15": dict(backend="xla"),
-        "layered8": dict(backend="pallas", schedule="layered"),
+        "layered8": dict(backend="pallas", schedule="layered",
+                         n_iters=8),
     }
     # layered-8 ~= flooding-15 BER (tests), so bits/s are comparable
     runners = {
@@ -81,8 +83,8 @@ if __name__ == "__main__":
     pdvb = random_qc_params(25, 45, 360, col_weight=3, seed=0)
     runners = {
         "xla-flood15": make_runner(pdvb, 64, 6, 7200, backend="xla"),
-        "pallas16-flood15": make_runner(pdvb, 64, 6, 7200,
-                                        backend="pallas"),
+        "xla-layered8": make_runner(pdvb, 64, 6, 7200, backend="xla",
+                                    schedule="layered", n_iters=8),
     }
     for trial in range(4):
         vals = {k: r() for k, r in runners.items()}

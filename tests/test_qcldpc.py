@@ -103,14 +103,19 @@ def test_qc_bp_pallas_matches_xla():
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_qc_bp_pallas_reduced_lane_chunk_matches():
-    # Large codes run the kernel at a reduced lane chunk instead of
-    # failing; any chunk size must give identical results.
-    import jax.numpy as jnp
+def test_qc_bp_pallas_rejects_oversize_codes():
+    # the batch lane axis pads to 128 in VMEM, so there is no
+    # reduced-chunk escape: over-budget codes must raise, and the auto
+    # backend must route them to XLA instead
+    from commpy_tpu.kernels.qc_bp import (
+        _VMEM_BUDGET, qc_bp_pallas, vmem_bytes_per_lane,
+    )
 
-    from commpy_tpu.kernels.qc_bp import qc_bp_pallas
-
-    params = Q.ieee80211n_params(648, "1/2")
+    params = Q.random_qc_params(12, 24, 144, col_weight=3, seed=2)
+    nz = int(np.sum(np.asarray(params["block_j"]) >= 0))
+    assert 128 * vmem_bytes_per_lane(24 * 144, 144, nz) > _VMEM_BUDGET, (
+        "test premise: this code must exceed the 128-lane VMEM budget"
+    )
     bs_t, bj_t = params["block_s"], params["block_j"]
     K = params["K"]
     rows = tuple(
@@ -118,27 +123,16 @@ def test_qc_bp_pallas_reduced_lane_chunk_matches():
               for k in range(K) if bj_t[i][k] >= 0)
         for i in range(params["Mb"])
     )
-    rng = np.random.RandomState(8)
-    llr = jnp.asarray(rng.randn(5, 648).astype(np.float32) * 2)
-    meta = (params["Z"], params["Nb"], rows)
-    d128, l128 = qc_bp_pallas(llr, "MSA", 5, meta)
-    d32, l32 = qc_bp_pallas(llr, "MSA", 5, meta, lane_chunk=32)
-    np.testing.assert_array_equal(np.asarray(d128), np.asarray(d32))
-    np.testing.assert_allclose(np.asarray(l128), np.asarray(l32),
-                               rtol=1e-6, atol=1e-6)
+    llr = np.zeros((2, params["n_vnodes"]), np.float32)
+    with pytest.raises(ValueError, match="too large"):
+        qc_bp_pallas(llr, "MSA", 2, (144, 24, rows))
 
 
-def test_layered_large_code_stays_on_pallas():
-    # auto backend + layered schedule on a code too big for 128 lanes
-    # must still run the (adaptive-lane-chunk) kernel — it must NOT
-    # silently downgrade to the flooding-only XLA core.
+def test_layered_large_code_runs_on_xla_core():
+    # layered scheduling on a code too big for the kernel runs the XLA
+    # layered core (serial row updates via rolls) — not a silent
+    # flooding downgrade, not a kernel OOM
     params = Q.random_qc_params(12, 24, 144, col_weight=3, seed=2)
-    from commpy_tpu.kernels.qc_bp import vmem_bytes_per_lane
-
-    nz = int(np.sum(np.asarray(params["block_j"]) >= 0))
-    assert 128 * vmem_bytes_per_lane(24 * 144, 144, nz) > 13_500_000, (
-        "test premise: this code must exceed the 128-lane VMEM budget"
-    )
     rng = np.random.RandomState(9)
     msg = rng.randint(0, 2, (2, params["k_bits"])).astype(np.int8)
     cw = np.asarray(Q.qc_encode_device(msg, params))
@@ -146,6 +140,40 @@ def test_layered_large_code_stays_on_pallas():
     dec, _ = Q.qc_bp_decode_device(llr, params, "MSA", 2,
                                    schedule="layered")
     np.testing.assert_array_equal(np.asarray(dec), cw)
+
+
+def test_layered_xla_matches_pallas():
+    # both layered implementations (XLA serial-row core, VMEM kernel)
+    # must produce the same decisions and near-identical posteriors
+    params = Q.ieee80211n_params(648, "1/2")
+    rng = np.random.RandomState(21)
+    llr = np.clip(rng.randn(5, 648) * 2 + 1.0, -500, 500).astype(
+        np.float32
+    )
+    d_x, l_x = Q.qc_bp_decode_device(llr, params, "MSA", 6,
+                                     backend="xla", schedule="layered")
+    d_p, l_p = Q.qc_bp_decode_device(llr, params, "MSA", 6,
+                                     backend="pallas", schedule="layered")
+    np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_p))
+    np.testing.assert_allclose(np.asarray(l_x), np.asarray(l_p),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_negative_zero_llr_backend_parity():
+    # totals of exactly -0.0 must decode identically on both backends
+    # (signbit semantics, not t < 0): encode a valid codeword purely in
+    # LLR signs of zero magnitude — the syndrome is satisfied at
+    # iteration 0, so the returned word IS the signbit of +-0.0
+    params = Q.ieee80211n_params(648, "1/2")
+    rng = np.random.RandomState(22)
+    msg = rng.randint(0, 2, (3, params["k_bits"])).astype(np.int8)
+    cw = np.asarray(Q.qc_encode_device(msg, params))
+    llr = np.where(cw == 1, -0.0, 0.0).astype(np.float32)
+    d_x, _ = Q.qc_bp_decode_device(llr, params, "MSA", 2, backend="xla")
+    d_p, _ = Q.qc_bp_decode_device(llr, params, "MSA", 2,
+                                   backend="pallas")
+    np.testing.assert_array_equal(np.asarray(d_x), cw)
+    np.testing.assert_array_equal(np.asarray(d_p), cw)
 
 
 def test_min_sum_correction_improves_ber():
