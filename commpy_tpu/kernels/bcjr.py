@@ -110,10 +110,11 @@ def _linear_tables(trellis: Trellis, P: int):
 
 
 def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
-                 a0_ref, bT_ref, e_ref, af_ref, bf_ref, alphas_ref, *,
+                 a0_ref, bT_ref, e_ref, af_ref, bf_ref, alphas_ref,
+                 *scratch_refs,
                  T: int, S: int, I: int, P: int,
                  perm_a, perm_b, max_log: bool, masked: bool,
-                 boundary: bool):
+                 boundary: bool, upcast: bool = False):
     """One lane block's full BCJR pass (P chunks stacked on sublanes).
 
     Stream blocks are slot-major [P, T, BC] (the chunk-slot axis leads
@@ -132,10 +133,30 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
     af/bf_ref   : [1, P*S, BC] (out) final alpha / backward-final beta
                   carries (written only in the boundary variant)
     alphas_ref  : [T, P*S, BC] (scratch) forward metric history
+    scratch_refs: with ``upcast`` (bf16 stream io), f32 VMEM copies of
+                  (syn, pan, li, e[, valid]) — real Mosaic cannot prove
+                  sublane alignment for per-step dynamic slices into
+                  packed 16-bit blocks, so the recursion reads/writes
+                  run against full-width scratch copied once per block
+                  (static full-block copies compile fine); HBM<->VMEM
+                  DMA stays bf16.
     """
     BC = syn_ref.shape[2]
     PS = P * S
     neg_inf = jnp.float32(-1e30)
+    if upcast:
+        syn_s, pan_s, li_s, e_s = scratch_refs[:4]
+        syn_s[...] = syn_ref[...].astype(jnp.float32)
+        pan_s[...] = pan_ref[...].astype(jnp.float32)
+        li_s[...] = li_ref[...].astype(jnp.float32)
+        if masked:
+            valid_s = scratch_refs[4]
+            valid_s[...] = valid_ref[...].astype(jnp.float32)
+        else:
+            valid_s = valid_ref
+    else:
+        syn_s, pan_s, li_s, e_s, valid_s = (
+            syn_ref, pan_ref, li_ref, e_ref, valid_ref)
 
     if max_log:
         def lse2(x, y):
@@ -188,9 +209,9 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
     # ---- forward: store PRE-update metrics (alpha_t is what the APP
     # at t consumes) ----
     def fwd(t, alpha):
-        sy = srep(row(syn_ref, t))  # [PS, BC]
-        pa = srep(row(pan_ref, t))
-        lt = srep(row(li_ref, t))
+        sy = srep(row(syn_s, t))  # [PS, BC]
+        pa = srep(row(pan_s, t))
+        lt = srep(row(li_s, t))
         syr = jnp.concatenate([sy] * I, 0)  # [I*PS, BC]
         par = jnp.concatenate([pa] * I, 0)
         ltr = jnp.concatenate([lt] * I, 0)
@@ -200,7 +221,7 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
         for j in range(1, I):
             a = lse2(a, cand[j * PS:(j + 1) * PS, :])
         if masked:
-            vt = srep(row(valid_ref, t))
+            vt = srep(row(valid_s, t))
             a = jnp.where(vt > 0.5, a, alpha)
         alphas_ref[pl.ds(t, 1), :, :] = alpha.reshape(1, PS, BC)
         return a
@@ -212,9 +233,9 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
     # ---- backward: beta recursion + APP inline ----
     def bwd(k, beta):
         t = T - 1 - k
-        sy = srep(row(syn_ref, t))
-        pa = srep(row(pan_ref, t))
-        lt = srep(row(li_ref, t))
+        sy = srep(row(syn_s, t))
+        pa = srep(row(pan_s, t))
+        lt = srep(row(li_s, t))
         syr = jnp.concatenate([sy] * I, 0)
         par = jnp.concatenate([pa] * I, 0)
         cand = pick(beta, perm_b) + b_sy * syr + b_pa * par  # prior-free
@@ -226,10 +247,10 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
         app1 = reduce_s(al + cand[PS:2 * PS, :])
         for u in range(2, I):  # I > 2 trellises: fold the rest into app1
             app1 = lse2(app1, reduce_s(al + cand[u * PS:(u + 1) * PS, :]))
-        e_ref[:, pl.ds(t, 1), :] = (app1 - app0).reshape(
-            P, 1, BC).astype(e_ref.dtype)
+        e_s[:, pl.ds(t, 1), :] = (app1 - app0).reshape(
+            P, 1, BC).astype(e_s.dtype)
         if masked:
-            vt = srep(row(valid_ref, t))
+            vt = srep(row(valid_s, t))
             b = jnp.where(vt > 0.5, b, beta)
         return b
 
@@ -238,13 +259,16 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
     beta_fin = jax.lax.fori_loop(0, T, bwd, beta_T)
     if boundary:
         bf_ref[0, :, :] = beta_fin
+    if upcast:
+        e_ref[...] = e_s[...].astype(e_ref.dtype)
 
 
 def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
                            first_ref, a0_ref, bT_ref, e_ref, af_ref,
-                           bf_ref, hist_ref, *, T: int, S: int,
+                           bf_ref, hist_ref, *scratch_refs, T: int, S: int,
                            I: int, P: int, perm_a, perm_b, max_log: bool,
-                           masked: bool, boundary: bool):
+                           masked: bool, boundary: bool,
+                           upcast: bool = False):
     """Counter-propagating BCJR: alpha and beta advance in ONE loop.
 
     The plain kernel's 2T-step sequential chain (forward fori, then
@@ -264,6 +288,19 @@ def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
     BC = syn_ref.shape[2]
     PS = P * S
     neg_inf = jnp.float32(-1e30)
+    if upcast:  # see _bcjr_kernel: dynamic sublane slices need f32
+        syn_s, pan_s, li_s, e_s = scratch_refs[:4]
+        syn_s[...] = syn_ref[...].astype(jnp.float32)
+        pan_s[...] = pan_ref[...].astype(jnp.float32)
+        li_s[...] = li_ref[...].astype(jnp.float32)
+        if masked:
+            valid_s = scratch_refs[4]
+            valid_s[...] = valid_ref[...].astype(jnp.float32)
+        else:
+            valid_s = valid_ref
+    else:
+        syn_s, pan_s, li_s, e_s, valid_s = (
+            syn_ref, pan_ref, li_ref, e_ref, valid_ref)
 
     if max_log:
         def lse2(x, y):
@@ -307,9 +344,9 @@ def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
         beta0 = bT_ref[0, :, :]
 
     def streams3(t):
-        sy = srep(row(syn_ref, t))
-        pa = srep(row(pan_ref, t))
-        lt = srep(row(li_ref, t))
+        sy = srep(row(syn_s, t))
+        pa = srep(row(pan_s, t))
+        lt = srep(row(li_s, t))
         return sy, pa, lt
 
     def alpha_step(t, alpha, store):
@@ -323,7 +360,7 @@ def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
         for j in range(1, I):
             a = lse2(a, cand[j * PS:(j + 1) * PS, :])
         if masked:
-            vt = srep(row(valid_ref, t))
+            vt = srep(row(valid_s, t))
             a = jnp.where(vt > 0.5, a, alpha)
         if store:
             hist_ref[pl.ds(t, 1), :, :] = alpha.reshape(1, PS, BC)
@@ -344,7 +381,7 @@ def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
         if store:
             hist_ref[pl.ds(t, 1), :, :] = beta.reshape(1, PS, BC)
         if masked:
-            vt = srep(row(valid_ref, t))
+            vt = srep(row(valid_s, t))
             b = jnp.where(vt > 0.5, b, beta)
         return b, cand
 
@@ -353,8 +390,8 @@ def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
         app1 = reduce_s(al + cand[PS:2 * PS, :])
         for u in range(2, I):
             app1 = lse2(app1, reduce_s(al + cand[u * PS:(u + 1) * PS, :]))
-        e_ref[:, pl.ds(t, 1), :] = (app1 - app0).reshape(
-            P, 1, BC).astype(e_ref.dtype)
+        e_s[:, pl.ds(t, 1), :] = (app1 - app0).reshape(
+            P, 1, BC).astype(e_s.dtype)
 
     H = T // 2  # phase-1 length: alpha fills slots [0, H),
     # beta fills slots [T-H, T) — disjoint for any T.
@@ -396,6 +433,8 @@ def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
     if boundary:
         af_ref[0, :, :] = alpha
         bf_ref[0, :, :] = beta
+    if upcast:
+        e_ref[...] = e_s[...].astype(e_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("trellis", "max_log", "lane_chunk",
@@ -442,11 +481,18 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
     # BUFFERS every gridded block (input and output), so the per-lane
     # footprint is 2*(streams + e [+ valid]) * T in the io dtype + the
     # alpha scratch S*T in f32.  ~14 MB budget leaves headroom for
-    # Mosaic spills.  bf16 io roughly doubles the lane cap — fewer
-    # sequential grid steps per pass (LLR quantization to 8-bit
-    # mantissa; production decoders run 4-6 bit LLRs).
+    # Mosaic spills.  bf16 io HALVES the HBM<->VMEM stream traffic but
+    # not the VMEM cap: real Mosaic cannot vector-load a dynamic
+    # sublane row of a packed 16-bit block, so the kernel upcasts each
+    # block into single-buffered f32 scratches first (whose footprint
+    # exactly offsets the double-buffered io saving).  LLR quantization
+    # to bf16's 8-bit mantissa is benign — production decoders run
+    # 4-6 bit LLRs.
     n_blocks = 5 if masked else 4
     per_lane = io_bytes * 2 * n_blocks * T + 4 * S * T
+    upcast = io_dtype == "bf16"
+    if upcast:
+        per_lane += 4 * n_blocks * T  # f32 scratch copies, single-buffered
     cap_lanes = max(128 * P,
                     (14 * 1024 * 1024 // per_lane) // (128 * P) * 128 * P)
     LB = min(lane_chunk * P, cap_lanes, -(-R // (128 * P)) * 128 * P)
@@ -505,9 +551,17 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
         _bcjr_butterfly_kernel if butterfly else _bcjr_kernel,
         T=T, S=S, I=I, P=P, perm_a=perm_a, perm_b=perm_b,
         max_log=bool(max_log), masked=masked,
-        boundary=has_boundary,
+        boundary=has_boundary, upcast=upcast,
     )
     interpret = jax.default_backend() not in ("tpu", "axon")
+
+    scratch_shapes = [pltpu.VMEM((T, P * S, BC), jnp.float32)]
+    if upcast:
+        scratch_shapes += [
+            pltpu.VMEM((P, T, BC), jnp.float32) for _ in range(4)
+        ]
+        if masked:
+            scratch_shapes.append(pltpu.VMEM((P, T, BC), jnp.float32))
 
     state_spec = pl.BlockSpec((1, PS, BC), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -541,7 +595,7 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
             jax.ShapeDtypeStruct((n_chunks, PS, BC), jnp.float32),
             jax.ShapeDtypeStruct((n_chunks, PS, BC), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((T, P * S, BC), jnp.float32)],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(slot3(syn).astype(io), slot3(pan).astype(io), slot3(li).astype(io),
       jnp.asarray(coef), valid_f, first_f, a0_f, bT_f)

@@ -999,11 +999,16 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
     picks pallas on TPU backends for binary trellises whenever the
     frame fits the kernel (whole frames up to 512 symbols, any length
     windowed), xla otherwise.
-    ``kernel_io``: "bf16" stores the Pallas kernel's symbol/extrinsic
-    streams in bfloat16 — the VMEM lane cap roughly doubles (fewer
-    sequential grid steps per MAP pass) at the cost of quantizing LLRs
-    to an 8-bit mantissa (production hardware runs 4-6 bit LLRs; BER
-    impact is below Monte-Carlo noise, see scripts/turbo_ber_probe.py).
+    ``kernel_io``: "bf16" moves the Pallas kernel's symbol/extrinsic
+    streams across HBM in bfloat16 — half the stream bandwidth per MAP
+    pass (the kernel upcasts to f32 VMEM scratch internally; real
+    Mosaic cannot dynamically slice packed 16-bit sublanes) at the cost
+    of quantizing LLRs to an 8-bit mantissa (production hardware runs
+    4-6 bit LLRs; BER impact is below Monte-Carlo noise on the real
+    chip, see scripts/turbo_ber_probe.py).  Fastest measured long-frame
+    config: ``window=(128, 0), window_init="nii", kernel_io="bf16"``
+    (scripts/turbo_window_ab.py — 257 Mbit/s median vs 117 for warmup
+    windows at L=6144, B=256, 8 iterations).
     ``window_init``: "warmup" re-acquires window boundary states every
     MAP pass from W-step halos; "nii" (chunk must divide the frame)
     carries each window's boundary alpha/beta from the PREVIOUS turbo
