@@ -238,12 +238,18 @@ def main():
         assert params["n_vnodes"] == 16200
         Bq = 64
         x0 = jnp.asarray(rng.randn(Bq, 16200).astype(np.float32) * 2)
+        # layered-8 == flooding-15 BER (tests/test_qcldpc.py); on the
+        # XLA core at this size it is also vastly faster (flooding
+        # streams the full 48600-edge tensor per iteration:
+        # scripts/qcldpc_ab.py measured flooding-15 at a steady
+        # 25-31 Mb/s vs layered-8 at 147-942 Mb/s)
         def body(c):
-            dec, out = qc_bp_decode_device(c, params, "MSA", 15)
+            dec, out = qc_bp_decode_device(c, params, "MSA", 8,
+                                           schedule="layered")
             return c + out * 1e-9
         dt = timed_chain(body, x0, rep=12)
-        report("qcldpc_dvbs2_16200_msa15", Bq * 7200 / dt, "info bits/s",
-               "")
+        report("qcldpc_dvbs2_16200_layered8", Bq * 7200 / dt,
+               "info bits/s", "")
     guarded(sec_qcldpc_dvbs2)
 
     # --- 16-QAM exact-LLR soft demod ---

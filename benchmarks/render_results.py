@@ -34,6 +34,9 @@ LABELS = {
     "qcldpc_dvbs2_16200_msa15":
         "QC-LDPC DVB-S2-class (16200,7200) MSA, 15 it (beyond reference"
         " reach)",
+    "qcldpc_dvbs2_16200_layered8":
+        "QC-LDPC DVB-S2-class (16200,7200) layered MSA, 8 it "
+        "(=flooding-15 BER; beyond reference reach)",
     "qam16_soft_demod": "16-QAM exact-LLR soft demod",
     "kbest16_4x4_16qam": "K-best (K=16) 4x4 16-QAM MIMO detection",
     "wifi80211n_ldpc1944_full_link":

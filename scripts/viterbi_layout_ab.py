@@ -58,7 +58,7 @@ b_old = np.asarray(jax.jit(lambda x: decode(x, "btg"))(r))
 b_new = np.asarray(jax.jit(lambda x: decode(x, "gmaj"))(r))
 print(f"bit mismatch btg vs gmaj: {(b_old != b_new).sum()}")
 
-REP_HI, REP_LO, OUTER, ROUNDS = 40, 10, 2, 5
+REP_HI, REP_LO, OUTER, ROUNDS = 40, 10, 2, 9
 fns = {}
 for lay in ("btg", "gmaj"):
     fns[lay] = {rep: make(lay, rep) for rep in (REP_HI, REP_LO)}
