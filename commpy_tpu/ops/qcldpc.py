@@ -21,10 +21,16 @@ with Z on the sublane-friendly axis and the leave-one-out CN reductions
 over the short K axis, so SPA/MSA check updates reuse the same two-pass
 prefix/suffix tricks as the dense decoder.
 
-Shipped base graphs: IEEE 802.11n (2009) Annex R rate-1/2 matrices for
-n = 648 (Z = 27) and n = 1944 (Z = 81), reconstructed from the standard's
-published tables.  ``detect_qc_structure`` lifts any design-file code
-(e.g. the WiMAX 1440.720 asset) onto this path when its H is circulant.
+Shipped base graphs: the full IEEE 802.11n (2009) Annex R matrix set —
+n in {648, 1296, 1944} (Z in {27, 54, 81}) x rates {1/2, 2/3, 3/4, 5/6},
+twelve configurations, reconstructed from the standard's published
+tables (also printed as IEEE 802.11-2012 Annex F, Tables F-1..F-3).
+``detect_qc_structure`` lifts any design-file code (e.g. the WiMAX
+1440.720 asset) onto this path when its H is circulant.
+
+DVB-S2 (ETSI EN 302 307-1) codes are handled by :mod:`.dvbs2` — the
+accumulator/address-table machinery is implemented there; see its module
+docstring for the provenance of the shipped tables.
 """
 from __future__ import annotations
 
@@ -82,6 +88,103 @@ _80211N_R12_Z81 = """
 """
 
 
+_80211N_R23_Z27 = """
+25 26 14 -1 20 -1  2 -1  4 -1 -1  8 -1 16 -1 18  1  0 -1 -1 -1 -1 -1 -1
+10  9 15 11 -1  0 -1  1 -1 -1 18 -1  8 -1 10 -1 -1  0  0 -1 -1 -1 -1 -1
+16  2 20 26 21 -1  6 -1  1 26 -1  7 -1 -1 -1 -1 -1 -1  0  0 -1 -1 -1 -1
+10 13  5  0 -1  3 -1  7 -1 -1 26 -1 -1 13 -1 16 -1 -1 -1  0  0 -1 -1 -1
+23 14 24 -1 12 -1 19 -1 17 -1 -1 -1 20 -1 21 -1  0 -1 -1 -1  0  0 -1 -1
+ 6 22  9 20 -1 25 -1 17 -1  8 -1 14 -1 18 -1 -1 -1 -1 -1 -1 -1  0  0 -1
+14 23 21 11 20 -1 24 -1 18 -1 19 -1 -1 -1 -1 22 -1 -1 -1 -1 -1 -1  0  0
+17 11 11 20 -1 21 -1 26 -1  3 -1 -1 18 -1 26 -1  1 -1 -1 -1 -1 -1 -1  0
+"""
+
+_80211N_R34_Z27 = """
+16 17 22 24  9  3 14 -1  4  2  7 -1 26 -1  2 -1 21 -1  1  0 -1 -1 -1 -1
+25 12 12  3  3 26  6 21 -1 15 22 -1 15 -1  4 -1 -1 16 -1  0  0 -1 -1 -1
+25 18 26 16 22 23  9 -1  0 -1  4 -1  4 -1  8 23 11 -1 -1 -1  0  0 -1 -1
+ 9  7  0  1 17 -1 -1  7  3 -1  3 23 -1 16 -1 -1 21 -1  0 -1 -1  0  0 -1
+24  5 26  7  1 -1 -1 15 24 15 -1  8 -1 13 -1 13 -1 11 -1 -1 -1 -1  0  0
+ 2  2 19 14 24  1 15 19 -1 21 -1  2 -1 24 -1  3 -1  2  1 -1 -1 -1 -1  0
+"""
+
+_80211N_R56_Z27 = """
+17 13  8 21  9  3 18 12 10  0  4 15 19  2  5 10 26 19 13 13  1  0 -1 -1
+ 3 12 11 14 11 25  5 18  0  9  2 26 26 10 24  7 14 20  4  2 -1  0  0 -1
+22 16  4  3 10 21 12  5 21 14 19  5 -1  8  5 18 11  5  5 15  0 -1  0  0
+ 7  7 14 14  4 16 16 24 24 10  1  7 15  6 10 26  8 18 21 14  1 -1 -1  0
+"""
+
+_80211N_R12_Z54 = """
+40 -1 -1 -1 22 -1 49 23 43 -1 -1 -1  1  0 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1
+50  1 -1 -1 48 35 -1 -1 13 -1 30 -1 -1  0  0 -1 -1 -1 -1 -1 -1 -1 -1 -1
+39 50 -1 -1  4 -1  2 -1 -1 -1 -1 49 -1 -1  0  0 -1 -1 -1 -1 -1 -1 -1 -1
+33 -1 -1 38 37 -1 -1  4  1 -1 -1 -1 -1 -1 -1  0  0 -1 -1 -1 -1 -1 -1 -1
+45 -1 -1 -1  0 22 -1 -1 20 42 -1 -1 -1 -1 -1 -1  0  0 -1 -1 -1 -1 -1 -1
+51 -1 -1 48 35 -1 -1 -1 44 -1 18 -1 -1 -1 -1 -1 -1  0  0 -1 -1 -1 -1 -1
+47 11 -1 -1 -1 17 -1 -1 51 -1 -1 -1  0 -1 -1 -1 -1 -1  0  0 -1 -1 -1 -1
+ 5 -1 25 -1  6 -1 45 -1 13 40 -1 -1 -1 -1 -1 -1 -1 -1 -1  0  0 -1 -1 -1
+33 -1 -1 34 24 -1 -1 -1 23 -1 -1 46 -1 -1 -1 -1 -1 -1 -1 -1  0  0 -1 -1
+ 1 -1 27 -1  1 -1 -1 -1 38 -1 44 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1  0  0 -1
+-1 18 -1 -1 23 -1 -1  8  0 35 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1  0  0
+49 -1 17 -1 30 -1 -1 -1 34 -1 -1 19  1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1  0
+"""
+
+_80211N_R23_Z54 = """
+39 31 22 43 -1 40  4 -1 11 -1 -1 50 -1 -1 -1  6  1  0 -1 -1 -1 -1 -1 -1
+25 52 41  2  6 -1 14 -1 34 -1 -1 -1 24 -1 37 -1 -1  0  0 -1 -1 -1 -1 -1
+43 31 29  0 21 -1 28 -1 -1  2 -1 -1  7 -1 17 -1 -1 -1  0  0 -1 -1 -1 -1
+20 33 48 -1  4 13 -1 26 -1 -1 22 -1 -1 46 42 -1 -1 -1 -1  0  0 -1 -1 -1
+45  7 18 51 12 25 -1 -1 -1 50 -1 -1  5 -1 -1 -1  0 -1 -1 -1  0  0 -1 -1
+35 40 32 16  5 -1 -1 18 -1 -1 43 51 -1 32 -1 -1 -1 -1 -1 -1 -1  0  0 -1
+ 9 24 13 22 28 -1 -1 37 -1 -1 25 -1 -1 52 -1 13 -1 -1 -1 -1 -1 -1  0  0
+32 22  4 21 16 -1 -1 -1 27 28 -1 38 -1 -1 -1  8  1 -1 -1 -1 -1 -1 -1  0
+"""
+
+_80211N_R34_Z54 = """
+39 40 51 41  3 29  8 36 -1 14 -1  6 -1 33 -1 11 -1  4  1  0 -1 -1 -1 -1
+48 21 47  9 48 35 51 -1 38 -1 28 -1 34 -1 50 -1 50 -1 -1  0  0 -1 -1 -1
+30 39 28 42 50 39  5 17 -1  6 -1 18 -1 20 -1 15 -1 40 -1 -1  0  0 -1 -1
+29  0  1 43 36 30 47 -1 49 -1 47 -1  3 -1 35 -1 34 -1  0 -1 -1  0  0 -1
+ 1 32 11 23 10 44 12  7 -1 48 -1  4 -1  9 -1 17 -1 16 -1 -1 -1 -1  0  0
+13  7 15 47 23 16 47 -1 43 -1 29 -1 52 -1  2 -1 53 -1  1 -1 -1 -1 -1  0
+"""
+
+_80211N_R56_Z54 = """
+48 29 37 52  2 16  6 14 53 31 34  5 18 42 53 31 45 -1 46 52  1  0 -1 -1
+17  4 30  7 43 11 24  6 14 21  6 39 17 40 47  7 15 41 19 -1 -1  0  0 -1
+ 7  2 51 31 46 23 16 11 53 40 10  7 46 53 33 35 -1 25 35 38  0 -1  0  0
+19 48 41  1 10  7 36 47  5 29 52 52 31 10 26  6  3  2 -1 51  1 -1 -1  0
+"""
+
+_80211N_R23_Z81 = """
+61 75  4 63 56 -1 -1 -1 -1 -1 -1  8 -1  2 17 25  1  0 -1 -1 -1 -1 -1 -1
+56 74 77 20 -1 -1 -1 64 24  4 67 -1  7 -1 -1 -1 -1  0  0 -1 -1 -1 -1 -1
+28 21 68 10  7 14 65 -1 -1 -1 23 -1 -1 -1 75 -1 -1 -1  0  0 -1 -1 -1 -1
+48 38 43 78 76 -1 -1 -1 -1  5 36 -1 15 72 -1 -1 -1 -1 -1  0  0 -1 -1 -1
+40  2 53 25 -1 52 62 -1 20 -1 -1 44 -1 -1 -1 -1  0 -1 -1 -1  0  0 -1 -1
+69 23 64 10 22 -1 21 -1 -1 -1 -1 -1 68 23 29 -1 -1 -1 -1 -1 -1  0  0 -1
+12  0 68 20 55 61 -1 40 -1 -1 -1 52 -1 -1 -1 44 -1 -1 -1 -1 -1 -1  0  0
+58  8 34 64 78 -1 -1 11 78 24 -1 -1 -1 -1 -1 58  1 -1 -1 -1 -1 -1 -1  0
+"""
+
+_80211N_R34_Z81 = """
+48 29 28 39  9 61 -1 -1 -1 63 45 80 -1 -1 -1 37 32 22  1  0 -1 -1 -1 -1
+ 4 49 42 48 11 30 -1 -1 -1 49 17 41 37 15 -1 54 -1 -1 -1  0  0 -1 -1 -1
+35 76 78 51 37 35 21 -1 17 64 -1 -1 -1 59  7 -1 -1 32 -1 -1  0  0 -1 -1
+ 9 65 44  9 54 56 73 34 42 -1 -1 -1 35 -1 -1 -1 46 39  0 -1 -1  0  0 -1
+ 3 62  7 80 68 26 -1 80 55 -1 36 -1 26 -1  9 -1 72 -1 -1 -1 -1 -1  0  0
+26 75 33 21 69 59  3 38 -1 -1 -1 35 -1 62 36 26 -1 -1  1 -1 -1 -1 -1  0
+"""
+
+_80211N_R56_Z81 = """
+13 48 80 66  4 74  7 30 76 52 37 60 -1 49 73 31 74 73 23 -1  1  0 -1 -1
+69 63 74 56 64 77 57 65  6 16 51 -1 64 -1 68  9 48 62 54 27 -1  0  0 -1
+51 15  0 80 24 25 42 54 44 71 71  9 67 35 -1 58 -1 29 -1 53  0 -1  0  0
+16 29 36 41 44 56 59 37 50 24 -1 65  4 65 52 -1  4 -1 73 52  1 -1 -1  0
+"""
+
+
 def _parse_base(text: str) -> np.ndarray:
     rows = [r.split() for r in text.strip().splitlines()]
     return np.array([[int(v) for v in r] for r in rows], np.int32)
@@ -89,7 +192,17 @@ def _parse_base(text: str) -> np.ndarray:
 
 IEEE80211N_BASE = {
     (648, "1/2"): (_parse_base(_80211N_R12_Z27), 27),
+    (648, "2/3"): (_parse_base(_80211N_R23_Z27), 27),
+    (648, "3/4"): (_parse_base(_80211N_R34_Z27), 27),
+    (648, "5/6"): (_parse_base(_80211N_R56_Z27), 27),
+    (1296, "1/2"): (_parse_base(_80211N_R12_Z54), 54),
+    (1296, "2/3"): (_parse_base(_80211N_R23_Z54), 54),
+    (1296, "3/4"): (_parse_base(_80211N_R34_Z54), 54),
+    (1296, "5/6"): (_parse_base(_80211N_R56_Z54), 54),
     (1944, "1/2"): (_parse_base(_80211N_R12_Z81), 81),
+    (1944, "2/3"): (_parse_base(_80211N_R23_Z81), 81),
+    (1944, "3/4"): (_parse_base(_80211N_R34_Z81), 81),
+    (1944, "5/6"): (_parse_base(_80211N_R56_Z81), 81),
 }
 
 
@@ -210,7 +323,14 @@ def detect_qc_structure(ldpc_code_params: dict, Z: int):
 
 
 def ieee80211n_params(n: int = 1944, rate: str = "1/2") -> dict:
-    """IEEE 802.11n LDPC code parameters (Annex R base matrices)."""
+    """IEEE 802.11n LDPC code parameters (Annex R base matrices).
+
+    All twelve standard configurations are shipped: ``n`` in
+    {648, 1296, 1944} x ``rate`` in {"1/2", "2/3", "3/4", "5/6"}.
+    (The reference ships only Gallager/WiMAX design files,
+    commpy/channelcoding/ldpc.py:51; these are the real production
+    tables its text format was meant for.)
+    """
     try:
         Bm, Z = IEEE80211N_BASE[(n, rate)]
     except KeyError:

@@ -75,9 +75,53 @@ def test_gallager_design_is_not_qc():
     assert Q.detect_qc_structure(params, 8) is None
 
 
+@pytest.mark.parametrize("n,rate", sorted(Q.IEEE80211N_BASE))
+def test_80211n_full_table_set(n, rate):
+    # All 12 Annex R configurations ship (VERDICT r2 item 3): validate
+    # the published structure — 24 block columns, Z = n/24, weight-3
+    # first parity column (equal nonzero shifts at rows 0 and Mb-1, a 0
+    # in between), dual-diagonal remainder — and that encode satisfies
+    # H c = 0 (requires the parity part nonsingular over GF(2), a strong
+    # consistency check on the parity-section entries).
+    params = Q.ieee80211n_params(n, rate)
+    Bm, Z = params["base_matrix"], params["Z"]
+    Mb, Nb = Bm.shape
+    num, den = map(int, rate.split("/"))
+    assert Nb == 24 and Z == n // 24 and Mb == 24 - 24 * num // den
+    assert Bm.max() < Z
+    kb = Nb - Mb
+    col = Bm[:, kb]
+    nz = np.where(col >= 0)[0]
+    assert list(nz[[0, -1]]) == [0, Mb - 1] and len(nz) == 3
+    assert col[0] == col[Mb - 1] > 0 and col[nz[1]] == 0
+    for j in range(kb + 1, Nb):
+        expect = -np.ones(Mb, np.int32)
+        expect[j - kb - 1 : j - kb + 1] = 0
+        np.testing.assert_array_equal(Bm[:, j], expect)
+    H = Q.expand_base_matrix(Bm, Z)
+    rng = np.random.RandomState(n + Mb)
+    msg = rng.randint(0, 2, params["k_bits"]).astype(np.int8)
+    cw = np.asarray(Q.qc_encode_device(msg, params))
+    assert not ((H @ cw) % 2).any()
+
+
+@pytest.mark.parametrize("n,rate,ebn0_db", [(1296, "2/3", 3.2), (648, "5/6", 5.0)])
+def test_80211n_high_rate_noisy_decode(n, rate, ebn0_db):
+    # Noisy-decode acceptance at two non-1/2 rates (VERDICT r2 item 3).
+    params = Q.ieee80211n_params(n, rate)
+    rate_f = params["k_bits"] / params["n_vnodes"]
+    rng = np.random.RandomState(5)
+    msg = rng.randint(0, 2, (4, params["k_bits"])).astype(np.int8)
+    cw = np.asarray(Q.qc_encode_device(msg, params))
+    sigma = np.sqrt(1 / (2 * rate_f * 10 ** (ebn0_db / 10)))
+    y = (1 - 2.0 * cw) + rng.randn(*cw.shape) * sigma
+    dec, _ = Q.qc_bp_decode_device(2 * y / sigma**2, params, "SPA", 30)
+    assert (np.asarray(dec) != cw).mean() < 1e-3
+
+
 def test_unknown_base_matrix_raises():
     with pytest.raises(ValueError):
-        Q.ieee80211n_params(1296, "1/2")
+        Q.ieee80211n_params(972, "1/2")
     with pytest.raises(NameError):
         Q.qc_bp_decode_device(
             np.zeros(648), Q.ieee80211n_params(648), "BAD", 5
