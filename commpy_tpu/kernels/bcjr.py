@@ -1,44 +1,48 @@
 """Pallas TPU kernel: fused BCJR pass (forward + backward + APP).
 
 One call runs ONE constituent-decoder MAP pass of the turbo loop
-(reference turbo.py:78-158): the forward alpha recursion stores its
-metrics in a VMEM scratch, then the backward beta recursion computes the
-a-posteriori log-ratio inline — the betas never exist outside vector
-registers, and nothing but the three symbol streams and the extrinsic
-output ever crosses HBM.
+(reference commpy/channelcoding/turbo.py:78-158): the forward alpha
+recursion stores its metrics in a VMEM scratch, then the backward beta
+recursion computes the a-posteriori log-ratio inline — the betas never
+exist outside vector registers, and nothing but the three symbol
+streams and the extrinsic output ever crosses HBM.
 
-Design (vs the XLA `lax.scan` core in ops/turbo.py):
+Round-3 design (the round-2 kernel measured ~350 us/pass at the
+standard bench config, vector-op-bound on per-step branch-metric
+assembly; this layout removes most of those ops):
 
-* **batch-last layout** [T, R]: the Monte-Carlo batch rides the 128-lane
-  axis, states ride sublanes;
-* **sublane chunk-stacking**: a 4-state trellis only fills half of the
-  VPU's 8 sublanes, so P = 8 // S lane chunks are STACKED on the sublane
-  axis (alpha carries P chunks as [P*S, BC]; candidates as [I*P*S, BC])
-  — every hot op runs on full (8, 128) vector tiles and the alpha
-  history scratch pads nothing;
-* **static-slice state picks**: the predecessor/successor lookups are
-  python-int sublane slices baked into the kernel at trace time — exact
-  f32 on the VPU.  A one-hot MXU matmul was measured slower AND rounds
-  operands to bf16 (the scripts/bcjr_kernel_probe.py sweep: 83 ns/step
-  slice vs 159 mxu vs 219 mxu-HIGHEST at 1024 lanes), which at the
-  unnormalized metric magnitudes here (~1e3-1e4 over a frame) would
-  quantize away the O(1) state differences;
-* **linearized branch metrics**: for +-1 symbol tables the full branch
-  metric + prior collapses, up to per-step uniform shifts that cancel in
-  every APP difference, to ``(sy*cs + pa*cp)/nv + u*li`` — assembled per
-  step from broadcast multiply-adds against a tiny coefficient table, so
-  no ``[B,T,S,I]`` branch tensor is ever materialized (the reference
-  carries absolute log-probs; only differences are observable);
+* **chunk-on-sublane layout** ``[T, 8, 128]``: every stream block keeps
+  time leading and (8 lane-chunks x 128 lanes) on the tiled axes, so
+  the host-side fold is a pure RESHAPE (the round-2 kernel needed a
+  [T, R] -> slot-major transpose either side of every pass) and every
+  per-step dynamic slice selects whole (8, 128) tiles — including in
+  bf16, where slicing the old layout's sublane axis was a Mosaic
+  compile error that forced f32 upcast scratches;
+* **state-major metric rows** ``[S*8, 128]``: alpha rows are (state,
+  chunk) with chunk minor, so the predecessor/successor picks of the
+  recursions are S FULL-TILE sublane slices (the old layout needed
+  I*P*S single-sublane slices) and the APP state reduction is a
+  contiguous-halving tree;
+* **w-stream branch metrics**: for +-1 symbol tables every branch
+  metric is ``+-(sy + pa)/nv`` or ``+-(sy - pa)/nv`` plus the prior, so
+  the wrapper precombines the two streams into ``w1, w2`` ONCE (fused
+  into the noise scaling) and the kernel assembles each step's branch
+  rows by picking/negating whole tiles — no per-step multiply-adds
+  against a coefficient table at all;
+* **prior folded into the branch rows**: the input-1 rows carry
+  ``+ li`` directly, so the recursion loops never touch the intrinsic
+  stream separately and the kernel emits the full posterior ratio
+  (the wrapper subtracts ``li`` to return the prior-free APP
+  difference, one fused XLA op);
 * **no per-step normalization**: f32 accumulates the uniform drift
-  harmlessly (~1e4 for LTE frames vs 3e38 range) and every shift cancels
-  in the APP differences — per-step renorm ops are pure overhead here;
-* the grid iterates over lane chunks; each chunk's full 2T-step
-  recursion runs inside one grid step with the alpha history in VMEM.
+  harmlessly (~1e4 for LTE frames vs 3e38 range) and every shift
+  cancels in the APP differences.
 
-Masked variant (``masked=True``): ``valid`` freezes the recursions
-through padded/halo positions and ``first`` selects exact state-0 vs
-uniform alpha starts — the windowed sub-block decomposition of long
-frames folds windows into the lane axis and decodes them all at once.
+Masked variant (``valid``): freezes the recursions through padded/halo
+positions; ``first`` selects exact state-0 vs uniform alpha starts —
+the windowed sub-block decomposition of long frames folds windows into
+the lane axis and decodes them all at once.  Boundary variant
+(``boundary=(a0, bT)``): NII state handoff between turbo iterations.
 """
 from __future__ import annotations
 
@@ -52,115 +56,101 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.trellis import Trellis
 
-__all__ = ["bcjr_appdiff_pallas"]
+__all__ = ["bcjr_appdiff_pallas", "bcjr_vmem_bytes"]
+
+_C = 8      # lane chunks per grid step (the 8-sublane tile height)
+_LANE = 128
+_VMEM_BUDGET = 14 * 1024 * 1024
 
 
-def _linear_tables(trellis: Trellis, P: int):
-    """Static tables for the linearized, P-chunk-stacked BCJR recursion.
+def _w_tables(trellis: Trellis):
+    """Static tables for the w-stream BCJR recursion.
 
-    Candidate rows are branch-major, then STATE, then chunk:
-    ``r = j*(P*S) + s*P + c`` — chunk-minor because ``pltpu.repeat``
-    TILES its input ([c0, c1, c0, c1, ...]), so a repeated [P, BC]
-    symbol row lands on exactly this layout; it also makes the
-    state reduction a pure contiguous-halving tree (each halving of a
-    [P*S]-row tensor splits the MSB of s, for power-of-two S), and the
-    branch (j or u) reduction stays I contiguous [P*S]-row halves.
-
-    Returns (perm_a, perm_b, coef) where
-
-      perm_a [I*P*S] ints: alpha candidate row r picks
-          alpha_stacked[pred_state[s, j]*P + c]
-      perm_b [I*P*S] ints: beta candidate row r picks
-          beta_stacked[next_state[s, u]*P + c]
-      coef   [I*P*S, 8] float32, columns (a_sy, a_pa, a_pu, b_sy, b_pa,
-          0, 0, 0): the (sy, pa, li) coefficients of the alpha-side
-          branch+prior term and the (sy, pa) coefficients of the
-          beta-side branch term, duplicated per chunk.  The beta side
-          carries NO prior column: the kernel adds ``u * li`` to the
-          beta update alone, so the same candidate tensor doubles as
-          the prior-free APP branch term (reference turbo.py:143-150
-          drops the prior on the decision step).
+    Returns (inv_nst, nst, which, sign) where, for input u and DEST
+    state s, the branch (inv_nst[s, u] --u--> s) has metric
+    ``sign[u, s] * w_{which[u, s]} + u * li`` with w_0 = (sy + pa)/nv,
+    w_1 = (sy - pa)/nv.  Requires a rate-1/2 binary trellis whose
+    per-input state maps are bijections (every shift-register code).
     """
     from ..ops.turbo import _bcjr_tables_np
 
-    nst, cs, cp, ps, pu = _bcjr_tables_np(trellis)
+    nst, cs, cp, _, _ = _bcjr_tables_np(trellis)
     S, I = nst.shape
-    cs_re = cs[ps, pu]
-    cp_re = cp[ps, pu]
-    perm_a, perm_b = [], []
-    coef = np.zeros((I * P * S, 8), np.float32)
-    r = 0
-    for j in range(I):
+    if I != 2:
+        raise NotImplementedError(
+            "the Pallas BCJR kernel supports binary-input trellises; "
+            "use the XLA backend"
+        )
+    inv = np.full((S, 2), -1, np.int32)
+    for s in range(S):
+        for u in range(2):
+            inv[nst[s, u], u] = s
+    if (inv < 0).any():
+        raise NotImplementedError(
+            "trellis per-input state maps are not bijective; "
+            "use the XLA backend"
+        )
+    which = np.zeros((2, S), np.int32)
+    sign = np.zeros((2, S), np.float32)
+    for u in range(2):
         for s in range(S):
-            for c in range(P):
-                perm_a.append(int(ps[s, j]) * P + c)
-                coef[r, 0] = cs_re[s, j]
-                coef[r, 1] = cp_re[s, j]
-                coef[r, 2] = float(pu[s, j])
-                r += 1
-    r = 0
-    for u in range(I):
-        for s in range(S):
-            for c in range(P):
-                perm_b.append(int(nst[s, u]) * P + c)
-                coef[r, 3] = cs[s, u]
-                coef[r, 4] = cp[s, u]
-                r += 1
-    return tuple(perm_a), tuple(perm_b), coef
+            sp = inv[s, u]
+            a, b = cs[sp, u], cp[sp, u]
+            which[u, s] = 0 if a == b else 1
+            sign[u, s] = a
+    return (
+        tuple(tuple(int(v) for v in r) for r in inv),
+        tuple(tuple(int(v) for v in r) for r in nst),
+        tuple(tuple(int(v) for v in r) for r in which),
+        tuple(tuple(float(v) for v in r) for r in sign),
+    )
 
 
-def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
-                 a0_ref, bT_ref, e_ref, af_ref, bf_ref, alphas_ref,
-                 *scratch_refs,
-                 T: int, S: int, I: int, P: int,
-                 perm_a, perm_b, max_log: bool, masked: bool,
-                 boundary: bool, upcast: bool = False):
-    """One lane block's full BCJR pass (P chunks stacked on sublanes).
+def bcjr_vmem_bytes(T: int, S: int, io_bytes: int = 4,
+                    masked: bool = False, astride: int = 1) -> int:
+    """Scoped-VMEM footprint of one kernel grid step (for cap checks).
 
-    Stream blocks are slot-major [P, T, BC] (the chunk-slot axis leads
-    because pallas requires the last two block dims to be full-size or
-    (8, 128)-aligned, and P < 8).
+    ``astride=2``: the kernel stores forward metrics only at even steps
+    and recomputes the odd ones during the backward pass — half the
+    history footprint for ~25% extra backward work."""
+    alphas = 4 * (-(-T // astride)) * S * _C * _LANE
+    n_blocks = 4 + (1 if masked else 0)  # w1, w2, li, e [, valid]
+    streams = io_bytes * 2 * T * _C * _LANE * n_blocks  # double-buffered
+    return alphas + streams
 
-    syn/pan_ref : [P, T, BC] symbol streams PRE-SCALED by 1/noise_var
-    li_ref      : [P, T, BC] intrinsic LLRs
-    coef_ref    : [I*P*S, 8] linear branch coefficient table
-    valid_ref   : [P, T, BC] 1.0 at live positions (masked variant)
-    first_ref   : [P, 1, BC] 1.0 where the alpha start is exact state 0
-    a0/bT_ref   : [1, P*S, BC] initial alpha / final-position beta
-                  (boundary variant: NII state handoff between turbo
-                  iterations; placeholders otherwise)
-    e_ref       : [P, T, BC] (out) APP log-ratio app1 - app0 (prior-free)
-    af/bf_ref   : [1, P*S, BC] (out) final alpha / backward-final beta
-                  carries (written only in the boundary variant)
-    alphas_ref  : [T, P*S, BC] (scratch) forward metric history
-    scratch_refs: with ``upcast`` (bf16 stream io), f32 VMEM copies of
-                  (syn, pan, li, e[, valid]) — real Mosaic cannot prove
-                  sublane alignment for per-step dynamic slices into
-                  packed 16-bit blocks, so the recursion reads/writes
-                  run against full-width scratch copied once per block
-                  (static full-block copies compile fine); HBM<->VMEM
-                  DMA stays bf16.
+
+def _bcjr_kernel(w1_ref, w2_ref, li_ref, valid_ref, first_ref, a0_ref,
+                 bT_ref, e_ref, af_ref, bf_ref, alphas_ref, *,
+                 T: int, S: int, inv_nst, nst, which, sign,
+                 lse_mode: str, masked: bool, boundary: bool,
+                 astride: int = 1):
+    """One lane block's full BCJR pass (8 chunks x 128 lanes).
+
+    w1/w2_ref   : [T, 8, 128] precombined streams (sy +- pa)/nv
+    li_ref      : [T, 8, 128] intrinsic LLRs
+    valid_ref   : [T, 8, 128] 1.0 at live positions (masked variant)
+    first_ref   : [1, 8, 128] 1.0 where the alpha start is exact state 0
+    a0/bT_ref   : [S, 8, 128] initial alpha / final-position beta
+                  (boundary variant; placeholders otherwise)
+    e_ref       : [T, 8, 128] (out) posterior log-ratio app1 - app0
+                  INCLUDING the u=1 prior (wrapper subtracts li)
+    af/bf_ref   : [S, 8, 128] (out) final alpha / backward-final beta
+                  (written only in the boundary variant)
+    alphas_ref  : [T, S*8, 128] (scratch) forward metric history
     """
-    BC = syn_ref.shape[2]
-    PS = P * S
+    SC = S * _C
     neg_inf = jnp.float32(-1e30)
-    if upcast:
-        syn_s, pan_s, li_s, e_s = scratch_refs[:4]
-        syn_s[...] = syn_ref[...].astype(jnp.float32)
-        pan_s[...] = pan_ref[...].astype(jnp.float32)
-        li_s[...] = li_ref[...].astype(jnp.float32)
-        if masked:
-            valid_s = scratch_refs[4]
-            valid_s[...] = valid_ref[...].astype(jnp.float32)
-        else:
-            valid_s = valid_ref
-    else:
-        syn_s, pan_s, li_s, e_s, valid_s = (
-            syn_ref, pan_ref, li_ref, e_ref, valid_ref)
 
-    if max_log:
+    if lse_mode == "maxlog":
         def lse2(x, y):
             return jnp.maximum(x, y)
+    elif lse_mode == "linear":
+        # linear-log-MAP (Cheng & Ottosson 1999): piecewise-linear
+        # correction max(0, ln2 - |d|/4); within ~0.03 dB of exact
+        # log-MAP on turbo BER curves, no transcendentals.
+        def lse2(x, y):
+            return jnp.maximum(x, y) + jnp.maximum(
+                0.6931472 - 0.25 * jnp.abs(x - y), 0.0)
     else:
         # branch-free logaddexp: metrics are finite by construction (the
         # -1e30 start sentinel underflows exp to exactly 0), so the
@@ -169,280 +159,144 @@ def _bcjr_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref, first_ref,
             m = jnp.maximum(x, y)
             return m + jnp.log1p(jnp.exp(-jnp.abs(x - y)))
 
+    def rowt(ref, t):  # [T, 8, 128] -> [8, 128] step row, f32
+        return ref[pl.ds(t, 1)].reshape(_C, _LANE).astype(jnp.float32)
+
+    def crep(x):  # [8, 128] -> [S*8, 128], chunk rows tiled per state
+        return pltpu.repeat(x, S, axis=0) if S > 1 else x
+
+    def g_rows(t):
+        """Branch-metric row tensors (g0, g1), each [S*8, 128].
+
+        Row block s of g_u is the metric of the branch into state s
+        under input u; u=1 rows include the prior li."""
+        w1t = rowt(w1_ref, t)
+        w2t = rowt(w2_ref, t)
+        tiles = {(1.0, 0): w1t, (1.0, 1): w2t}
+
+        def tile(u, s):
+            key = (sign[u][s], which[u][s])
+            if key not in tiles:
+                tiles[key] = -tiles[(1.0, key[1])]
+            return tiles[key]
+
+        g0 = jnp.concatenate([tile(0, s) for s in range(S)], 0)
+        g1 = jnp.concatenate([tile(1, s) for s in range(S)], 0)
+        g1 = g1 + crep(rowt(li_ref, t))
+        return g0, g1
+
+    def pick(x, table_u):  # [S*8, 128] picked by state table, full tiles
+        return jnp.concatenate(
+            [x[table_u[s] * _C:(table_u[s] + 1) * _C] for s in range(S)], 0
+        )
+
     def reduce_s(x):
-        # [P*S, BC] -> [P, BC]: lse over states.  Rows are (s, c) with
-        # chunk minor, so each contiguous halving splits the MSB of s —
-        # log2(S) full-width lse2 ops, no per-chunk loops (S power of 2,
-        # enforced by the wrapper's choice of P and trellis sizes).
-        while x.shape[0] > P:
+        # [S*8, 128] -> [8, 128]: lse over states (contiguous halvings
+        # split the state MSB; S power of two via shift registers)
+        while x.shape[0] > _C:
             h = x.shape[0] // 2
             x = lse2(x[:h], x[h:])
         return x
 
-    def pick(vec, perm):
-        # static sublane slices; exact f32, no gather, no MXU
-        return jnp.concatenate([vec[i:i + 1] for i in perm], 0)
-
-    def srep(x):  # [P, BC] -> [P*S, BC], chunk rows duplicated per state
-        return pltpu.repeat(x, S, axis=0) if S > 1 else x
-
-    def row(ref, t):  # [P, T, BC] ref -> [P, BC] step row (f32 upcast)
-        return ref[:, pl.ds(t, 1), :].reshape(P, BC).astype(jnp.float32)
-
-    a_sy = coef_ref[:, 0:1]
-    a_pa = coef_ref[:, 1:2]
-    a_pu = coef_ref[:, 2:3]
-    b_sy = coef_ref[:, 3:4]
-    b_pa = coef_ref[:, 4:5]
-
-    # ---- alpha start ---- (rows are (s, c), chunk minor: s = r // P)
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (PS, BC), 0)
-    s_of_row = r_iota // P
+    # ---- alpha start ---- (rows are (s, c), chunk minor: s = r // 8)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, _LANE), 0)
+    s_of_row = r_iota // _C
     if boundary:
-        alpha0 = a0_ref[0, :, :]
+        alpha0 = a0_ref[...].reshape(SC, _LANE)
     elif masked:
-        fr = srep(first_ref[:, 0, :].astype(jnp.float32))  # [PS, BC]
+        fr = crep(first_ref[0].astype(jnp.float32))  # [SC, 128]
         alpha0 = jnp.where((s_of_row > 0) & (fr > 0.5), neg_inf, 0.0)
     else:
         alpha0 = jnp.where(s_of_row > 0, neg_inf, 0.0)
 
-    # ---- forward: store PRE-update metrics (alpha_t is what the APP
-    # at t consumes) ----
-    def fwd(t, alpha):
-        sy = srep(row(syn_s, t))  # [PS, BC]
-        pa = srep(row(pan_s, t))
-        lt = srep(row(li_s, t))
-        syr = jnp.concatenate([sy] * I, 0)  # [I*PS, BC]
-        par = jnp.concatenate([pa] * I, 0)
-        ltr = jnp.concatenate([lt] * I, 0)
-        cand = (pick(alpha, perm_a)
-                + a_sy * syr + a_pa * par + a_pu * ltr)
-        a = cand[0:PS, :]
-        for j in range(1, I):
-            a = lse2(a, cand[j * PS:(j + 1) * PS, :])
+    inv_nst_u0 = tuple(inv_nst[s][0] for s in range(S))
+    inv_nst_u1 = tuple(inv_nst[s][1] for s in range(S))
+    nst_u0 = tuple(nst[s][0] for s in range(S))
+    nst_u1 = tuple(nst[s][1] for s in range(S))
+
+    def fwd_step(alpha, t):
+        g0, g1 = g_rows(t)
+        cand0 = pick(alpha, inv_nst_u0) + g0
+        cand1 = pick(alpha, inv_nst_u1) + g1
+        a = lse2(cand0, cand1)
         if masked:
-            vt = srep(row(valid_s, t))
+            vt = crep(rowt(valid_ref, t))
             a = jnp.where(vt > 0.5, a, alpha)
-        alphas_ref[pl.ds(t, 1), :, :] = alpha.reshape(1, PS, BC)
         return a
 
-    alpha_fin = jax.lax.fori_loop(0, T, fwd, alpha0)
-    if boundary:
-        af_ref[0, :, :] = alpha_fin
-
-    # ---- backward: beta recursion + APP inline ----
-    def bwd(k, beta):
-        t = T - 1 - k
-        sy = srep(row(syn_s, t))
-        pa = srep(row(pan_s, t))
-        lt = srep(row(li_s, t))
-        syr = jnp.concatenate([sy] * I, 0)
-        par = jnp.concatenate([pa] * I, 0)
-        cand = pick(beta, perm_b) + b_sy * syr + b_pa * par  # prior-free
-        b = cand[0:PS, :]
-        for u in range(1, I):
-            b = lse2(b, cand[u * PS:(u + 1) * PS, :] + u * lt)
-        al = alphas_ref[pl.ds(t, 1), :, :].reshape(PS, BC)
-        app0 = reduce_s(al + cand[0:PS, :])  # [P, BC]
-        app1 = reduce_s(al + cand[PS:2 * PS, :])
-        for u in range(2, I):  # I > 2 trellises: fold the rest into app1
-            app1 = lse2(app1, reduce_s(al + cand[u * PS:(u + 1) * PS, :]))
-        e_s[:, pl.ds(t, 1), :] = (app1 - app0).reshape(
-            P, 1, BC).astype(e_s.dtype)
+    def bwd_step(t, beta, al):
+        """One backward step at t given alpha_t; emits the APP row."""
+        g0, g1 = g_rows(t)
+        # tmp_u[s'] = beta[s'] + (branch into s' under u); the source-
+        # indexed candidate is then a successor pick of tmp_u
+        cand0 = pick(beta + g0, nst_u0)
+        cand1 = pick(beta + g1, nst_u1)
+        b = lse2(cand0, cand1)
+        app0 = reduce_s(al + cand0)  # [8, 128]
+        app1 = reduce_s(al + cand1)
+        e_ref[pl.ds(t, 1)] = (app1 - app0).reshape(
+            1, _C, _LANE).astype(e_ref.dtype)
         if masked:
-            vt = srep(row(valid_s, t))
+            vt = crep(rowt(valid_ref, t))
             b = jnp.where(vt > 0.5, b, beta)
         return b
 
-    beta_T = bT_ref[0, :, :] if boundary else jnp.zeros((PS, BC),
-                                                        jnp.float32)
-    beta_fin = jax.lax.fori_loop(0, T, bwd, beta_T)
-    if boundary:
-        bf_ref[0, :, :] = beta_fin
-    if upcast:
-        e_ref[...] = e_s[...].astype(e_ref.dtype)
+    def load_alpha(m):
+        return alphas_ref[pl.ds(m, 1)].reshape(SC, _LANE)
 
+    beta_T = (bT_ref[...].reshape(SC, _LANE) if boundary
+              else jnp.zeros((SC, _LANE), jnp.float32))
 
-def _bcjr_butterfly_kernel(syn_ref, pan_ref, li_ref, coef_ref, valid_ref,
-                           first_ref, a0_ref, bT_ref, e_ref, af_ref,
-                           bf_ref, hist_ref, *scratch_refs, T: int, S: int,
-                           I: int, P: int, perm_a, perm_b, max_log: bool,
-                           masked: bool, boundary: bool,
-                           upcast: bool = False):
-    """Counter-propagating BCJR: alpha and beta advance in ONE loop.
+    if astride == 1:
+        # ---- forward: store PRE-update metrics (alpha_t is what the
+        # APP at t consumes) ----
+        def fwd(t, alpha):
+            alphas_ref[pl.ds(t, 1)] = alpha.reshape(1, SC, _LANE)
+            return fwd_step(alpha, t)
 
-    The plain kernel's 2T-step sequential chain (forward fori, then
-    backward fori) halves to T steps: iteration k updates alpha at
-    ``t = k`` AND beta at ``t = T-1-k``.  The two recursions are data-
-    independent, so their op chains interleave in the VLIW pipeline —
-    the per-iteration critical path is max(alpha, beta), not their sum.
-    Once the sweeps cross at T/2, each iteration emits TWO inline APP
-    rows (alpha live + beta history, beta live + alpha history).
+        alpha_fin = jax.lax.fori_loop(0, T, fwd, alpha0)
 
-    ``hist_ref`` [T, P*S, BC] is shared: slot t < ceil(T/2) holds the
-    pre-update alpha_t from the first phase; slot t >= floor(T/2) holds
-    the pre-update beta_{t+1}.  (At the crossing the two ranges overlap
-    by one slot for odd T; the middle row is emitted between phases
-    before beta overwrites it.)
-    """
-    BC = syn_ref.shape[2]
-    PS = P * S
-    neg_inf = jnp.float32(-1e30)
-    if upcast:  # see _bcjr_kernel: dynamic sublane slices need f32
-        syn_s, pan_s, li_s, e_s = scratch_refs[:4]
-        syn_s[...] = syn_ref[...].astype(jnp.float32)
-        pan_s[...] = pan_ref[...].astype(jnp.float32)
-        li_s[...] = li_ref[...].astype(jnp.float32)
-        if masked:
-            valid_s = scratch_refs[4]
-            valid_s[...] = valid_ref[...].astype(jnp.float32)
-        else:
-            valid_s = valid_ref
+        def bwd(k, beta):
+            t = T - 1 - k
+            return bwd_step(t, beta, load_alpha(t))
+
+        beta_fin = jax.lax.fori_loop(0, T, bwd, beta_T)
     else:
-        syn_s, pan_s, li_s, e_s, valid_s = (
-            syn_ref, pan_ref, li_ref, e_ref, valid_ref)
+        # ---- stride-2 history: store alpha at even t only; the
+        # backward pass recomputes each odd alpha from its even
+        # predecessor (half the VMEM history, ~25% more backward ops —
+        # engaged only when the full history would not fit) ----
+        T2 = T // 2
 
-    if max_log:
-        def lse2(x, y):
-            return jnp.maximum(x, y)
-    else:
-        def lse2(x, y):
-            m = jnp.maximum(x, y)
-            return m + jnp.log1p(jnp.exp(-jnp.abs(x - y)))
+        def fwd2(m, alpha):
+            t = 2 * m
+            alphas_ref[pl.ds(m, 1)] = alpha.reshape(1, SC, _LANE)
+            return fwd_step(fwd_step(alpha, t), t + 1)
 
-    def reduce_s(x):
-        while x.shape[0] > P:
-            h = x.shape[0] // 2
-            x = lse2(x[:h], x[h:])
-        return x
+        alpha_fin = jax.lax.fori_loop(0, T2, fwd2, alpha0)
+        if T % 2:
+            alphas_ref[pl.ds(T2, 1)] = alpha_fin.reshape(1, SC, _LANE)
+            alpha_fin = fwd_step(alpha_fin, T - 1)
+            beta_T = bwd_step(T - 1, beta_T, load_alpha(T2))
 
-    def pick(vec, perm):
-        return jnp.concatenate([vec[i:i + 1] for i in perm], 0)
+        def bwd2(k, beta):
+            tb = 2 * (T2 - 1 - k)
+            al_even = load_alpha(T2 - 1 - k)
+            beta = bwd_step(tb + 1, beta, fwd_step(al_even, tb))
+            return bwd_step(tb, beta, al_even)
 
-    def srep(x):
-        return pltpu.repeat(x, S, axis=0) if S > 1 else x
+        beta_fin = jax.lax.fori_loop(0, T2, bwd2, beta_T)
 
-    def row(ref, t):
-        return ref[:, pl.ds(t, 1), :].reshape(P, BC).astype(jnp.float32)
-
-    a_sy = coef_ref[:, 0:1]
-    a_pa = coef_ref[:, 1:2]
-    a_pu = coef_ref[:, 2:3]
-    b_sy = coef_ref[:, 3:4]
-    b_pa = coef_ref[:, 4:5]
-
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (PS, BC), 0)
-    s_of_row = r_iota // P
-    if masked:
-        fr = srep(first_ref[:, 0, :].astype(jnp.float32))
-        alpha0 = jnp.where((s_of_row > 0) & (fr > 0.5), neg_inf, 0.0)
-    else:
-        alpha0 = jnp.where(s_of_row > 0, neg_inf, 0.0)
-    beta0 = jnp.zeros((PS, BC), jnp.float32)
     if boundary:
-        alpha0 = a0_ref[0, :, :]
-        beta0 = bT_ref[0, :, :]
-
-    def streams3(t):
-        sy = srep(row(syn_s, t))
-        pa = srep(row(pan_s, t))
-        lt = srep(row(li_s, t))
-        return sy, pa, lt
-
-    def alpha_step(t, alpha, store):
-        sy, pa, lt = streams3(t)
-        syr = jnp.concatenate([sy] * I, 0)
-        par = jnp.concatenate([pa] * I, 0)
-        ltr = jnp.concatenate([lt] * I, 0)
-        cand = (pick(alpha, perm_a)
-                + a_sy * syr + a_pa * par + a_pu * ltr)
-        a = cand[0:PS, :]
-        for j in range(1, I):
-            a = lse2(a, cand[j * PS:(j + 1) * PS, :])
-        if masked:
-            vt = srep(row(valid_s, t))
-            a = jnp.where(vt > 0.5, a, alpha)
-        if store:
-            hist_ref[pl.ds(t, 1), :, :] = alpha.reshape(1, PS, BC)
-        return a
-
-    def beta_cand(t, beta):
-        sy, pa, lt = streams3(t)
-        syr = jnp.concatenate([sy] * I, 0)
-        par = jnp.concatenate([pa] * I, 0)
-        cand = pick(beta, perm_b) + b_sy * syr + b_pa * par
-        return cand, lt
-
-    def beta_step(t, beta, store):
-        cand, lt = beta_cand(t, beta)
-        b = cand[0:PS, :]
-        for u in range(1, I):
-            b = lse2(b, cand[u * PS:(u + 1) * PS, :] + u * lt)
-        if store:
-            hist_ref[pl.ds(t, 1), :, :] = beta.reshape(1, PS, BC)
-        if masked:
-            vt = srep(row(valid_s, t))
-            b = jnp.where(vt > 0.5, b, beta)
-        return b, cand
-
-    def emit_app(t, al, cand):
-        app0 = reduce_s(al + cand[0:PS, :])
-        app1 = reduce_s(al + cand[PS:2 * PS, :])
-        for u in range(2, I):
-            app1 = lse2(app1, reduce_s(al + cand[u * PS:(u + 1) * PS, :]))
-        e_s[:, pl.ds(t, 1), :] = (app1 - app0).reshape(
-            P, 1, BC).astype(e_s.dtype)
-
-    H = T // 2  # phase-1 length: alpha fills slots [0, H),
-    # beta fills slots [T-H, T) — disjoint for any T.
-
-    # ---- phase 1: both recursions store history, no APP yet ----
-    def phase1(k, carry):
-        alpha, beta = carry
-        a = alpha_step(k, alpha, store=True)
-        b, _ = beta_step(T - 1 - k, beta, store=True)
-        return a, b
-
-    alpha, beta = jax.lax.fori_loop(0, H, phase1, (alpha0, beta0))
-
-    # ---- odd-T middle row: both carries are live at t = H ----
-    if T % 2:
-        cand, _ = beta_cand(H, beta)  # beta carry IS beta_{H+1}
-        emit_app(H, alpha, cand)  # alpha carry IS alpha_H
-        alpha = alpha_step(H, alpha, store=False)
-        beta, _ = beta_step(H, beta, store=False)
-
-    # ---- phase 2: recursions continue; two APP rows per iteration ----
-    def phase2(k, carry):
-        alpha, beta = carry
-        ta = k
-        tb = T - 1 - k
-        # alpha side: live alpha_t + beta history (pre-update beta_{t+1})
-        bh = hist_ref[pl.ds(ta, 1), :, :].reshape(PS, BC)
-        cand_a, _ = beta_cand(ta, bh)
-        emit_app(ta, alpha, cand_a)
-        a = alpha_step(ta, alpha, store=False)
-        # beta side: live candidates + alpha history
-        b, cand_b = beta_step(tb, beta, store=False)
-        ah = hist_ref[pl.ds(tb, 1), :, :].reshape(PS, BC)
-        emit_app(tb, ah, cand_b)
-        return a, b
-
-    alpha, beta = jax.lax.fori_loop((T + 1) // 2, T, phase2,
-                                    (alpha, beta))
-    if boundary:
-        af_ref[0, :, :] = alpha
-        bf_ref[0, :, :] = beta
-    if upcast:
-        e_ref[...] = e_s[...].astype(e_ref.dtype)
+        af_ref[...] = alpha_fin.reshape(S, _C, _LANE)
+        bf_ref[...] = beta_fin.reshape(S, _C, _LANE)
 
 
-@partial(jax.jit, static_argnames=("trellis", "max_log", "lane_chunk",
-                                   "butterfly", "io_dtype"))
 def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
                         max_log: bool = False, valid=None, first=None,
-                        lane_chunk: int = 1024, butterfly: bool = False,
-                        io_dtype: str = "f32", boundary=None):
+                        lane_chunk: int = 1024, io_dtype: str = "f32",
+                        boundary=None, lse: str = None,
+                        combined: bool = False, posterior: bool = False):
     """Fused BCJR pass; returns the prior-free APP log-ratio.
 
     syn/pan : [T, R] symbol streams PRE-SCALED by 1/noise_variance
@@ -457,18 +311,31 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
               b_fin [S, R]): the post-final forward alpha and the
               backward-final beta carries.  Mutually exclusive with
               ``valid`` masking.
+    lse     : None (exact log-MAP / max-log per ``max_log``) or
+              "linear" (linear-log-MAP correction, see kernel).
+    lane_chunk: accepted for API compatibility; the grid granularity is
+              fixed at 1024 lanes (8 chunks x 128) by the layout.
+    combined: syn/pan are ALREADY the precombined w-streams
+              ((sy + pa)/nv, (sy - pa)/nv) — lets the turbo loop hoist
+              the combination out of its iterations (the streams are
+              loop constants; recombining them every pass costs two
+              full HBM read+write sweeps per pass).
+    posterior: skip the prior subtraction and return the full posterior
+              log-ratio lappr = li + e directly (what the turbo loop's
+              extrinsic exchange and final decision actually consume).
     Returns e [T, R] with lappr = li + e (reference turbo.py:78-158 up
-    to uniform per-(t, r) shifts, which cancel in the difference).
+    to uniform per-(t, r) shifts, which cancel in the difference), or
+    lappr itself with ``posterior=True``.
     """
+    del lane_chunk
     T, R = syn.shape
-    S, I = trellis.number_states, trellis.number_inputs
+    S = trellis.number_states
     if S & (S - 1):
         raise NotImplementedError(
             "the Pallas BCJR kernel requires a power-of-two state count "
             "(every shift-register trellis); use the XLA backend"
         )
-    P = max(1, 8 // S)  # chunks stacked on the 8-sublane axis
-    perm_a, perm_b, coef = _linear_tables(trellis, P)
+    inv_nst, nst, which, sign = _w_tables(trellis)
     masked = valid is not None
     has_boundary = boundary is not None
     if has_boundary and masked:
@@ -476,33 +343,24 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
                          "mutually exclusive")
     io = jnp.bfloat16 if io_dtype == "bf16" else jnp.float32
     io_bytes = 2 if io_dtype == "bf16" else 4
+    astride = 1
+    if bcjr_vmem_bytes(T, S, io_bytes, masked, 1) > _VMEM_BUDGET:
+        astride = 2
+        need = bcjr_vmem_bytes(T, S, io_bytes, masked, 2)
+        if need > _VMEM_BUDGET:
+            raise ValueError(
+                f"BCJR kernel VMEM footprint {need/2**20:.1f} MB exceeds "
+                f"the {_VMEM_BUDGET/2**20:.0f} MB budget at T={T}, S={S}; "
+                "decode windowed (window=..., ideally window_init='nii') "
+                "or use backend='xla'"
+            )
+    lse_mode = ("maxlog" if max_log
+                else ("linear" if lse == "linear" else "exact"))
 
-    # Cap the lane block so the kernel fits scoped VMEM: pallas DOUBLE-
-    # BUFFERS every gridded block (input and output), so the per-lane
-    # footprint is 2*(streams + e [+ valid]) * T in the io dtype + the
-    # alpha scratch S*T in f32.  ~14 MB budget leaves headroom for
-    # Mosaic spills.  bf16 io HALVES the HBM<->VMEM stream traffic but
-    # not the VMEM cap: real Mosaic cannot vector-load a dynamic
-    # sublane row of a packed 16-bit block, so the kernel upcasts each
-    # block into single-buffered f32 scratches first (whose footprint
-    # exactly offsets the double-buffered io saving).  LLR quantization
-    # to bf16's 8-bit mantissa is benign — production decoders run
-    # 4-6 bit LLRs.
-    n_blocks = 5 if masked else 4
-    per_lane = io_bytes * 2 * n_blocks * T + 4 * S * T
-    upcast = io_dtype == "bf16"
-    if upcast:
-        per_lane += 4 * n_blocks * T  # f32 scratch copies, single-buffered
-    cap_lanes = max(128 * P,
-                    (14 * 1024 * 1024 // per_lane) // (128 * P) * 128 * P)
-    LB = min(lane_chunk * P, cap_lanes, -(-R // (128 * P)) * 128 * P)
-    # balance: with the chunk count fixed by the cap, shrink the block
-    # to the smallest aligned width that still covers R — less padding
-    # (e.g. R = 24576, cap 7168 -> 4 x 6144 instead of 4 x 7168)
+    LB = _C * _LANE  # 1024 lanes per grid step
     n_chunks = -(-R // LB)
-    LB = min(LB, -(-R // (n_chunks * 128 * P)) * 128 * P)
-    BC = LB // P
     Rp = n_chunks * LB
+    CT = Rp // _LANE  # total chunk rows
     if Rp != R:
         pad = ((0, 0), (0, Rp - R))
         syn = jnp.pad(syn, pad)
@@ -510,102 +368,80 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
         li = jnp.pad(li, pad)
         if masked:
             valid = jnp.pad(valid, pad)
-    n_slots = Rp // BC
 
-    def slot3(x):  # [T', Rp] -> slot-major [n_slots, T', BC]
-        Tx = x.shape[0]
-        return jnp.transpose(x.reshape(Tx, n_slots, BC), (1, 0, 2))
+    # fold is a pure reshape: lane r = chunk_row * 128 + lane
+    fold = lambda x: x.reshape(x.shape[0], CT, _LANE)
+    if combined:
+        w1 = fold(jnp.asarray(syn, io))
+        w2 = fold(jnp.asarray(pan, io))
+    else:
+        w1 = fold((syn + pan).astype(io))
+        w2 = fold((syn - pan).astype(io))
+    li_f = fold(jnp.asarray(li, io))
 
     if masked:
-        valid_f = slot3(jnp.asarray(valid, io))
+        valid_f = fold(jnp.asarray(valid, io))
         if first is None:
             first = jnp.ones((R,), bool)
-        first_f = slot3(jnp.pad(
-            jnp.asarray(first, io)[None, :], ((0, 0), (0, Rp - R))
-        ))
+        first_f = fold(jnp.pad(
+            jnp.asarray(first, io)[None, :], ((0, 0), (0, Rp - R))))
         Tv = T
     else:
-        # placeholders keep the kernel signature static; never read
-        valid_f = jnp.zeros((n_slots, 1, BC), io)
-        first_f = jnp.zeros((n_slots, 1, BC), io)
+        valid_f = jnp.zeros((1, CT, _LANE), io)
+        first_f = jnp.zeros((1, CT, _LANE), io)
         Tv = 1
 
-    PS = P * S
     if has_boundary:
         a0_in, bT_in = boundary
-
-        def state_blocks(x):  # [S, R] -> [n_chunks, P*S, BC], row s*P+c
-            xp = jnp.pad(jnp.asarray(x, jnp.float32),
-                         ((0, 0), (0, Rp - R)))
-            xq = xp.reshape(S, n_chunks, P, BC)
-            return jnp.transpose(xq, (1, 0, 2, 3)).reshape(
-                n_chunks, PS, BC)
-
-        a0_f = state_blocks(a0_in)
-        bT_f = state_blocks(bT_in)
+        fold_s = lambda x: jnp.pad(
+            jnp.asarray(x, jnp.float32), ((0, 0), (0, Rp - R))
+        ).reshape(S, CT, _LANE)
+        a0_f, bT_f = fold_s(a0_in), fold_s(bT_in)
     else:
-        a0_f = jnp.zeros((n_chunks, PS, BC), jnp.float32)
-        bT_f = jnp.zeros((n_chunks, PS, BC), jnp.float32)
+        a0_f = jnp.zeros((S, CT, _LANE), jnp.float32)
+        bT_f = jnp.zeros((S, CT, _LANE), jnp.float32)
 
     kernel = partial(
-        _bcjr_butterfly_kernel if butterfly else _bcjr_kernel,
-        T=T, S=S, I=I, P=P, perm_a=perm_a, perm_b=perm_b,
-        max_log=bool(max_log), masked=masked,
-        boundary=has_boundary, upcast=upcast,
+        _bcjr_kernel, T=T, S=S, inv_nst=inv_nst, nst=nst, which=which,
+        sign=sign, lse_mode=lse_mode, masked=masked,
+        boundary=has_boundary, astride=astride,
     )
     interpret = jax.default_backend() not in ("tpu", "axon")
 
-    scratch_shapes = [pltpu.VMEM((T, P * S, BC), jnp.float32)]
-    if upcast:
-        scratch_shapes += [
-            pltpu.VMEM((P, T, BC), jnp.float32) for _ in range(4)
-        ]
-        if masked:
-            scratch_shapes.append(pltpu.VMEM((P, T, BC), jnp.float32))
-
-    state_spec = pl.BlockSpec((1, PS, BC), lambda i: (i, 0, 0),
+    stream_spec = pl.BlockSpec((T, _C, _LANE), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((S, _C, _LANE), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)
     e, af, bf = pl.pallas_call(
         kernel,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((P, T, BC), lambda i: (i, 0, 0),
+            stream_spec, stream_spec, stream_spec,
+            pl.BlockSpec((Tv, _C, _LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, T, BC), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _C, _LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, T, BC), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((I * P * S, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, Tv, BC), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 1, BC), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            state_spec,
-            state_spec,
+            state_spec, state_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((P, T, BC), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            state_spec,
-            state_spec,
-        ],
+        out_specs=[stream_spec, state_spec, state_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n_slots, T, BC), io),
-            jax.ShapeDtypeStruct((n_chunks, PS, BC), jnp.float32),
-            jax.ShapeDtypeStruct((n_chunks, PS, BC), jnp.float32),
+            jax.ShapeDtypeStruct((T, CT, _LANE), io),
+            jax.ShapeDtypeStruct((S, CT, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((S, CT, _LANE), jnp.float32),
         ],
-        scratch_shapes=scratch_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((-(-T // astride), S * _C, _LANE), jnp.float32)
+        ],
         interpret=interpret,
-    )(slot3(syn).astype(io), slot3(pan).astype(io), slot3(li).astype(io),
-      jnp.asarray(coef), valid_f, first_f, a0_f, bT_f)
-    e_out = jnp.transpose(e, (1, 0, 2)).reshape(
-        T, Rp)[:, :R].astype(jnp.float32)
+    )(w1, w2, li_f, valid_f, first_f, a0_f, bT_f)
+
+    # the kernel emits the posterior ratio INCLUDING the u=1 prior;
+    # subtract li to return the prior-free APP difference (fuses with
+    # whatever consumes e) unless the caller wants the posterior itself
+    e_out = e.reshape(T, Rp)[:, :R].astype(jnp.float32)
+    if not posterior:
+        e_out = e_out - jnp.asarray(li, jnp.float32)[:, :R]
     if not has_boundary:
         return e_out
-
-    def state_unblocks(x):  # [n_chunks, P*S, BC] -> [S, R]
-        xq = x.reshape(n_chunks, S, P, BC)
-        return jnp.transpose(xq, (1, 0, 2, 3)).reshape(S, Rp)[:, :R]
-
-    return e_out, state_unblocks(af), state_unblocks(bf)
+    unfold_s = lambda x: x.reshape(S, Rp)[:, :R]
+    return e_out, unfold_s(af), unfold_s(bf)

@@ -796,12 +796,30 @@ def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
     sy_i = interlv(sy)
 
     if window is None:
-        def bcjr_pass(syn, pan, lint):
-            from ..kernels.bcjr import bcjr_appdiff_pallas
-            return bcjr_appdiff_pallas(syn, pan, lint, trellis,
+        # whole-frame: precombine the w-streams ONCE (loop constants —
+        # recombining them inside every MAP pass costs two full HBM
+        # sweeps per pass) and exchange posteriors directly
+        from ..kernels.bcjr import bcjr_appdiff_pallas
+
+        w1, w2 = sy + pa1, sy - pa1
+        w1i, w2i = sy_i + pa2, sy_i - pa2
+
+        def bcjr_post(wa, wb, lint):
+            return bcjr_appdiff_pallas(wa, wb, lint, trellis,
                                        max_log=max_log,
-                                       lane_chunk=lane_chunk,
-                                       io_dtype=io_dtype)
+                                       io_dtype=io_dtype,
+                                       combined=True, posterior=True)
+
+        E2 = li2 = None
+        for _ in range(number_iterations):
+            E1 = bcjr_post(w1, w2, li)
+            li2 = interlv((E1 - li) * ext_scale)
+            E2 = bcjr_post(w1i, w2i, li2)
+            li = deinterlv((E2 - li2) * ext_scale)
+        # E2 IS decoder 2's posterior; the deinterleave of exact copies
+        # commutes with the sign decision (turbo.py:331)
+        decoded = (deinterlv(E2) > 0).astype(jnp.int8)
+        return decoded.T
     elif window_init == "nii":
         # Next-Iteration Initialization: windows have NO warmup halos;
         # each MAP pass starts its alpha/beta from the boundary metrics
@@ -845,8 +863,8 @@ def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
 
         refold_p = make_refold(p_np)
         refold_ip = make_refold(inv_np)
-        sy_f, pa1_f = fold0(sy), fold0(pa1)
-        syi_f, pa2_f = fold0(sy_i), fold0(pa2)
+        w1_f, w2_f = fold0(sy + pa1), fold0(sy - pa1)
+        w1i_f, w2i_f = fold0(sy_i + pa2), fold0(sy_i - pa2)
 
         exact_np = np.zeros((S, B), np.float32)
         exact_np[1:, :] = -1e30  # frame start: encoder state 0
@@ -869,24 +887,24 @@ def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
             bT = bT - jnp.max(bT, axis=0, keepdims=True)
             return a0, bT
 
-        def kernel_b(syn_f, pan_f, lint_f, a0, bT):
+        def kernel_b(wa_f, wb_f, lint_f, a0, bT):
             return bcjr_appdiff_pallas(
-                syn_f, pan_f, lint_f, trellis, max_log=max_log,
-                lane_chunk=max(lane_chunk, 8192), io_dtype=io_dtype,
-                boundary=(a0, bT))
+                wa_f, wb_f, lint_f, trellis, max_log=max_log,
+                io_dtype=io_dtype, boundary=(a0, bT),
+                combined=True, posterior=True)
 
         a01, bt1 = a0_init, bT_init
         a02, bt2 = a0_init, bT_init
         li_f = fold0(li)
-        li2_f = e2_f = None
+        E2_f = None
         for _ in range(number_iterations):
-            e1_f, af1, bf1 = kernel_b(sy_f, pa1_f, li_f, a01, bt1)
+            E1_f, af1, bf1 = kernel_b(w1_f, w2_f, li_f, a01, bt1)
             a01, bt1 = shift_states(af1, bf1)
-            li2_f = refold_p(e1_f * ext_scale)
-            e2_f, af2, bf2 = kernel_b(syi_f, pa2_f, li2_f, a02, bt2)
+            li2_f = refold_p((E1_f - li_f) * ext_scale)
+            E2_f, af2, bf2 = kernel_b(w1i_f, w2i_f, li2_f, a02, bt2)
             a02, bt2 = shift_states(af2, bf2)
-            li_f = refold_ip(e2_f * ext_scale)
-        decoded = (deinterlv(unfold0(li2_f + e2_f)) > 0).astype(jnp.int8)
+            li_f = refold_ip((E2_f - li2_f) * ext_scale)
+        decoded = (deinterlv(unfold0(E2_f)) > 0).astype(jnp.int8)
         return decoded.T
     else:
         C, W = int(window[0]), int(window[1])
@@ -914,12 +932,12 @@ def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
             jnp.asarray(np.arange(N) == 0)[:, None], (N, B)
         ).reshape(N * B)
 
-        def kernel_f(syn_f, pan_f, lint_f):
+        def kernel_f(wa_f, wb_f, lint_f):
             from ..kernels.bcjr import bcjr_appdiff_pallas
-            return bcjr_appdiff_pallas(syn_f, pan_f, lint_f, trellis,
+            return bcjr_appdiff_pallas(wa_f, wb_f, lint_f, trellis,
                                        max_log=max_log, valid=valid,
-                                       first=first, lane_chunk=lane_chunk,
-                                       io_dtype=io_dtype)
+                                       first=first, io_dtype=io_dtype,
+                                       combined=True, posterior=True)
 
         # Composite refold-after-permutation: fold(perm(unfold(e))) is
         # ONE static row gather of the folded [Wn, N*B] tensor (rows
@@ -940,40 +958,49 @@ def _turbo_iterations_pallas(sys_symbols, non_sys_symbols_1,
         refold_p = make_refold(p_np)
         refold_ip = make_refold(inv_np)
 
-        sy_f, pa1_f = fold(sy), fold(pa1)
-        syi_f, pa2_f = fold(sy_i), fold(pa2)
+        w1_f, w2_f = fold(sy + pa1), fold(sy - pa1)
+        w1i_f, w2i_f = fold(sy_i + pa2), fold(sy_i - pa2)
 
-        li2_f = e2_f = None
+        E2_f = None
         li_f = fold(li)
         for _ in range(number_iterations):
-            e1_f = kernel_f(sy_f, pa1_f, li_f)
-            li2_f = refold_p(e1_f * ext_scale)
-            e2_f = kernel_f(syi_f, pa2_f, li2_f)
-            li_f = refold_ip(e2_f * ext_scale)
-        # Posterior of decoder 2 = intrinsic + prior-free APP ratio;
-        # unfold reads core regions only, where refold placed exact
-        # copies, so unfold(li2_f) + unfold(e2_f) == li2 + e2 and the
-        # deinterleave of exact copies commutes with the sign decision
-        # (turbo.py:331).
-        decoded = (deinterlv(unfold(li2_f + e2_f)) > 0).astype(jnp.int8)
+            E1_f = kernel_f(w1_f, w2_f, li_f)
+            li2_f = refold_p((E1_f - li_f) * ext_scale)
+            E2_f = kernel_f(w1i_f, w2i_f, li2_f)
+            li_f = refold_ip((E2_f - li2_f) * ext_scale)
+        # E2_f IS decoder 2's posterior on the core regions (where
+        # refold placed exact intrinsic copies); the deinterleave of
+        # exact copies commutes with the sign decision (turbo.py:331).
+        decoded = (deinterlv(unfold(E2_f)) > 0).astype(jnp.int8)
         return decoded.T
 
-    li2 = e2 = None
-    for _ in range(number_iterations):
-        e1 = bcjr_pass(sy, pa1, li)
-        li2 = interlv(e1 * ext_scale)
-        e2 = bcjr_pass(sy_i, pa2, li2)
-        li = deinterlv(e2 * ext_scale)
-    # Posterior of decoder 2 = intrinsic + prior-free APP ratio; the
-    # deinterleave of exact copies commutes with the sign decision
-    # (turbo.py:331).
-    decoded = (deinterlv(li2 + e2) > 0).astype(jnp.int8)
-    return decoded.T
 
 
-# Largest whole-frame length the Pallas path accepts: the kernel's
-# forward-metric scratch is [T, S, lane_chunk] f32 in VMEM.
-_PALLAS_MAX_WHOLE_FRAME = 512
+def _pallas_bcjr_fits(trellis: Trellis, win, window_init: str,
+                      frame_len: int, kernel_io: str) -> bool:
+    """Whether the fused BCJR kernel supports this configuration.
+
+    Checks the trellis shape (binary input, power-of-two states,
+    bijective per-input state maps) and the scoped-VMEM footprint of
+    one kernel grid step (forward-metric history + double-buffered
+    streams at the kernel's fixed 1024-lane granularity)."""
+    from ..kernels.bcjr import _VMEM_BUDGET, _w_tables, bcjr_vmem_bytes
+
+    S = trellis.number_states
+    if trellis.number_inputs != 2 or (S & (S - 1)):
+        return False
+    try:
+        _w_tables(trellis)
+    except NotImplementedError:
+        return False
+    if win is None:
+        Tk, masked = frame_len, False
+    elif window_init == "nii":
+        Tk, masked = win[0], False
+    else:
+        Tk, masked = win[0] + 2 * win[1], True
+    io_bytes = 2 if kernel_io == "bf16" else 4
+    return bcjr_vmem_bytes(Tk, S, io_bytes, masked) <= _VMEM_BUDGET
 
 
 def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
@@ -997,18 +1024,18 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
     ``backend``: "pallas" runs each MAP pass as ONE fused VMEM-resident
     kernel (`kernels/bcjr.py`); "xla" keeps the lax.scan core; "auto"
     picks pallas on TPU backends for binary trellises whenever the
-    frame fits the kernel (whole frames up to 512 symbols, any length
-    windowed), xla otherwise.
+    frame fits the kernel's VMEM budget (see
+    :func:`kernels.bcjr.bcjr_vmem_bytes` — whole frames up to ~280
+    symbols at 4 states in f32, ~2x that in bf16; any length windowed),
+    xla otherwise.
     ``kernel_io``: "bf16" moves the Pallas kernel's symbol/extrinsic
-    streams across HBM in bfloat16 — half the stream bandwidth per MAP
-    pass (the kernel upcasts to f32 VMEM scratch internally; real
-    Mosaic cannot dynamically slice packed 16-bit sublanes) at the cost
-    of quantizing LLRs to an 8-bit mantissa (production hardware runs
-    4-6 bit LLRs; BER impact is below Monte-Carlo noise on the real
-    chip, see scripts/turbo_ber_probe.py).  Fastest measured long-frame
-    config: ``window=(128, 0), window_init="nii", kernel_io="bf16"``
-    (scripts/turbo_window_ab.py — 257 Mbit/s median vs 117 for warmup
-    windows at L=6144, B=256, 8 iterations).
+    streams across HBM and holds them in VMEM in bfloat16 — half the
+    stream footprint per MAP pass at the cost of quantizing LLRs to an
+    8-bit mantissa (production hardware runs 4-6 bit LLRs; BER impact
+    is below Monte-Carlo noise on the real chip, see
+    scripts/turbo_ber_probe.py).  Fastest measured long-frame config:
+    ``window=(128, 0), window_init="nii", kernel_io="bf16"``
+    (scripts/turbo_window_ab.py).
     ``window_init``: "warmup" re-acquires window boundary states every
     MAP pass from W-step halos; "nii" (chunk must divide the frame)
     carries each window's boundary alpha/beta from the PREVIOUS turbo
@@ -1036,11 +1063,12 @@ def turbo_decode_device(sys_symbols, non_sys_symbols_1, non_sys_symbols_2,
             "fold needs warmup <= chunk"
         )
     if backend == "auto":
-        fits = win is not None or len(p_tuple) <= _PALLAS_MAX_WHOLE_FRAME
+        fits = _pallas_bcjr_fits(trellis, win, window_init,
+                                 len(p_tuple), kernel_io)
         backend = (
             "pallas"
             if (jax.default_backend() in ("tpu", "axon") and not parallel
-                and trellis.number_inputs == 2 and fits)
+                and fits)
             else "xla"
         )
     if window_init not in ("warmup", "nii"):

@@ -22,6 +22,11 @@ for snr_db in [1.0, 2.0, 3.0]:
     for io in ("f32", "bf16"):
         for win, init in ((None, "warmup"), ((64, 32), "warmup"),
                           ((64, 0), "nii")):
+            from commpy_tpu.ops.turbo import _pallas_bcjr_fits
+            if not _pallas_bcjr_fits(tr, win, init, L + tr.total_memory, io):
+                print(f"SNR {snr_db} dB io={io} window={win} init={init}: "
+                      f"skipped (exceeds kernel VMEM budget)")
+                continue
             dec = turbo_decode_device(sy, n1, n2, tr, ns**2, 8,
                                       interlv.p_array, window=win,
                                       kernel_io=io, backend="pallas",

@@ -52,45 +52,72 @@ def test_pallas_unquantized():
     np.testing.assert_array_equal(a, b)
 
 
-def test_bcjr_butterfly_matches_plain():
-    # The counter-propagating butterfly kernel halves the sequential
-    # chain (T iterations instead of 2T) but must emit the exact same
-    # APP rows as the plain forward-then-backward kernel — including
-    # odd T (the crossing slot), masked windows, and max-log.
+def test_bcjr_kernel_matches_xla_core():
+    # The fused kernel must emit the same prior-free APP differences as
+    # the XLA lax.scan core — including odd T, odd lane counts (pad
+    # path), max-log, and linear-log-MAP staying within its published
+    # approximation error.
     import jax
     import jax.numpy as jnp
     from commpy_tpu.kernels.bcjr import bcjr_appdiff_pallas
+    from commpy_tpu.ops.turbo import _log_bcjr
 
     tr = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
     rng = np.random.RandomState(3)
-    for T, max_log in ((64, False), (33, True)):
-        syn, pan, li = (rng.randn(T, 256).astype(np.float32) * 2
+    nv = 0.5
+    for T, R, max_log in ((64, 256, False), (33, 100, True)):
+        syn, pan, li = (rng.randn(T, R).astype(np.float32) * 2
                         for _ in range(3))
-        outs = [
-            np.asarray(jax.jit(
-                lambda s, p, l, bf=bf: bcjr_appdiff_pallas(
-                    s, p, l, tr, max_log=max_log, butterfly=bf)
-            )(syn, pan, li))
-            for bf in (False, True)
-        ]
-        np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=2e-4)
-    # masked variant: halo positions pass through, exact-start rows
-    T = 40
-    syn, pan, li = (rng.randn(T, 256).astype(np.float32) * 2
+        e = np.asarray(jax.jit(
+            lambda s, p, l: bcjr_appdiff_pallas(
+                s / nv, p / nv, l, tr, max_log=max_log)
+        )(syn, pan, li))
+        lappr, _ = _log_bcjr(syn.T, pan.T, li.T, jnp.float32(nv), tr,
+                             compute_decode=False, max_log=max_log)
+        np.testing.assert_allclose(e, np.asarray(lappr).T - li,
+                                   rtol=2e-4, atol=2e-3)
+    # linear-log-MAP: bounded deviation from exact log-MAP (the lse2
+    # correction error is <= ~0.03 per reduction, a few times that
+    # accumulated over the frame)
+    T, R = 48, 128
+    syn, pan, li = (rng.randn(T, R).astype(np.float32) * 2
                     for _ in range(3))
-    valid = np.ones((T, 256), np.float32)
+    e_exact = np.asarray(bcjr_appdiff_pallas(syn / nv, pan / nv, li, tr))
+    e_lin = np.asarray(
+        bcjr_appdiff_pallas(syn / nv, pan / nv, li, tr, lse="linear"))
+    assert np.max(np.abs(e_exact - e_lin)) < 0.7
+    assert np.mean(np.abs(e_exact - e_lin)) < 0.15
+
+
+def test_bcjr_kernel_masked_matches_xla_core():
+    # masked variant: halo positions pass through, exact-start vs
+    # uniform-start rows — vs the _bcjr_masked XLA twin.
+    import jax
+    import jax.numpy as jnp
+    from commpy_tpu.kernels.bcjr import bcjr_appdiff_pallas
+    from commpy_tpu.ops.turbo import _bcjr_masked
+
+    tr = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
+    rng = np.random.RandomState(4)
+    T, R, nv = 40, 256, 0.5
+    syn, pan, li = (rng.randn(T, R).astype(np.float32) * 2
+                    for _ in range(3))
+    valid = np.ones((T, R), np.float32)
     valid[:4] = 0.0
     valid[-5:] = 0.0
-    first = np.zeros((256,), bool)
+    first = np.zeros((R,), bool)
     first[:128] = True
-    outs = [
-        np.asarray(jax.jit(
-            lambda s, p, l, v, f, bf=bf: bcjr_appdiff_pallas(
-                s, p, l, tr, valid=v, first=f, butterfly=bf)
-        )(syn, pan, li, jnp.asarray(valid), jnp.asarray(first)))
-        for bf in (False, True)
-    ]
-    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=2e-4)
+    e = np.asarray(jax.jit(
+        lambda s, p, l, v, f: bcjr_appdiff_pallas(
+            s / nv, p / nv, l, tr, valid=v, first=f)
+    )(syn, pan, li, jnp.asarray(valid), jnp.asarray(first)))
+    apps = np.asarray(_bcjr_masked(
+        jnp.asarray(syn.T), jnp.asarray(pan.T), jnp.asarray(li.T),
+        jnp.float32(nv), tr, jnp.asarray(valid.T),
+        jnp.asarray(first), max_log=False))
+    want = (apps[..., 1] - apps[..., 0]).T
+    live = valid > 0.5
+    np.testing.assert_allclose(e[live], want[live], rtol=2e-4, atol=2e-3)
 
 
 def test_bcjr_kernel_s8_trellis():
@@ -122,30 +149,41 @@ def test_bcjr_kernel_s8_trellis():
     assert (d_n != msg).sum() == 0
 
 
-def test_bcjr_butterfly_boundary_matches_plain():
-    # boundary (NII) handoff composed with the butterfly schedule:
-    # same APPs and final carries as the plain kernel.
+def test_bcjr_kernel_boundary_matches_xla_core():
+    # boundary (NII) handoff: same APPs and — up to the XLA twin's
+    # per-lane normalization — the same final carries.
     import jax
     import jax.numpy as jnp
     from commpy_tpu.kernels.bcjr import bcjr_appdiff_pallas
+    from commpy_tpu.ops.turbo import _bcjr_masked
 
     tr = Trellis(np.array([2]), np.array([[1, 7]]), 5, "rsc")
     S = tr.number_states
     rng = np.random.RandomState(5)
-    T, R = 48, 256
+    T, R, nv = 48, 256, 0.5
     syn, pan, li = (rng.randn(T, R).astype(np.float32) * 2
                     for _ in range(3))
     a0 = rng.randn(S, R).astype(np.float32)
     bT = rng.randn(S, R).astype(np.float32)
-    outs = []
-    for bf in (False, True):
-        outs.append(jax.jit(
-            lambda s, p, l, a, b, bf=bf: bcjr_appdiff_pallas(
-                s, p, l, tr, boundary=(a, b), butterfly=bf)
-        )(syn, pan, li, a0, bT))
-    for x, y in zip(outs[0], outs[1]):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                   rtol=2e-5, atol=2e-4)
+    e, af, bf = jax.jit(
+        lambda s, p, l, a, b: bcjr_appdiff_pallas(
+            s / nv, p / nv, l, tr, boundary=(a, b))
+    )(syn, pan, li, a0, bT)
+    apps, af_x, bf_x = _bcjr_masked(
+        jnp.asarray(syn.T), jnp.asarray(pan.T), jnp.asarray(li.T),
+        jnp.float32(nv), tr, jnp.ones((R, T), jnp.float32),
+        jnp.zeros((R,), bool), max_log=False,
+        alpha_init=jnp.asarray(a0.T), beta_init=jnp.asarray(bT.T),
+        return_carries=True)
+    want = np.asarray(apps[..., 1] - apps[..., 0]).T
+    np.testing.assert_allclose(np.asarray(e), want, rtol=2e-4, atol=2e-3)
+    # carries agree up to a per-lane additive shift
+    for got, ref in ((af, af_x), (bf, bf_x)):
+        g = np.asarray(got).T
+        r = np.asarray(ref)
+        g = g - g.max(axis=1, keepdims=True)
+        r = r - r.max(axis=1, keepdims=True)
+        np.testing.assert_allclose(g, r, rtol=2e-4, atol=2e-3)
 
 
 def test_acs_forward_exact_precision_flag():

@@ -213,13 +213,24 @@ def test_turbo_pallas_bf16_io_matches_f32_decisions():
     py1 = 2.0 * np.asarray(p1) - 1 + noise[1]
     py2 = 2.0 * np.asarray(p2) - 1 + noise[2]
     args = (sy, py1, py2, mt, sigma2, 4, interlv.p_array)
-    for kw in ({"window": (128, 32)}, {}):
+    # L=512 whole-frame f32 exceeds the kernel's VMEM budget (it decodes
+    # windowed or on the XLA core); cover windowed + bf16 whole-frame,
+    # and whole-frame f32-vs-bf16 at a length that fits both.
+    for kw in ({"window": (128, 32)},
+               {"window": (128, 0), "window_init": "nii"}):
         d32 = np.asarray(T.turbo_decode_device(
             *args, backend="pallas", kernel_io="f32", **kw))
         d16 = np.asarray(T.turbo_decode_device(
             *args, backend="pallas", kernel_io="bf16", **kw))
         assert (d32 != d16).mean() < 5e-3, kw
         assert (d16 != msg).mean() < 5e-3, kw
+    half = (sy[:, :256], py1[:, :256], py2[:, :256], mt, sigma2, 4,
+            RandInterlv(256, 4).p_array)
+    d32 = np.asarray(T.turbo_decode_device(
+        *half, backend="pallas", kernel_io="f32"))
+    d16 = np.asarray(T.turbo_decode_device(
+        *half, backend="pallas", kernel_io="bf16"))
+    assert (d32 != d16).mean() < 5e-3
 
 
 def test_turbo_nii_first_iteration_matches_warmup_w0():
