@@ -41,9 +41,76 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.qcldpc import _llr_max  # single source for the clip constant
 
-__all__ = ["qc_bp_pallas", "vmem_bytes_per_lane"]
+__all__ = ["qc_bp_pallas", "qc_bp_pallas_streamed", "vmem_bytes_per_lane",
+           "streamed_vmem_bytes"]
 
 _VMEM_BUDGET = 13_500_000  # scoped VMEM bytes available to the kernel
+# the streamed kernel raises its own per-call compiler limit (v5e has
+# 128 MB of physical VMEM; the 16 MB default is XLA's conservative
+# scoped-stack ceiling) — budget must still leave room for Mosaic's
+# internal scratch and XLA's operand promotion
+_STREAMED_VMEM_LIMIT = 100_000_000
+
+
+def _make_cn_update(algorithm: str, msa_scale: float, msa_offset: float):
+    """Leave-one-out check-node update over a python list of tiles.
+
+    Shared by the VMEM-resident and the HBM-streamed kernels; the
+    prefix/suffix two-pass trick mirrors the XLA cores' `_loo_prod` /
+    `_loo_min` (ops/qcldpc.py) over the short per-row neighbor lists.
+    """
+    def cn_update(v2c_row):
+        K = len(v2c_row)
+        if algorithm == "SPA":
+            t = [jnp.tanh(v * 0.5) for v in v2c_row]
+            pre = [None] * K
+            suf = [None] * K
+            acc = jnp.ones_like(t[0])
+            for k in range(K):
+                pre[k] = acc
+                acc = acc * t[k]
+            acc = jnp.ones_like(t[0])
+            for k in range(K - 1, -1, -1):
+                suf[k] = acc
+                acc = acc * t[k]
+            out = []
+            for k in range(K):
+                prod = jnp.clip(pre[k] * suf[k], -1.0, 1.0)
+                # 2*atanh(x) = log1p(x) - log1p(-x); Mosaic has no atanh
+                # primitive.  prod = +-1 gives +-inf, which the clip
+                # saturates to +-_llr_max exactly like the XLA path.
+                msg = jnp.log1p(prod) - jnp.log1p(-prod)
+                out.append(jnp.clip(msg, -_llr_max, _llr_max))
+            return out
+        # MSA: sign product x leave-one-out min of magnitudes
+        sg = [jnp.sign(v) for v in v2c_row]
+        mg = [jnp.abs(v) for v in v2c_row]
+        big = jnp.float32(3e38)
+        pre_s = [None] * K
+        suf_s = [None] * K
+        pre_m = [None] * K
+        suf_m = [None] * K
+        acc_s, acc_m = jnp.ones_like(sg[0]), jnp.full_like(mg[0], big)
+        for k in range(K):
+            pre_s[k], pre_m[k] = acc_s, acc_m
+            acc_s = acc_s * sg[k]
+            acc_m = jnp.minimum(acc_m, mg[k])
+        acc_s, acc_m = jnp.ones_like(sg[0]), jnp.full_like(mg[0], big)
+        for k in range(K - 1, -1, -1):
+            suf_s[k], suf_m[k] = acc_s, acc_m
+            acc_s = acc_s * sg[k]
+            acc_m = jnp.minimum(acc_m, mg[k])
+        # normalized/offset min-sum magnitude correction; (1, 0) is
+        # IEEE-exact plain MSA (loo-min >= 0, x*1.0 and x-0.0 exact)
+        return [
+            pre_s[k] * suf_s[k] * jnp.maximum(
+                msa_scale * jnp.minimum(pre_m[k], suf_m[k]) - msa_offset,
+                0.0,
+            )
+            for k in range(K)
+        ]
+
+    return cn_update
 
 
 def vmem_bytes_per_lane(n: int, Z: int, n_blocks_nz: int) -> int:
@@ -118,57 +185,7 @@ def _qc_bp_kernel(llr_ref, dec_ref, out_llr_ref, *, Z: int, Nb: int,
             bad = jnp.maximum(bad, odd)
         return bad
 
-    def cn_update(v2c_row):
-        # leave-one-out over the row's K neighbors (prefix/suffix pass)
-        K = len(v2c_row)
-        if algorithm == "SPA":
-            t = [jnp.tanh(v * 0.5) for v in v2c_row]
-            pre = [None] * K
-            suf = [None] * K
-            acc = jnp.ones_like(t[0])
-            for k in range(K):
-                pre[k] = acc
-                acc = acc * t[k]
-            acc = jnp.ones_like(t[0])
-            for k in range(K - 1, -1, -1):
-                suf[k] = acc
-                acc = acc * t[k]
-            out = []
-            for k in range(K):
-                prod = jnp.clip(pre[k] * suf[k], -1.0, 1.0)
-                # 2*atanh(x) = log1p(x) - log1p(-x); Mosaic has no atanh
-                # primitive.  prod = +-1 gives +-inf, which the clip
-                # saturates to +-_llr_max exactly like the XLA path.
-                msg = jnp.log1p(prod) - jnp.log1p(-prod)
-                out.append(jnp.clip(msg, -_llr_max, _llr_max))
-            return out
-        # MSA: sign product x leave-one-out min of magnitudes
-        sg = [jnp.sign(v) for v in v2c_row]
-        mg = [jnp.abs(v) for v in v2c_row]
-        big = jnp.float32(3e38)
-        pre_s = [None] * K
-        suf_s = [None] * K
-        pre_m = [None] * K
-        suf_m = [None] * K
-        acc_s, acc_m = jnp.ones_like(sg[0]), jnp.full_like(mg[0], big)
-        for k in range(K):
-            pre_s[k], pre_m[k] = acc_s, acc_m
-            acc_s = acc_s * sg[k]
-            acc_m = jnp.minimum(acc_m, mg[k])
-        acc_s, acc_m = jnp.ones_like(sg[0]), jnp.full_like(mg[0], big)
-        for k in range(K - 1, -1, -1):
-            suf_s[k], suf_m[k] = acc_s, acc_m
-            acc_s = acc_s * sg[k]
-            acc_m = jnp.minimum(acc_m, mg[k])
-        # normalized/offset min-sum magnitude correction; (1, 0) is
-        # IEEE-exact plain MSA (loo-min >= 0, x*1.0 and x-0.0 exact)
-        return [
-            pre_s[k] * suf_s[k] * jnp.maximum(
-                msa_scale * jnp.minimum(pre_m[k], suf_m[k]) - msa_offset,
-                0.0,
-            )
-            for k in range(K)
-        ]
+    cn_update = _make_cn_update(algorithm, msa_scale, msa_offset)
 
     def body(it, carry):
         c2v, act = carry  # act [1, BC]: 1.0 while unconverged
@@ -324,3 +341,242 @@ def qc_bp_pallas(llr, algorithm: str, n_iters: int, meta,
     )(x)
     return (jnp.transpose(dec[:, :B]),
             jnp.transpose(out_llr[:, :B]))
+
+
+# --------------------------------------------------------------------------
+# HBM-streamed variant: production-largest codes (DVB-S2 n=16200+)
+# --------------------------------------------------------------------------
+
+_LANE_Q = 128
+
+
+def streamed_vmem_bytes(n: int, Z: int, k_max: int) -> int:
+    """VMEM footprint of the streamed kernel at the 128-lane chunk.
+
+    Resident: the running totals [n, 128] f32.  Streamed per check
+    block row: double-buffered read and write c2v buffers of the
+    largest row ([2, k_max*Z, 128] f32 each).  The c2v store itself
+    ([nnz*Z, 128] f32) lives in HBM; a small headroom term covers
+    register spill.
+    """
+    return 4 * n * _LANE_Q + 4 * 4 * k_max * Z * _LANE_Q + 4 * Z * _LANE_Q
+
+
+def _qc_bp_streamed_kernel(llr_hbm, stats_ref, out_llr_hbm, c2v_hbm,
+                           tot_ref, rd2_ref, wr2_ref,
+                           in_sem, out_sem, rd_sems, wr_sems, *,
+                           Z: int, Nb: int, rows,
+                           algorithm: str, n_iters: int,
+                           msa_scale: float, msa_offset: float):
+    """One lane chunk's full LAYERED BP decode, c2v streamed from HBM.
+
+    The VMEM-resident kernel holds every c2v message tile on-chip,
+    which caps it at ~n=2000 codes (the batch lane axis pads to 128).
+    This variant keeps only the running totals resident and streams
+    each check block row's c2v tiles HBM->VMEM->HBM as the layered
+    sweep visits it — the schedule is already row-sequential, so the
+    row's working set IS the natural streaming unit.  HBM traffic per
+    iteration: 2 x nnz x Z x 128 x 4 bytes (read + write the c2v
+    store once), vs the XLA layered core's several full edge-tensor
+    sweeps per row update chain.
+
+    llr_hbm     : [n, Bp] channel LLRs (HBM, chunk sliced by DMA)
+    stats_ref   : [8, 128] (out, VMEM) row 0 = 1.0 where the lane is
+                  still unconverged, row 1 = iterations run.  Doubles
+                  as the required small VMEM-blocked leading output:
+                  with every output unblocked in HBM, XLA stack-
+                  allocates the first custom-call result in VMEM and
+                  OOMs at these sizes.
+    out_llr_hbm : [n, Bp] (out) posterior LLRs — the hard decisions are
+                  exactly ``signbit(out_llr)`` (decisions and totals
+                  latch together), so no separate decision output
+    c2v_hbm     : [nnz*Z, 128] c2v workspace (HBM, reused per chunk —
+                  the TPU grid is sequential)
+    tot_ref     : [n, 128] running totals (VMEM scratch)
+    rd2/wr2_ref : [2, k_max*Z, 128] double-buffered row streaming
+                  buffers (VMEM): row ri+1's c2v fetch overlaps row
+                  ri's compute, and write-backs drain two rows behind
+    """
+    BC = _LANE_Q
+    i = pl.program_id(0)
+    cn_update = _make_cn_update(algorithm, msa_scale, msa_offset)
+
+    e_off = [0]
+    for r in rows:
+        e_off.append(e_off[-1] + len(r))
+
+    cp = pltpu.make_async_copy(
+        llr_hbm.at[:, pl.ds(i * BC, BC)], tot_ref, in_sem)
+    cp.start()
+    cp.wait()
+
+    def tcol(j):
+        return tot_ref[j * Z:(j + 1) * Z, :]
+
+    def rollz(x, s):
+        s = s % Z
+        return pltpu.roll(x, s, axis=0) if s else x
+
+    def synd_bad():
+        # [1, BC] 1.0 where ANY check fails, from current totals
+        bad = jnp.zeros((1, BC), jnp.float32)
+        for r in rows:
+            par = jnp.zeros((Z, BC), jnp.float32)
+            for (j, s) in r:
+                par = par + rollz(
+                    jnp.signbit(tcol(j)).astype(jnp.float32), Z - s)
+            odd = jnp.max(jnp.mod(par, 2.0), axis=0, keepdims=True)
+            bad = jnp.maximum(bad, odd)
+        return bad
+
+    def rd_cp(ri):
+        # identical (src, dst, sem) triples reconstruct the same copy
+        # for start/wait pairing
+        K = len(rows[ri])
+        return pltpu.make_async_copy(
+            c2v_hbm.at[pl.ds(e_off[ri] * Z, K * Z)],
+            rd2_ref.at[ri % 2, pl.ds(0, K * Z)], rd_sems.at[ri % 2])
+
+    def wr_cp(ri):
+        K = len(rows[ri])
+        return pltpu.make_async_copy(
+            wr2_ref.at[ri % 2, pl.ds(0, K * Z)],
+            c2v_hbm.at[pl.ds(e_off[ri] * Z, K * Z)], wr_sems.at[ri % 2])
+
+    n_rows = len(rows)
+
+    def sweep(it, act):
+        # one layered iteration: totals update after EVERY row; frozen
+        # lanes (act == 0) write their old messages back -> zero delta,
+        # so their totals (and therefore decisions) latch exactly like
+        # the XLA layered core (ops/qcldpc.py body_layered).
+        # DMA pipeline: row ri+1's c2v fetch runs under row ri's
+        # compute; write-backs wait two rows later (disjoint edge
+        # regions make in-flight read/write overlap safe, and the tail
+        # waits below mean every write has landed by sweep end).
+        rd_cp(0).start()
+        for ri, r in enumerate(rows):
+            rd_cp(ri).wait()
+            if ri + 1 < n_rows:
+                rd_cp(ri + 1).start()
+            slot = ri % 2
+            old, v2c_row = [], []
+            for k, (j, s) in enumerate(r):
+                c_old = jnp.where(
+                    it == 0, 0.0, rd2_ref[slot, k * Z:(k + 1) * Z, :])
+                old.append(c_old)
+                v2c_row.append(rollz(tcol(j), Z - s) - c_old)
+            new_row = cn_update(v2c_row)
+            if ri >= 2:
+                wr_cp(ri - 2).wait()
+            for k, (j, s) in enumerate(r):
+                nc = jnp.where(act > 0.5, new_row[k], old[k])
+                tot_ref[j * Z:(j + 1) * Z, :] = tcol(j) + rollz(
+                    nc - old[k], s)
+                wr2_ref[slot, k * Z:(k + 1) * Z, :] = nc
+            wr_cp(ri).start()
+        if n_rows >= 2:
+            wr_cp(n_rows - 2).wait()
+        wr_cp(n_rows - 1).wait()
+        return jnp.minimum(act, synd_bad())
+
+    def going(carry):
+        it, act = carry
+        return jnp.logical_and(it < n_iters, jnp.max(act) > 0.5)
+
+    def step(carry):
+        it, act = carry
+        return it + 1, sweep(it, act)
+
+    it_fin, act_fin = jax.lax.while_loop(going, step, (0, synd_bad()))
+
+    zeros6 = jnp.zeros((6, BC), jnp.float32)
+    stats_ref[...] = jnp.concatenate(
+        [act_fin, jnp.full((1, BC), it_fin, jnp.float32), zeros6], axis=0)
+    cp2 = pltpu.make_async_copy(
+        tot_ref, out_llr_hbm.at[:, pl.ds(i * BC, BC)], out_sem)
+    cp2.start()
+    cp2.wait()
+
+
+@partial(jax.jit, static_argnames=("algorithm", "n_iters", "meta",
+                                   "msa_scale", "msa_offset"))
+def qc_bp_pallas_streamed(llr, algorithm: str, n_iters: int, meta,
+                          msa_scale: float = 1.0, msa_offset: float = 0.0):
+    """Run the HBM-streamed layered QC BP kernel (large codes).
+
+    Same contract as :func:`qc_bp_pallas` with ``schedule="layered"``;
+    use for codes whose c2v store exceeds the VMEM-resident kernel's
+    budget (DVB-S2 n=16200 class).  Raises ValueError when even the
+    totals-resident footprint does not fit (n=64800 class -> XLA core).
+    """
+    Z, Nb, rows = meta
+    B, n = llr.shape
+    BC = _LANE_Q
+    k_max = max(len(r) for r in rows)
+    nnz = sum(len(r) for r in rows)
+    # + one [n, 128] f32 for the llr/posterior pair XLA may promote
+    need = streamed_vmem_bytes(n, Z, k_max) + 4 * n * _LANE_Q
+    if need > _STREAMED_VMEM_LIMIT:
+        raise ValueError(
+            f"QC code too large even for the streamed kernel "
+            f"(~{need / 1e6:.0f} MB of VMEM totals at {BC} lanes); "
+            f"use backend='xla'"
+        )
+    x = jnp.transpose(llr)  # [n, B] batch-last
+    n_chunks = -(-B // BC)
+    Bp = n_chunks * BC
+    if Bp != B:
+        x = jnp.pad(x, ((0, 0), (0, Bp - B)))
+
+    kernel = partial(_qc_bp_streamed_kernel, Z=Z, Nb=Nb, rows=rows,
+                     algorithm=algorithm, n_iters=int(n_iters),
+                     msa_scale=msa_scale, msa_offset=msa_offset)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    # pl.ANY lets the compiler place small arrays in VMEM — at these
+    # sizes that blows the scoped budget, so pin everything to HBM
+    # (interpret mode only accepts ANY)
+    space = pl.ANY if interpret else pltpu.MemorySpace.HBM
+    _, out_llr, _ = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=space)],
+        out_specs=[
+            pl.BlockSpec((8, BC), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=space),
+            pl.BlockSpec(memory_space=space),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((n, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((nnz * Z, BC), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, BC), jnp.float32),
+            pltpu.VMEM((2, k_max * Z, BC), jnp.float32),
+            pltpu.VMEM((2, k_max * Z, BC), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        # alias llr -> out_llr: each chunk's input columns are DMA'd
+        # into tot before that chunk writes its output columns, and
+        # chunks are sequential.
+        input_output_aliases={0: 1},
+        # XLA's scoped-memory pass may promote the (aliased) llr/out
+        # pair into VMEM when it fits ([n,128] f32 = 8.3 MB at
+        # n=16200); that rides the same 16 MB scoped stack as the
+        # kernel's scratch and OOMs the compile.  Raise this call's
+        # scoped limit (v5e has 128 MB of VMEM) instead of fighting
+        # the promotion.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=need + 2_000_000,
+        ),
+        interpret=interpret,
+    )(x)
+    out_llr = jnp.transpose(out_llr[:, :B])
+    # decisions and totals latch together in the layered core, so the
+    # hard word is exactly the sign of the posterior (ldpc.py:250-254)
+    return jnp.signbit(out_llr).astype(jnp.int8), out_llr

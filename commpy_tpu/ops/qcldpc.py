@@ -615,8 +615,12 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
     word via signbit, posterior LLRs, converged blocks frozen).
     ``backend``: "pallas" runs every iteration VMEM-resident
     (`kernels/qc_bp.py` — the XLA path streams the edge tensor through
-    HBM several times per iteration); "xla" keeps the roll-based XLA
-    core; "auto" picks pallas on TPU backends.
+    HBM several times per iteration); "pallas-streamed" keeps only the
+    running totals in VMEM and streams each layer's c2v tiles from HBM
+    (layered-only — for codes past the resident kernel's budget, e.g.
+    DVB-S2 n=16200); "xla" keeps the roll-based XLA core; "auto" picks
+    the resident kernel on TPU backends, falling back to streamed
+    (layered) then XLA by footprint.
     ``schedule``: "flooding" matches the reference BP exactly;
     "layered" updates totals after every check block row — the serial
     schedule converges in roughly half the iterations at equal BER (no
@@ -650,18 +654,31 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
             else "xla"
         )
         if backend == "pallas":
-            # codes whose VMEM footprint exceeds the kernel budget run
-            # the XLA core instead (the batch lane axis pads to 128, so
-            # a smaller chunk cannot save them); both schedules exist
-            # on both backends
-            from ..kernels.qc_bp import _VMEM_BUDGET, vmem_bytes_per_lane
+            # codes whose c2v store exceeds the VMEM-resident kernel's
+            # budget (the batch lane axis pads to 128, so a smaller
+            # chunk cannot save them) stream it from HBM instead —
+            # layered only, the row-sequential schedule IS the
+            # streaming unit; flooding at that size keeps the XLA core
+            from ..kernels.qc_bp import (_STREAMED_VMEM_LIMIT, _VMEM_BUDGET,
+                                         streamed_vmem_bytes,
+                                         vmem_bytes_per_lane)
 
-            nz = int(np.sum(np.asarray(qc_params["block_j"]) >= 0))
+            bj_np = np.asarray(qc_params["block_j"])
+            nz = int(np.sum(bj_np >= 0))
+            k_max = int(np.max(np.sum(bj_np >= 0, axis=1)))
             if 128 * vmem_bytes_per_lane(Nb * Z, Z, nz) > _VMEM_BUDGET:
-                backend = "xla"
+                fits_streamed = (
+                    streamed_vmem_bytes(Nb * Z, Z, k_max)
+                    + 4 * 128 * Nb * Z <= _STREAMED_VMEM_LIMIT
+                )
+                backend = (
+                    "pallas-streamed"
+                    if (schedule == "layered" and fits_streamed)
+                    else "xla"
+                )
 
-    if backend == "pallas":
-        from ..kernels.qc_bp import qc_bp_pallas
+    if backend in ("pallas", "pallas-streamed"):
+        from ..kernels.qc_bp import qc_bp_pallas, qc_bp_pallas_streamed
 
         bs_t, bj_t = qc_params["block_s"], qc_params["block_j"]
         rows = tuple(
@@ -672,10 +689,20 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
             for i in range(Mb)
         )
         xf = jnp.clip(x.reshape(-1, Nb * Z), -_llr_max, _llr_max)
-        dec, out = qc_bp_pallas(xf, decoder_algorithm, int(n_iters),
-                                (Z, Nb, rows), schedule=schedule,
-                                msa_scale=float(msa_scale),
-                                msa_offset=float(msa_offset))
+        if backend == "pallas-streamed":
+            if schedule != "layered":
+                raise ValueError(
+                    "the HBM-streamed kernel is layered-only; use "
+                    "schedule='layered' or backend='xla'"
+                )
+            dec, out = qc_bp_pallas_streamed(
+                xf, decoder_algorithm, int(n_iters), (Z, Nb, rows),
+                msa_scale=float(msa_scale), msa_offset=float(msa_offset))
+        else:
+            dec, out = qc_bp_pallas(xf, decoder_algorithm, int(n_iters),
+                                    (Z, Nb, rows), schedule=schedule,
+                                    msa_scale=float(msa_scale),
+                                    msa_offset=float(msa_offset))
     else:
         bj = qc_params["block_j"]
         meta = (
