@@ -230,25 +230,42 @@ def main():
     # (reference ldpc.py:144-255).  Synthesized IRA-style QC code at the
     # DVB-S2 long-frame length; roll-based O(E) BP.
     def sec_qcldpc_dvbs2():
-        from commpy_tpu.ops.qcldpc import (
-            qc_bp_decode_device, random_qc_params,
+        # DVB-S2-class (synthetic address tables, standard-exact
+        # structure incl. the bit-accumulator wrap edge — see
+        # ops/dvbs2.py provenance note).  Random LLR input = no lane
+        # ever early-exits, so this is the full-iteration worst case.
+        from commpy_tpu.ops.dvbs2 import (
+            dvbs2_qc_params, synthetic_address_table,
         )
+        from commpy_tpu.ops.qcldpc import qc_bp_decode_device
 
-        params = random_qc_params(25, 45, 360, col_weight=3, seed=0)
-        assert params["n_vnodes"] == 16200
-        Bq = 64
+        tab = synthetic_address_table(16200, "1/2", seed=0)
+        params = dvbs2_qc_params(tab, 16200, "1/2")
+        Bq = 512
         x0 = jnp.asarray(rng.randn(Bq, 16200).astype(np.float32) * 2)
-        # layered-8 == flooding-15 BER (tests/test_qcldpc.py); on the
-        # XLA core at this size it is also vastly faster (flooding
-        # streams the full 48600-edge tensor per iteration:
-        # scripts/qcldpc_ab.py measured flooding-15 at a steady
-        # 25-31 Mb/s vs layered-8 at 147-942 Mb/s)
-        def body(c):
+
+        # layered-8 == flooding-15 BER (tests/test_qcldpc.py); the
+        # layered schedule runs on the HBM-streamed Pallas kernel
+        def body_l(c):
             dec, out = qc_bp_decode_device(c, params, "MSA", 8,
                                            schedule="layered")
             return c + out * 1e-9
-        dt = timed_chain(body, x0, rep=12)
+        dt = timed_chain(body_l, x0, rep=8)
         report("qcldpc_dvbs2_16200_layered8", Bq * 7200 / dt,
+               "info bits/s", "")
+
+        # flooding-15 on the XLA roll core (the reference-shaped
+        # schedule), kept so both schedules stay comparable across
+        # rounds at equal BER
+        Bf = 64
+        xf = jnp.asarray(rng.randn(Bf, 16200).astype(np.float32) * 2)
+
+        def body_f(c):
+            dec, out = qc_bp_decode_device(c, params, "MSA", 15,
+                                           schedule="flooding")
+            return c + out * 1e-9
+        dt = timed_chain(body_f, xf, rep=6)
+        report("qcldpc_dvbs2_16200_msa15", Bf * 7200 / dt,
                "info bits/s", "")
     guarded(sec_qcldpc_dvbs2)
 

@@ -36,6 +36,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -367,7 +368,8 @@ def _qc_bp_streamed_kernel(llr_hbm, stats_ref, out_llr_hbm, c2v_hbm,
                            in_sem, out_sem, rd_sems, wr_sems, *,
                            Z: int, Nb: int, rows,
                            algorithm: str, n_iters: int,
-                           msa_scale: float, msa_offset: float):
+                           msa_scale: float, msa_offset: float,
+                           pos_masks=()):
     """One lane chunk's full LAYERED BP decode, c2v streamed from HBM.
 
     The VMEM-resident kernel holds every c2v message tile on-chip,
@@ -405,6 +407,22 @@ def _qc_bp_streamed_kernel(llr_hbm, stats_ref, out_llr_hbm, c2v_hbm,
     for r in rows:
         e_off.append(e_off[-1] + len(r))
 
+    # per-position edge masks: (ri, k) -> [Z, 1] f32 tile, 0.0 at
+    # check positions where the circulant block is missing an edge
+    # (DVB-S2 bit-accumulator wrap).  A masked position's v2c is forced
+    # hugely positive (neutral in both SPA's tanh-product and MSA's
+    # sign x min) and its c2v / syndrome contribution to zero.  Built
+    # from iota in-kernel: Pallas kernels cannot capture array
+    # constants.
+    emask = {}
+    for (ri, k, excluded) in pos_masks:
+        pos = jax.lax.broadcasted_iota(jnp.int32, (Z, 1), 0)
+        keep = None
+        for pexc in excluded:
+            c = pos != pexc
+            keep = c if keep is None else jnp.logical_and(keep, c)
+        emask[(ri, k)] = keep.astype(jnp.float32)
+
     cp = pltpu.make_async_copy(
         llr_hbm.at[:, pl.ds(i * BC, BC)], tot_ref, in_sem)
     cp.start()
@@ -418,13 +436,19 @@ def _qc_bp_streamed_kernel(llr_hbm, stats_ref, out_llr_hbm, c2v_hbm,
         return pltpu.roll(x, s, axis=0) if s else x
 
     def synd_bad():
-        # [1, BC] 1.0 where ANY check fails, from current totals
+        # [1, BC] 1.0 where ANY check fails, from current totals;
+        # decisions materialized once per column, not per edge
+        dec_cols = [
+            jnp.signbit(tcol(j)).astype(jnp.float32) for j in range(Nb)
+        ]
         bad = jnp.zeros((1, BC), jnp.float32)
-        for r in rows:
+        for ri, r in enumerate(rows):
             par = jnp.zeros((Z, BC), jnp.float32)
-            for (j, s) in r:
-                par = par + rollz(
-                    jnp.signbit(tcol(j)).astype(jnp.float32), Z - s)
+            for k, (j, s) in enumerate(r):
+                contrib = rollz(dec_cols[j], Z - s)
+                if (ri, k) in emask:
+                    contrib = contrib * emask[(ri, k)]
+                par = par + contrib
             odd = jnp.max(jnp.mod(par, 2.0), axis=0, keepdims=True)
             bad = jnp.maximum(bad, odd)
         return bad
@@ -465,12 +489,17 @@ def _qc_bp_streamed_kernel(llr_hbm, stats_ref, out_llr_hbm, c2v_hbm,
                 c_old = jnp.where(
                     it == 0, 0.0, rd2_ref[slot, k * Z:(k + 1) * Z, :])
                 old.append(c_old)
-                v2c_row.append(rollz(tcol(j), Z - s) - c_old)
+                v2c = rollz(tcol(j), Z - s) - c_old
+                if (ri, k) in emask:
+                    v2c = jnp.where(emask[(ri, k)] > 0.5, v2c, 1e30)
+                v2c_row.append(v2c)
             new_row = cn_update(v2c_row)
             if ri >= 2:
                 wr_cp(ri - 2).wait()
             for k, (j, s) in enumerate(r):
                 nc = jnp.where(act > 0.5, new_row[k], old[k])
+                if (ri, k) in emask:
+                    nc = nc * emask[(ri, k)]
                 tot_ref[j * Z:(j + 1) * Z, :] = tcol(j) + rollz(
                     nc - old[k], s)
                 wr2_ref[slot, k * Z:(k + 1) * Z, :] = nc
@@ -500,9 +529,11 @@ def _qc_bp_streamed_kernel(llr_hbm, stats_ref, out_llr_hbm, c2v_hbm,
 
 
 @partial(jax.jit, static_argnames=("algorithm", "n_iters", "meta",
-                                   "msa_scale", "msa_offset"))
+                                   "msa_scale", "msa_offset",
+                                   "pos_masks"))
 def qc_bp_pallas_streamed(llr, algorithm: str, n_iters: int, meta,
-                          msa_scale: float = 1.0, msa_offset: float = 0.0):
+                          msa_scale: float = 1.0, msa_offset: float = 0.0,
+                          pos_masks=()):
     """Run the HBM-streamed layered QC BP kernel (large codes).
 
     Same contract as :func:`qc_bp_pallas` with ``schedule="layered"``;
@@ -531,7 +562,8 @@ def qc_bp_pallas_streamed(llr, algorithm: str, n_iters: int, meta,
 
     kernel = partial(_qc_bp_streamed_kernel, Z=Z, Nb=Nb, rows=rows,
                      algorithm=algorithm, n_iters=int(n_iters),
-                     msa_scale=msa_scale, msa_offset=msa_offset)
+                     msa_scale=msa_scale, msa_offset=msa_offset,
+                     pos_masks=pos_masks)
     interpret = jax.default_backend() not in ("tpu", "axon")
     # pl.ANY lets the compiler place small arrays in VMEM — at these
     # sizes that blows the scoped budget, so pin everything to HBM
@@ -572,7 +604,7 @@ def qc_bp_pallas_streamed(llr, algorithm: str, n_iters: int, meta,
         # scoped limit (v5e has 128 MB of VMEM) instead of fighting
         # the promotion.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=need + 2_000_000,
+            vmem_limit_bytes=need + 16_000_000,
         ),
         interpret=interpret,
     )(x)

@@ -4,6 +4,7 @@ from . import (
     algebraic,
     channel,
     convcode,
+    dvbs2,
     filters,
     fir,
     galois,
@@ -21,7 +22,7 @@ from .trellis import Trellis
 from .viterbi import viterbi_decode, viterbi_decode_device
 
 __all__ = [
-    "algebraic", "channel", "convcode", "filters", "fir", "galois",
+    "algebraic", "channel", "convcode", "dvbs2", "filters", "fir", "galois",
     "impairments", "interleave", "ldpc", "mimo", "modem", "ofdm",
     "sequences", "stream", "turbo", "Trellis", "viterbi_decode",
     "viterbi_decode_device",

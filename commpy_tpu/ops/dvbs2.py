@@ -1,0 +1,370 @@
+"""DVB-S2 (ETSI EN 302 307-1 §5.3) LDPC subsystem — TPU-native.
+
+The standard defines its LDPC codes through per-rate *address tables*
+(Annexes B and C): information bits are processed in groups of 360, and
+bit ``m`` of group ``i`` is XOR-accumulated into parity positions
+``(x + (m mod 360) * q) mod (n - k)`` for each address ``x`` in the
+table's row ``i``; a final running XOR over the parity bits closes the
+accumulator (§5.3.2).  This module implements that machinery exactly —
+frame parameters for every standard rate at both frame sizes, the
+Annex-format table parser, the accumulator encoder, and the decode
+path — designed TPU-first:
+
+* **QC isomorphism**: under the row/parity-column permutation
+  ``r = b*q + a  <->  (block a, position b)`` the address-table part of
+  H becomes pure 360-circulants (the same trick DVB-T2/S2X standardize
+  as "parity interleaving"), so decoding rides the existing roll-based
+  QC cores and the HBM-streamed Pallas kernel (kernels/qc_bp.py) with
+  zero gathers — the permutation itself is one reshape/transpose of
+  the parity LLRs.
+* **The accumulator wrap** (check 0 has no predecessor parity) makes
+  one block a shift-circulant minus a single edge; that edge is killed
+  with a per-position mask (``pos_masks``) supported by the streamed
+  kernel and the XLA core, so the decoded code is H exactly — not a
+  circulant-extended approximation.
+* **Encoding** is O(edges): per-group circulant rolls accumulate the
+  QC-domain syndromes, one transpose returns them to transmission
+  order, and the accumulator chain is a single cumulative sum mod 2 —
+  no dense generator matrix at n = 64800.
+
+Table provenance — READ THIS BEFORE BENCHMARKING CLAIMS: this build
+environment has no network egress, so the published address-table
+INTEGERS of Annexes B/C could not be bundled and verified.  Everything
+around them is standard-exact; :func:`parse_address_table` accepts the
+published tables verbatim (one whitespace/comma-separated row per
+line, exactly how the standard prints them), and a user who pastes
+Table B.1-B.11 / C.1-C.10 text gets the real ETSI codes end to end.
+What ships for benchmarking is :func:`synthetic_address_table` — the
+exact standard structure (same q, same group-of-360 accumulator
+addressing, check degrees matching the standard's row weights,
+two-level info degree profile like the standard's) with synthetic
+address values — and is therefore labeled "DVB-S2-class", never
+"DVB-S2", in every bench row.
+
+Reference scope: the upstream library ships no DVB-S2 support at all
+(its largest decodable asset is WiMAX n=1440,
+commpy/channelcoding/ldpc.py:51); this module is a beyond-reference
+capability driven by round-2 review feedback.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "Z_DVBS2",
+    "frame_params",
+    "parse_address_table",
+    "synthetic_address_table",
+    "dvbs2_qc_params",
+    "dvbs2_expand_h",
+    "dvbs2_encode_device",
+    "dvbs2_decode_device",
+]
+
+Z_DVBS2 = 360  # the standard's universal circulant / group size (§5.3.2)
+
+# kldpc per (nldpc, rate) — EN 302 307-1 Tables 5a (normal FECFRAME,
+# n=64800) and 5b (short FECFRAME, n=16200).  q = (n - k) / 360.
+_K_LDPC = {
+    64800: {
+        "1/4": 16200, "1/3": 21600, "2/5": 25920, "1/2": 32400,
+        "3/5": 38880, "2/3": 43200, "3/4": 48600, "4/5": 51840,
+        "5/6": 54000, "8/9": 57600, "9/10": 58320,
+    },
+    16200: {
+        "1/4": 3240, "1/3": 5400, "2/5": 6480, "1/2": 7200,
+        "3/5": 9720, "2/3": 10800, "3/4": 11880, "4/5": 12600,
+        "5/6": 13320, "8/9": 14400,
+    },
+}
+
+# Check-node degree targets for the synthetic tables: the address-part
+# degree is (row weight - 2 accumulator edges).  These approximate the
+# standard codes' row weights; the real tables fix them exactly.
+_ROW_DEG = {
+    "1/4": 4, "1/3": 5, "2/5": 6, "1/2": 7, "3/5": 11, "2/3": 10,
+    "3/4": 14, "4/5": 18, "5/6": 22, "8/9": 27, "9/10": 30,
+}
+
+
+def frame_params(n_ldpc: int, rate: str) -> tuple[int, int]:
+    """(kldpc, q) for a standard (frame size, code identifier) pair."""
+    try:
+        k = _K_LDPC[n_ldpc][rate]
+    except KeyError:
+        raise ValueError(
+            f"no DVB-S2 code at n={n_ldpc}, rate={rate}; frame sizes are "
+            f"16200/64800 and rates {sorted(_K_LDPC[64800])}"
+        ) from None
+    return k, (n_ldpc - k) // Z_DVBS2
+
+
+def parse_address_table(text: str) -> tuple[tuple[int, ...], ...]:
+    """Parse an Annex B/C address table (one row per line, as printed).
+
+    Accepts whitespace- or comma-separated integers; blank lines and
+    ``#`` comments are skipped.  Row i holds the parity accumulator
+    addresses of the first bit of information-bit group i.
+    """
+    rows = []
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip().replace(",", " ")
+        if not line:
+            continue
+        rows.append(tuple(int(v) for v in line.split()))
+    if not rows:
+        raise ValueError("empty address table")
+    return tuple(rows)
+
+
+def synthetic_address_table(n_ldpc: int, rate: str,
+                            seed: int = 0) -> tuple[tuple[int, ...], ...]:
+    """Structure-exact synthetic address table ("DVB-S2-class").
+
+    Matches the standard's construction exactly in everything but the
+    address values: k/360 rows, addresses in [0, n-k), check degrees
+    hitting the per-rate row-weight targets, and a two-level info
+    degree profile (a leading block of degree-8 groups — degree 12 for
+    rates >= 3/4 — then degree-3 groups) like the published tables.
+    Block-level 4-cycles are rejection-sampled away.
+    """
+    k, q = frame_params(n_ldpc, rate)
+    gb = k // Z_DVBS2
+    M = n_ldpc - k
+    edges = q * (_ROW_DEG[rate] - 2)
+    d_high = 12 if _ROW_DEG[rate] >= 14 else 8
+    n_high = max(0, min(gb, (edges - 3 * gb) // (d_high - 3)))
+    degs = [d_high] * n_high + [3] * (gb - n_high)
+    rng = np.random.RandomState(seed)
+
+    # 4-cycle bookkeeping at block level: two columns hitting block
+    # rows (a1, a2) with the same shift difference close a 4-cycle.
+    # Seed with the accumulator chain's own pairs.
+    seen: dict[tuple[int, int], set] = {
+        (a, a + 1): {0} for a in range(q - 1)
+    }
+    seen[(0, q - 1)] = {(0 - 359) % Z_DVBS2, (359 - 0) % Z_DVBS2}
+
+    table = []
+    load = np.zeros(q, np.int64)  # per-check-block-row edge counts
+    for i in range(gb):
+        d = degs[i]
+        pairs = []
+        for _ in range(400):
+            # stratified row assignment: the standard's tables spread
+            # addresses so check degrees stay near-uniform — sample the
+            # d least-loaded block rows (random tie-break), then shifts
+            order = np.lexsort((rng.rand(q), load))
+            a = order[:d].copy()
+            rng.shuffle(a)
+            t = rng.randint(0, M // q, d)
+            xs = t * q + a
+            if len({(int(aa), int(tt)) for aa, tt in zip(a, t)}) != d:
+                continue  # duplicate (block, shift) would cancel in GF(2)
+            pairs = []
+            ok = True
+            for u in range(d):
+                for v in range(u + 1, d):
+                    if a[u] == a[v]:
+                        continue  # same block row: no 4-cycle pair
+                    key = (min(int(a[u]), int(a[v])),
+                           max(int(a[u]), int(a[v])))
+                    dd = (int(t[u]) - int(t[v])) % Z_DVBS2
+                    if int(a[u]) > int(a[v]):
+                        dd = (-dd) % Z_DVBS2
+                    if dd in seen.get(key, ()):
+                        ok = False
+                        break
+                    pairs.append((key, dd))
+                if not ok:
+                    break
+            if ok:
+                break
+        for key, dd in pairs:
+            seen.setdefault(key, set()).add(dd)
+            seen[key].add((-dd) % Z_DVBS2)
+        np.add.at(load, a, 1)
+        table.append(tuple(int(v) for v in np.sort(xs)))
+    return tuple(table)
+
+
+def dvbs2_qc_params(table, n_ldpc: int, rate: str) -> dict:
+    """QC decode parameters for a DVB-S2 address table.
+
+    Returns the same dict shape as :func:`.qcldpc.qc_code_params`
+    (block_j/block_s per check block row, valid slots contiguous from
+    k=0) plus ``pos_masks`` for the accumulator wrap edge and a
+    ``dvbs2`` sub-dict carrying the table for the encoder.  The QC
+    domain orders parity bits by the ``r = b*q + a -> (a, b)``
+    permutation; :func:`dvbs2_decode_device` handles the LLR
+    permutation, so callers using it never see the QC order.
+    """
+    table = tuple(tuple(int(x) for x in row) for row in table)
+    k, q = frame_params(n_ldpc, rate)
+    gb = k // Z_DVBS2
+    M = n_ldpc - k
+    if len(table) != gb:
+        raise ValueError(
+            f"table must have k/360 = {gb} rows, got {len(table)}"
+        )
+    rows: list[list[tuple[int, int]]] = [[] for _ in range(q)]
+    for i, row in enumerate(table):
+        for x in row:
+            if not 0 <= x < M:
+                raise ValueError(
+                    f"address {x} out of range [0, {M}) in row {i}"
+                )
+            a, t = x % q, x // q
+            # H block (a, i) = P^s with s = -t mod 360: check position
+            # b connects variable position (b + s) % 360 = b - t, i.e.
+            # bit m lands in check position m + t (§5.3.2 step m*q)
+            rows[a].append((i, (-t) % Z_DVBS2))
+    for a in range(q):
+        dup = {}
+        for j, s in rows[a]:
+            dup[(j, s)] = dup.get((j, s), 0) + 1
+        if any(v > 1 for v in dup.values()):
+            raise ValueError(
+                f"duplicate (group, shift) pair in check block row {a}: "
+                "paired edges cancel in GF(2)"
+            )
+        # accumulator: p_r in check r (identity) and p_{r-1} in check r
+        rows[a].append((gb + a, 0))
+        if a > 0:
+            rows[a].append((gb + a - 1, 0))
+    # wrap: check (0, b) also holds p_{b*q - 1} = QC (q-1, b-1) for
+    # b >= 1 — a shift-(-1) circulant minus its b=0 edge
+    rows[0].append((gb + q - 1, (-1) % Z_DVBS2))
+    pos_masks = ((0, len(rows[0]) - 1, (0,)),)
+
+    K = max(len(r) for r in rows)
+    block_j = -np.ones((q, K), np.int32)
+    block_s = np.zeros((q, K), np.int32)
+    for a in range(q):
+        for kk, (j, s) in enumerate(rows[a]):
+            block_j[a, kk] = j
+            block_s[a, kk] = s
+    return {
+        "base_matrix": None,  # duplicate (row, col) blocks are legal here
+        "Z": Z_DVBS2,
+        "Mb": q,
+        "Nb": gb + q,
+        "K": K,
+        "block_j": block_j,
+        "block_s": block_s,
+        "n_vnodes": n_ldpc,
+        "n_cnodes": M,
+        "k_bits": k,
+        "pos_masks": pos_masks,
+        "dvbs2": {"table": table, "n": n_ldpc, "rate": rate, "q": q},
+    }
+
+
+def dvbs2_expand_h(params: dict) -> np.ndarray:
+    """Dense H ``[n-k, n]`` int8 in STANDARD bit order (host, for tests).
+
+    Built from the block structure (including the wrap-edge mask) and
+    mapped back through the QC permutation, so ``H @ c % 2 == 0`` holds
+    for :func:`dvbs2_encode_device` codewords directly.
+    """
+    q = params["dvbs2"]["q"]
+    Z = params["Z"]
+    gb = params["Nb"] - q
+    k, M, n = params["k_bits"], params["n_cnodes"], params["n_vnodes"]
+    masked = {(i, kk): set(exc) for (i, kk, exc) in params["pos_masks"]}
+    H = np.zeros((M, n), np.int8)
+    bj, bs = params["block_j"], params["block_s"]
+    for a in range(q):
+        for kk in range(params["K"]):
+            j = int(bj[a, kk])
+            if j < 0:
+                continue
+            s = int(bs[a, kk])
+            exc = masked.get((a, kk), ())
+            for b in range(Z):
+                if b in exc:
+                    continue
+                r = b * q + a  # de-permute the check index
+                vpos = (b + s) % Z
+                if j < gb:
+                    c = j * Z + vpos
+                else:
+                    c = k + vpos * q + (j - gb)  # de-permute parity
+                H[r, c] ^= 1
+    return H
+
+
+def dvbs2_encode_device(message_bits, params: dict):
+    """Standard DVB-S2 LDPC encode ``[..., k] -> [..., n]`` (§5.3.2).
+
+    Per-group circulant rolls accumulate the QC-domain check syndromes
+    (each address contributes ``roll(group, x // q)`` into block row
+    ``x % q``), a transpose restores transmission order, and the bit
+    accumulator is one cumulative sum mod 2 — O(edges + n) with exact
+    f32 arithmetic (partial sums < 2^24).
+    """
+    d = params["dvbs2"]
+    q, table = d["q"], d["table"]
+    Z = params["Z"]
+    gb = params["Nb"] - q
+    m = jnp.asarray(message_bits)
+    lead = m.shape[:-1]
+    mB = m.reshape(lead + (gb, Z)).astype(jnp.float32)
+    acc = [jnp.zeros(lead + (Z,), jnp.float32) for _ in range(q)]
+    for i, row in enumerate(table):
+        g = mB[..., i, :]
+        for x in row:
+            acc[x % q] = acc[x % q] + jnp.roll(g, x // q, axis=-1)
+    s_qc = jnp.stack(acc, axis=-2)  # [..., q(a), Z(b)]
+    # transmission order r = b*q + a, then the running accumulator
+    s_tx = jnp.swapaxes(s_qc, -1, -2).reshape(lead + (q * Z,))
+    parity = jnp.mod(jnp.cumsum(s_tx, axis=-1), 2.0)
+    return jnp.concatenate(
+        [m.astype(jnp.int8), parity.astype(jnp.int8)], axis=-1
+    )
+
+
+def _parity_to_qc(x, q: int, Z: int):
+    lead = x.shape[:-1]
+    return jnp.swapaxes(
+        x.reshape(lead + (Z, q)), -1, -2
+    ).reshape(lead + (q * Z,))
+
+
+def _parity_from_qc(x, q: int, Z: int):
+    lead = x.shape[:-1]
+    return jnp.swapaxes(
+        x.reshape(lead + (q, Z)), -1, -2
+    ).reshape(lead + (q * Z,))
+
+
+def dvbs2_decode_device(llr, params: dict, decoder_algorithm: str = "MSA",
+                        n_iters: int = 25, **kwargs):
+    """BP decode standard-order LLRs ``[..., n]`` -> (dec, posterior).
+
+    Permutes the parity LLRs into the QC domain (one reshape/transpose
+    each way), runs :func:`.qcldpc.qc_bp_decode_device` — which routes
+    n=16200/64800 codes onto the HBM-streamed layered Pallas kernel on
+    TPU — and returns both outputs in standard bit order.
+    """
+    from .qcldpc import qc_bp_decode_device
+
+    q = params["dvbs2"]["q"]
+    Z = params["Z"]
+    k = params["k_bits"]
+    x = jnp.asarray(llr, jnp.float32)
+    llr_qc = jnp.concatenate(
+        [x[..., :k], _parity_to_qc(x[..., k:], q, Z)], axis=-1
+    )
+    kwargs.setdefault("schedule", "layered")
+    dec, out = qc_bp_decode_device(
+        llr_qc, params, decoder_algorithm, n_iters, **kwargs
+    )
+    dec_std = jnp.concatenate(
+        [dec[..., :k], _parity_from_qc(dec[..., k:], q, Z)], axis=-1
+    )
+    out_std = jnp.concatenate(
+        [out[..., :k], _parity_from_qc(out[..., k:], q, Z)], axis=-1
+    )
+    return dec_std, out_std

@@ -478,7 +478,7 @@ def _loo_min(mag, mask):
                           "msa_scale", "msa_offset", "schedule"))
 def _qc_bp_core(llr, block_s_t, algorithm: str, n_iters: int, meta,
                 msa_scale: float = 1.0, msa_offset: float = 0.0,
-                schedule: str = "flooding"):
+                schedule: str = "flooding", pos_mask=None):
     """BP over the QC edge tensor ``[B, Mb, Z, K]``.
 
     meta = (Mb, Nb, Z, K, block_j as nested tuple, valid mask tuple).
@@ -488,11 +488,16 @@ def _qc_bp_core(llr, block_s_t, algorithm: str, n_iters: int, meta,
     block row (serial schedule) — same fixed point, ~half the
     iterations at equal BER; this is the path for codes too large for
     the VMEM-resident kernel.
+    ``pos_mask``: optional [Mb, Z, K] bool — False kills individual
+    edge POSITIONS inside a nonzero circulant block (DVB-S2's
+    bit-accumulator wrap block is a shift circulant minus one edge).
     """
     Mb, Nb, Z, K, block_j, valid = meta
     B = llr.shape[0]
     vshape = (B, Nb, Z)
     mask = jnp.asarray(np.asarray(valid), bool)[None, :, None, :]
+    if pos_mask is not None:
+        mask = mask & jnp.asarray(pos_mask, bool)[None]
 
     sj = np.asarray(block_s_t)  # [Mb, K] shifts (host constants)
     bj = np.asarray(block_j)
@@ -666,7 +671,12 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
             bj_np = np.asarray(qc_params["block_j"])
             nz = int(np.sum(bj_np >= 0))
             k_max = int(np.max(np.sum(bj_np >= 0, axis=1)))
-            if 128 * vmem_bytes_per_lane(Nb * Z, Z, nz) > _VMEM_BUDGET:
+            has_pos_masks = bool(qc_params.get("pos_masks"))
+            if (128 * vmem_bytes_per_lane(Nb * Z, Z, nz) > _VMEM_BUDGET
+                    or has_pos_masks):
+                # per-position edge masks (DVB-S2 wrap block) are
+                # implemented on the streamed kernel and the XLA core
+                # only; the resident kernel never fits those codes
                 fits_streamed = (
                     streamed_vmem_bytes(Nb * Z, Z, k_max)
                     + 4 * 128 * Nb * Z <= _STREAMED_VMEM_LIMIT
@@ -697,8 +707,14 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
                 )
             dec, out = qc_bp_pallas_streamed(
                 xf, decoder_algorithm, int(n_iters), (Z, Nb, rows),
-                msa_scale=float(msa_scale), msa_offset=float(msa_offset))
+                msa_scale=float(msa_scale), msa_offset=float(msa_offset),
+                pos_masks=qc_params.get("pos_masks", ()))
         else:
+            if qc_params.get("pos_masks"):
+                raise NotImplementedError(
+                    "per-position edge masks need backend="
+                    "'pallas-streamed' or 'xla'"
+                )
             dec, out = qc_bp_pallas(xf, decoder_algorithm, int(n_iters),
                                     (Z, Nb, rows), schedule=schedule,
                                     msa_scale=float(msa_scale),
@@ -710,6 +726,14 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
             tuple(tuple(int(v) for v in row) for row in bj),
             tuple(tuple(bool(v >= 0) for v in row) for row in bj),
         )
+        pos_mask = None
+        if qc_params.get("pos_masks"):
+            # params with masks keep valid slots contiguous from k=0,
+            # so the (i, k) coordinates match both backends
+            pm = np.ones((Mb, Z, K), bool)
+            for (i, k, excluded) in qc_params["pos_masks"]:
+                pm[i, list(excluded), k] = False
+            pos_mask = jnp.asarray(pm)
         xc = jnp.clip(x.reshape(-1, Nb, Z), -_llr_max, _llr_max)
         dec, out = _qc_bp_core(
             xc,
@@ -717,7 +741,7 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
                   qc_params["block_s"]),
             decoder_algorithm, int(n_iters), meta,
             msa_scale=float(msa_scale), msa_offset=float(msa_offset),
-            schedule=schedule,
+            schedule=schedule, pos_mask=pos_mask,
         )
     dec = dec.reshape(lead + (Nb * Z,))
     out = out.reshape(lead + (Nb * Z,))
