@@ -36,7 +36,7 @@ def main():
     from commpy_tpu.ops.viterbi import viterbi_decode_device
 
     # K=7 (133,171) soft Viterbi — the wifi80211 decoder configuration.
-    trellis = Trellis(np.array([6]), np.array([[133, 171]]))
+    trellis = Trellis(np.array([6]), np.array([[0o133, 0o171]]))
     L = 1024  # message bits per frame
     B = 2048  # frames per batch (sweet spot: the traceback kernel amortizes
     # best here; 1024 and 4096 both measure ~35% lower)

@@ -36,7 +36,7 @@ def main():
     out = {}
 
     # Soft Viterbi, K=7 (133,171) — the wifi80211 decoder
-    tr = cc.Trellis(np.array([6]), np.array([[133, 171]]))
+    tr = cc.Trellis(np.array([6]), np.array([[0o133, 0o171]]))
     L = 1000
     msg = np.random.randint(0, 2, L)
     coded = cc.conv_encode(msg, tr, "cont")

@@ -44,7 +44,13 @@ def wifi80211_device_link(mcs: int, frame_bits: int = 1200) -> DeviceLink:
     symbols (1200 works for every MCS).
     """
     m, use_psk, coding = WIFI_MCS_TABLE[mcs]
-    trellis = Trellis(np.array([6]), np.array([[133, 171]]))
+    # (133,171) are OCTAL in the standard: 0o133 = 91, 0o171 = 121.
+    # Passing them as decimal (reference wifi80211.py:49 does) silently
+    # builds a CATASTROPHIC code — the low-7-bit parse leaves both
+    # generators with even tap weight, so (1+D) divides both and a
+    # single decision error can invert the entire rest of the frame
+    # (measured: whole-frame BER ~0.5 at 4% hard flips).
+    trellis = Trellis(np.array([6]), np.array([[0o133, 0o171]]))
     return make_conv_awgn_link(
         trellis=trellis,
         modulation_m=m,

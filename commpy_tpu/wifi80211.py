@@ -23,7 +23,15 @@ class Wifi80211:
     """802.11 (up to VHT/ac) PHY simulation by MCS index."""
 
     memory = np.array(6, ndmin=1)
-    generator_matrix = np.array((133, 171), ndmin=2)  # 802.11 standard
+    # INTENTIONAL DEVIATION from reference wifi80211.py:49, which passes
+    # the standard's octal constants (133,171)_8 as DECIMAL integers.
+    # Trellis parses g_matrix entries as plain integers, so decimal 133
+    # keeps only its low 7 bits = 0b0000101 — both effective generators
+    # end up with even tap weight, (1+D) divides both, and the code is
+    # CATASTROPHIC (one decision error can invert the whole rest of the
+    # frame).  We ship the actual IEEE 802.11 generators 0o133/0o171 =
+    # (91, 121); see docs/parity.md "Known intentional differences".
+    generator_matrix = np.array((0o133, 0o171), ndmin=2)
 
     def get_modem(self) -> mod.Modem:
         bits_per_symbol = [2, 4, 4, 16, 16, 64, 64, 64, 256, 256]

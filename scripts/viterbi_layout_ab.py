@@ -24,7 +24,7 @@ from commpy_tpu.ops.viterbi import _pack16
 L = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
 
-trellis = Trellis(np.array([6]), np.array([[133, 171]]))
+trellis = Trellis(np.array([6]), np.array([[0o133, 0o171]]))
 S = trellis.number_states
 tb_depth = 30
 pu_words = tuple(

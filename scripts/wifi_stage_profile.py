@@ -23,7 +23,7 @@ from commpy_tpu.models.device_links import _frame_crandn, _gen_bits
 
 F = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 LBITS = 1200
-trellis = Trellis(np.array([6]), np.array([[133, 171]]))
+trellis = Trellis(np.array([6]), np.array([[0o133, 0o171]]))
 const = M.qam_constellation(16).astype(np.complex64)
 keep = puncture_mask([1, 1, 1, 0, 0, 1], 2 * LBITS)
 noise_std = 0.25

@@ -208,3 +208,39 @@ def test_puncturing_matches_reference():
         da = ref_cc.depuncturing(a, np.array(pv), len(msg))
         db = depuncturing(b, np.array(pv), len(msg))
         np.testing.assert_array_equal(da, db)
+
+
+def test_wifi_code_not_catastrophic():
+    """The flagship K=7 code must be the real 802.11 (133,171)_OCTAL.
+
+    Passing the octal constants as decimal (as reference wifi80211.py:49
+    does) leaves both effective generators with even tap weight, so
+    (1+D) divides both and the code is catastrophic: one decision error
+    inverts the rest of the frame (whole-frame BER ~0.5 under 4% hard
+    flips, ML-tied with the true path).  Guard both the generator parse
+    and end-to-end frame recovery at a moderate flip rate.
+    """
+    from commpy_tpu.models.wifi80211_link import wifi80211_device_link
+    from commpy_tpu.ops.convcode import encode_scan
+    from commpy_tpu.ops.viterbi import viterbi_decode_device
+    from commpy_tpu.wifi80211 import Wifi80211
+
+    # (1+D) | g  <=>  g(1) = 0  <=>  even tap weight; both generators
+    # sharing it is exactly the decimal-parse catastrophe.
+    for g in (Wifi80211.generator_matrix.ravel()):
+        taps = bin(int(g)).count("1")
+        assert taps % 2 == 1, f"generator {g:o} has even tap weight"
+
+    tr = Trellis(np.array([6]), np.array([[0o133, 0o171]]))
+    rng = np.random.RandomState(11)
+    B, L = 8, 1024
+    msg = rng.randint(0, 2, (B, L)).astype(np.int8)
+    coded = np.asarray(encode_scan(msg, tr)[0]).astype(np.int8)
+    flips = rng.rand(*coded.shape) < 0.04
+    rx = (coded ^ flips).astype(np.float32)
+    d = np.asarray(viterbi_decode_device(rx, tr, 35, "hard", L=L,
+                                         backend="xla"))
+    ber = (d != msg).mean()
+    # the real code: scattered error events only (measured ~1e-3); the
+    # catastrophic parse fails whole frames (BER 0.2-0.5 here)
+    assert ber < 0.02, f"K=7 hard BER {ber} at 4% flips: catastrophic?"

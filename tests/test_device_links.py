@@ -79,7 +79,7 @@ def test_config4_ldpc_rayleigh():
 
 
 def test_config5_ofdm_mimo_conv():
-    tr = Trellis(np.array([6]), np.array([[133, 171]]))
+    tr = Trellis(np.array([6]), np.array([[0o133, 0o171]]))
     link = make_ofdm_mimo_conv_link(trellis=tr, n_ofdm_symbols=2, nsc=48)
     errs, total = _run(link, 35.0, F=4)
     assert errs / total < 0.01
