@@ -37,14 +37,20 @@ from ..ops.trellis import Trellis
 
 __all__ = ["acs_forward_pallas"]
 
-# MXU precision for the in-kernel matmuls.  HIGHEST keeps the f32 inputs
-# exact (multi-pass), so kernel decisions are bit-identical across
-# radix-1/radix-2/interpret; DEFAULT rounds operands to bf16 per MXU pass,
-# which flips near-tie ACS comparisons on real TPUs (measured: ~0.1% of
-# decisions at sigma=0.33 LLR noise; BER-invisible) but runs ~2.1x faster
-# (643 vs 302 Mbit/s forward at B=1024).  DEFAULT is the throughput
-# configuration; pass exact=True to acs_forward_pallas for cross-backend
-# bit-exactness (Mosaic supports only DEFAULT and HIGHEST in-kernel).
+# MXU precision for the in-kernel matmuls.  DEFAULT rounds operands to
+# bf16 per MXU pass — exactly as XLA lowers the device core's einsums,
+# so Pallas-DEFAULT and device-XLA decisions agree bit-for-bit; both
+# deviate from the CPU/f32 ground truth on REAL-VALUED metrics
+# (soft/unquantized: ~0.02% of decided bits flip near ACS ties, BER
+# delta ~3e-5 — benchmarks/device_probes/viterbi_exact.jsonl).
+# Hard-decision metrics are small integers (branch vectors +-1, Hamming
+# path metrics with spread <= n * total_memory after per-step renorm),
+# all exactly representable in bf16, so the hard path is bit-identical
+# to CPU at DEFAULT (device-verified).  DEFAULT is the throughput
+# configuration (~2.1x faster forward: 643 vs 302 Mbit/s at B=1024);
+# pass exact=True to acs_forward_pallas to run at HIGHEST and restore
+# CPU/f32 bit-identity for the soft paths (Mosaic supports only DEFAULT
+# and HIGHEST in-kernel).
 _DOT_PRECISION = jax.lax.Precision.DEFAULT
 
 
@@ -121,175 +127,33 @@ def _acs_kernel(r_ref, C_ref, Q_ref, W_ref, dec_ref, best_ref, pm_ref, *,
     pm_ref[:, :] = pm
 
 
-def _radix2_tables(trellis: Trellis, decoding_type: str):
-    """Host tables for the 2-step fused ACS.
-
-    Rows of the stacked [4S] candidate axis are ordered
-    ``row = j0 * 2S + j1 * S + s`` (j0 = older-step branch, j1 = newer-step
-    branch, s = end state), chosen so that
-
-    * the final 4-way min reduces over two CONTIGUOUS halves (min over j0)
-      and then two contiguous S-blocks (min over j1), and
-    * the older step's per-state ACS decisions fall out of the partial sums
-      ``part = pm[prev2] + bm_old`` by an S/2-row interleave (see kernel).
-
-    Returns (Q2 [4S, S], Ca [4S, n(+1)], Cb [4S, n(+1)]) where Ca dots the
-    older codeword r_{t-1} and Cb the newer r_t (hard metrics use a
-    homogeneous coordinate for their per-branch constant).
-    """
-    from ..ops.viterbi import _branch_vectors, _hard_const
-
-    S = trellis.number_states
-    ps = trellis.pred_state_table  # [S, 2]
-    BV = _branch_vectors(trellis, decoding_type)  # [2S, n], row s*2+j
-    if decoding_type == "hard":
-        BV = np.concatenate([BV, _hard_const(trellis)[:, None]], axis=1)
-    n = BV.shape[1]
-    Q2 = np.zeros((4 * S, S), np.float32)
-    Ca = np.zeros((4 * S, n), np.float32)
-    Cb = np.zeros((4 * S, n), np.float32)
-    for j0 in range(2):
-        for j1 in range(2):
-            for s in range(S):
-                row = j0 * 2 * S + j1 * S + s
-                i = ps[s, j1]           # intermediate state (time t-1)
-                p = ps[i, j0]           # state two steps back
-                Q2[row, p] = 1.0
-                Ca[row] = BV[i * 2 + j0]   # branch p -> i, consumes r_{t-1}
-                Cb[row] = BV[s * 2 + j1]   # branch i -> s, consumes r_t
-    return Q2, Ca, Cb
-
-
-def _mid_pack_matrix(S: int) -> np.ndarray:
-    """[G, 2S] packing matrix for mid-step decisions kept in BLOCK order.
-
-    The fused kernel evaluates the older step's per-state comparison at
-    block-order row ``j1 * S + s'`` which holds state ``i = 2 s' + j1``
-    (s' < S/2; rows with s' >= S/2 are duplicates and get weight 0).  The
-    state->bit-position permutation is folded into the powers-of-two
-    packing matmul, so the kernel never shuffles sublanes.
-    """
-    G = -(-S // _PACK)
-    W2 = np.zeros((G, 2 * S), np.float32)
-    for i in range(S):
-        row = (i % 2) * S + (i // 2)
-        W2[i // _PACK, row] = float(1 << (i % _PACK))
-    return W2
-
-
-def _acs2_kernel(r_ref, Ca_ref, Cb_ref, Q2_ref, W_ref, W2_ref, dec0_ref,
-                 dec1_ref, best0_ref, best1_ref, pm_ref, *, n_pairs: int,
-                 S: int, prec=_DOT_PRECISION):
-    """Two trellis steps per loop iteration (radix-2 ACS fusion).
-
-    The radix-1 recursion is latency-bound: each step is one small
-    dependent MXU op.  Fusing two steps turns the dependent chain into ONE
-    [4S, S] @ [S, B] matmul per pair — same total FLOPs, half the number
-    of dependent ops.  Per-original-step decisions and argmin states are
-    recovered exactly (Bellman: the older step's ACS comparisons are
-    subexpressions of the 4-way candidates), so the packed traceback is
-    unchanged and outputs stay bit-identical to the radix-1 kernel.
-
-    All extractions use contiguous sublane slices; the only state-order
-    permutation (mid-step block order -> state order) is folded into the
-    host-built packing matrix ``W2`` and elementwise iota arithmetic.
-    The two original steps write to SEPARATE refs (no in-kernel
-    concatenate, no narrow paired axis) — each ref sees exactly one
-    contiguous dynamic store per iteration; the step interleave happens
-    outside the kernel.
-
-    r_ref:    [TC/2, 2n, B]  step-pair codewords ([0:n] older, [n:2n] newer)
-    dec0_ref: [TC/2, G, B]   packed decisions, older step of each pair
-    dec1_ref: [TC/2, G, B]   packed decisions, newer step
-    best0_ref:[TC/2, B]      argmin state, older step
-    best1_ref:[TC/2, B]      argmin state, newer step
-    pm_ref:   [S, B]         persistent path metrics (scratch)
-    """
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        B = pm_ref.shape[1]
-        row = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0)
-        pm_ref[:, :] = jnp.where(row == 0, 0.0, 1e30)
-
-    H = S // 2
-    B = pm_ref.shape[1]
-    # Block-order row r = j1*S + s' holds state i = 2 s' + j1 (s' < S/2).
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * S, B), 0)
-    j1v = (r_iota >= S).astype(jnp.int32)
-    s_prime = r_iota - j1v * S
-    i_of_row = 2 * s_prime + j1v
-    row_valid = s_prime < H
-
-    def argmin_state(x):
-        # first-index argmin over the sublane (state) axis of [S, B]
-        m = jnp.min(x, axis=0, keepdims=True)
-        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-        return jnp.min(jnp.where(x == m, row, S), axis=0).astype(jnp.int32), m
-
-    def pack(bits, W):
-        # bool rows -> [G, B] int32 via the powers-of-two matmul
-        return _dot(W, bits.astype(jnp.float32)).astype(jnp.int32)
-
-    def step(tau, pm):
-        r01 = r_ref[tau, :, :]         # [2n, B] step-pair codewords
-        n = r01.shape[0] // 2
-        r0 = r01[0:n, :]               # older codeword
-        r1 = r01[n:, :]                # newer codeword
-        part = _dot(Q2_ref[:, :], pm, prec) + _dot(Ca_ref[:, :], r0, prec)  # [4S, B]: pm[prev2] + bm_{t-1}
-        cand = part + _dot(Cb_ref[:, :], r1, prec)  # full 2-step candidates
-
-        # ---- older step (t-1), all in block order [2S, B] ----
-        # row j1*S + s of the j0 halves holds pm[prev(i, j0)] + bm(prev->i)
-        # for the state i = prev(s, j1) = 2s + j1 (shift trellis, s < S/2).
-        mid0 = part[0:2 * S, :]
-        mid1 = part[2 * S:4 * S, :]
-        take_mid_blk = mid1 < mid0
-        pm_mid_blk = jnp.minimum(mid0, mid1)
-        pm_valid = jnp.where(row_valid, pm_mid_blk, jnp.float32(3.0e38))
-        m_mid = jnp.min(pm_valid, axis=0, keepdims=True)
-        best_mid = jnp.min(
-            jnp.where(pm_valid == m_mid, i_of_row, S), axis=0
-        ).astype(jnp.int32)
-
-        # ---- newer step (t): 4-way min over contiguous blocks ----
-        mj0 = jnp.minimum(cand[0:2 * S, :], cand[2 * S:4 * S, :])  # min j0
-        m0 = mj0[0:S, :]       # j1 = 0
-        m1 = mj0[S:2 * S, :]   # j1 = 1
-        take_new = m1 < m0
-        new_pm = jnp.minimum(m0, m1)
-        best_new, mn = argmin_state(new_pm)
-
-        dec0_ref[tau, :, :] = pack(take_mid_blk, W2_ref[:, :])
-        dec1_ref[tau, :, :] = pack(take_new, W_ref[:, :])
-        best0_ref[tau, :] = best_mid
-        best1_ref[tau, :] = best_new
-        return new_pm - mn
-
-    pm = pm_ref[:, :]
-    pm = jax.lax.fori_loop(0, n_pairs, step, pm)
-    pm_ref[:, :] = pm
-
-
 @partial(jax.jit,
-         static_argnames=("trellis", "decoding_type", "time_chunk", "radix",
+         static_argnames=("trellis", "decoding_type", "time_chunk",
                           "layout", "exact"))
 def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
-                       time_chunk: int = 512, radix: int = 1,
+                       time_chunk: int = 512,
                        layout: str = "btg", exact: bool = False):
     """Run the fused ACS forward pass.
 
     r : ``[B, T, n]`` float32 received codewords (already clipped/padded).
-    radix : 2 fuses two trellis steps per kernel iteration (same FLOPs,
-        half the dependent-MXU chain); 1 is the single-step kernel and the
-        default (radix 2 currently misdecodes on the remote-TPU Mosaic
-        at S >= 64 — under investigation; bit-exact in interpret mode).
     layout : 'btg' returns dec_packed ``[B, T, G]``; 'gmaj' returns it
         ``[G, B, T]`` (the layout ``traceback_pallas`` consumes), saving
         one full HBM transpose of the decision tensor in the decode path.
     exact : run the metric matmuls at Precision.HIGHEST so ACS decisions
-        are bit-identical across radix/backends on real TPUs (DEFAULT
-        rounds operands to bf16 per MXU pass, flipping ~0.1% of near-tie
-        comparisons; ~2.1x slower forward pass).
+        match the CPU/f32 ground truth bit-for-bit (DEFAULT rounds
+        operands to bf16 per MXU pass — identically to the device XLA
+        core, which Pallas-DEFAULT matches exactly; real-valued
+        soft/unquantized metrics flip ~0.02% of near-tie decisions vs
+        CPU, hard-path integer operands are bf16-exact at any setting —
+        device-verified, scripts/viterbi_exact_probe.py).  ~2.1x slower
+        forward pass.
+
+    A radix-2 variant (two trellis steps fused per kernel iteration) was
+    built and removed: it was bit-exact in interpret mode but misdecoded
+    at S >= 64 on the real Mosaic compiler, and with the traceback kernel
+    in place the forward pass is only ~27% of decode wall clock, so its
+    best case was a ~13% end-to-end win — not worth shipping a
+    device-broken option (r2 review item 5; see git history).
     Returns (dec_packed, best_state ``[B, T]`` int32).
     """
     from ..ops.viterbi import _branch_vectors, _hard_const
@@ -310,7 +174,7 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
 
     # The kernels assume the binary shift-trellis predecessor closed
     # form (prev(s, j) = ((s & (S/2-1)) << 1) | j, see _perm_matrices /
-    # _radix2_tables); reject other predecessor layouts loudly instead
+    # _perm_matrices); reject other predecessor layouts loudly instead
     # of decoding garbage.
     from ..ops.viterbi import _is_shift_structured
 
@@ -328,8 +192,6 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
     step_bytes = 2 * 4 * B * (n + G_est + 1)  # double-buffered
     tc_cap = max(32, (14 * 1024 * 1024) // max(step_bytes, 1))
     TC = min(time_chunk, T, tc_cap)
-    if radix == 2:
-        TC += TC % 2  # whole step-pairs per chunk
     n_chunks = -(-T // TC)
     T_pad = n_chunks * TC
     if T_pad != T:
@@ -341,77 +203,36 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
     # Interpret mode off-TPU so tests run on the CPU backend unchanged.
     interpret = jax.default_backend() not in ("tpu", "axon")
 
-    if radix == 2:
-        Q2, Ca, Cb = _radix2_tables(trellis, decoding_type)
-        W2 = _mid_pack_matrix(S)
-        kernel = partial(_acs2_kernel, n_pairs=TC // 2, S=S,
-                         prec=(jax.lax.Precision.HIGHEST if exact
-                               else _DOT_PRECISION))
-        in_mats = [jnp.asarray(Ca), jnp.asarray(Cb), jnp.asarray(Q2),
-                   jnp.asarray(W), jnp.asarray(W2)]
-        mat_specs = [
-            pl.BlockSpec((4 * S, n), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * S, n), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * S, S), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, S), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 2 * S), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        # step-pair layout: every ref is touched once per fused step
-        r_pairs = r_tl.astype(jnp.float32).reshape(T_pad // 2, 2 * n, B)
-        r_spec = pl.BlockSpec((TC // 2, 2 * n, B), lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM)
-        out_specs = [
-            pl.BlockSpec((TC // 2, G, B), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TC // 2, G, B), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TC // 2, B), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TC // 2, B), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        out_shape = [
-            jax.ShapeDtypeStruct((T_pad // 2, G, B), jnp.int32),
-            jax.ShapeDtypeStruct((T_pad // 2, G, B), jnp.int32),
-            jax.ShapeDtypeStruct((T_pad // 2, B), jnp.int32),
-            jax.ShapeDtypeStruct((T_pad // 2, B), jnp.int32),
-        ]
-    else:
-        C = _branch_vectors(trellis, decoding_type)  # [S*I, n] rows s*2+j
-        if decoding_type == "hard":
-            C = np.concatenate([C, _hard_const(trellis)[:, None]], axis=1)
-        C = C.reshape(S, I, -1).transpose(1, 0, 2).reshape(I * S, -1)
-        Q = _perm_matrices(trellis.pred_state_table).reshape(I * S, S)
-        kernel = partial(_acs_kernel, n_steps=TC, S=S,
-                         prec=(jax.lax.Precision.HIGHEST if exact
-                               else _DOT_PRECISION))
-        in_mats = [jnp.asarray(C), jnp.asarray(Q), jnp.asarray(W)]
-        mat_specs = [
-            pl.BlockSpec((I * S, n), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((I * S, S), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, S), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        r_pairs = r_tl.astype(jnp.float32)
-        r_spec = pl.BlockSpec((TC, n, B), lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM)
-        out_specs = [
-            pl.BlockSpec((TC, G, B), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TC, B), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        out_shape = [
-            jax.ShapeDtypeStruct((T_pad, G, B), jnp.int32),
-            jax.ShapeDtypeStruct((T_pad, B), jnp.int32),
-        ]
+    C = _branch_vectors(trellis, decoding_type)  # [S*I, n] rows s*2+j
+    if decoding_type == "hard":
+        C = np.concatenate([C, _hard_const(trellis)[:, None]], axis=1)
+    C = C.reshape(S, I, -1).transpose(1, 0, 2).reshape(I * S, -1)
+    Q = _perm_matrices(trellis.pred_state_table).reshape(I * S, S)
+    kernel = partial(_acs_kernel, n_steps=TC, S=S,
+                     prec=(jax.lax.Precision.HIGHEST if exact
+                           else _DOT_PRECISION))
+    in_mats = [jnp.asarray(C), jnp.asarray(Q), jnp.asarray(W)]
+    mat_specs = [
+        pl.BlockSpec((I * S, n), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((I * S, S), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, S), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    r_steps = r_tl.astype(jnp.float32)
+    r_spec = pl.BlockSpec((TC, n, B), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((TC, G, B), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TC, B), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T_pad, G, B), jnp.int32),
+        jax.ShapeDtypeStruct((T_pad, B), jnp.int32),
+    ]
 
     outs = pl.pallas_call(
         kernel,
@@ -421,16 +242,9 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
         interpret=interpret,
-    )(r_pairs, *in_mats)
+    )(r_steps, *in_mats)
 
-    if radix == 2:
-        # interleave the per-pair outputs back into step order (plain XLA
-        # ops outside the kernel)
-        dec0, dec1, best0, best1 = outs
-        dec_packed = jnp.stack([dec0, dec1], axis=1).reshape(T_pad, G, B)
-        best = jnp.stack([best0, best1], axis=1).reshape(T_pad, B)
-    else:
-        dec_packed, best = outs
+    dec_packed, best = outs
     best = best[:T].T  # [B, T]
     if layout == "gmaj":
         # word-major handoff for traceback_pallas: ONE transpose

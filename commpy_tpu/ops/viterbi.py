@@ -314,7 +314,8 @@ def _traceback_windows(dec, best_state, ps_cols, pu_cols, k: int,
 
 
 def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
-                          decoding_type="hard", L=None, backend="auto"):
+                          decoding_type="hard", L=None, backend="auto",
+                          exact: bool = False):
     """Batched Viterbi decode.
 
     Parameters
@@ -327,6 +328,17 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
         kernel with bit-packed decisions, commpy_tpu.kernels.viterbi_acs),
         or 'auto' (pallas on TPU for >=512-state binary-input codes, where
         the matmul-based ACS beats the XLA gather scan; xla otherwise)
+    exact : Pallas backend only.  ``decoding_type='hard'`` is bit-exact vs
+        the CPU core at any setting (every MXU operand is a small integer,
+        exact in bf16 — device-verified, scripts/viterbi_exact_probe.py /
+        benchmarks/device_probes/viterbi_exact.jsonl).  For
+        'soft'/'unquantized' the default MXU precision rounds the
+        real-valued metric operands to bf16 per pass — IDENTICALLY in the
+        Pallas kernel and the device XLA core (their decisions agree
+        bit-for-bit on device), both deviating from the CPU/f32 ground
+        truth by ~0.02% of decided bits near ACS ties (BER delta ~3e-5).
+        ``exact=True`` runs the kernel matmuls at Precision.HIGHEST,
+        restoring CPU bit-identity (~2.1x slower forward pass).
 
     Returns
     -------
@@ -391,7 +403,7 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
                 "trellis; use backend='xla'"
             )
         dec_packed, best = acs_forward_pallas(r, trellis, decoding_type,
-                                              layout="gmaj")
+                                              layout="gmaj", exact=exact)
         pu_words = np.stack(
             [_pack16(trellis.pred_input_table[:, j]) for j in range(2)], -1
         )

@@ -195,33 +195,13 @@ def test_acs_forward_exact_precision_flag():
     from commpy_tpu.kernels.viterbi_acs import acs_forward_pallas
     from commpy_tpu.ops.trellis import Trellis
 
-    tr = Trellis(np.array([6]), np.array([[133, 171]]))
+    tr = Trellis(np.array([6]), np.array([[0o133, 0o171]]))
     r = jnp.asarray(np.random.RandomState(0).randn(4, 96, 2)
                     .astype(np.float32))
     d0, b0 = acs_forward_pallas(r, tr, "soft")
     d1, b1 = acs_forward_pallas(r, tr, "soft", exact=True)
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
     np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
-
-
-def test_acs_radix2_matches_radix1():
-    # the 2-step fused ACS (radix=2) must reproduce radix-1 decisions
-    # and argmin states exactly (interpret mode; real-Mosaic behavior
-    # at S >= 64 is a known open issue, see the acs_forward_pallas doc)
-    import jax.numpy as jnp
-    import numpy as np
-
-    from commpy_tpu.kernels.viterbi_acs import acs_forward_pallas
-    from commpy_tpu.ops.trellis import Trellis
-
-    for mem, g in ((2, [[5, 7]]), (6, [[133, 171]])):
-        tr = Trellis(np.array([mem]), np.array(g))
-        r = jnp.asarray(np.random.RandomState(1).randn(4, 64, 2)
-                        .astype(np.float32))
-        d1, b1 = acs_forward_pallas(r, tr, "soft", radix=1)
-        d2, b2 = acs_forward_pallas(r, tr, "soft", radix=2)
-        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
-        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
 
 
 def test_pallas_guards_raise():
