@@ -114,7 +114,7 @@ def main():
 
     # --- soft Viterbi K=7 ---
     def sec_viterbi():
-        tr = Trellis(np.array([6]), np.array([[133, 171]]))
+        tr = Trellis(np.array([6]), np.array([[0o133, 0o171]]))
         B, L = 2048, 1024
         x0 = jnp.asarray(rng.randn(B, 2 * L).astype(np.float32) * 3)
         def body(c):
@@ -311,10 +311,21 @@ def main():
             sym = kbest_device(y, h, const, 16)
             return (yre + jnp.real(sym[:, 0:1]) * 1e-12, yim)
 
-        dt = timed_chain(body, y0, rep=10,
+        dt = timed_chain(body, y0, rep=12,
                          score=lambda c: jnp.sum(c[0][:4]))
         report("kbest16_4x4_16qam", Bk / dt, "vectors/s",
                "kbest16_4x4_16qam_vectors_per_s")
+
+        def body_soft(c):
+            yre, yim = c
+            y = jax.lax.complex(yre, yim)
+            h = jax.lax.complex(jnp.asarray(h0[0]), jnp.asarray(h0[1]))
+            llrs = kbest_device(y, h, const, 16, 0.25, "soft", 4)
+            return (yre + llrs[:, 0:1] * 1e-12, yim)
+
+        dt = timed_chain(body_soft, y0, rep=12,
+                         score=lambda c: jnp.sum(c[0][:4]))
+        report("kbest16_4x4_16qam_soft", Bk / dt, "vectors/s", "")
     guarded(sec_kbest)
 
     # --- full 802.11 MCS-4 link step ---

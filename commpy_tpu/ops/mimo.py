@@ -94,27 +94,16 @@ def kbest_device(y, h, constellation, K: int, noise_var=0.0,
     h = jnp.asarray(h)
     constellation = jnp.asarray(constellation)
     nt = h.shape[-1]
-    qr = _chol_qr_batched(h, y) if nt <= 8 else None
-
-    def search(yi, hi, qri):
-        return _beam_search_single(yi, hi, constellation, (int(K),) * nt,
-                                   qr=qri)
-
+    X, _ = _beam_search_batched(y, h, constellation, (int(K),) * nt)
     if output_type == "hard":
-        def one(yi, hi, *qri):
-            X, _ = search(yi, hi, qri if qri else None)
-            return X[:, 0]
+        return X[:, :, 0]
     elif output_type == "soft":
-        def one(yi, hi, *qri):
-            X, _ = search(yi, hi, qri if qri else None)
-            return max_log_approx_device(
-                yi, hi, noise_var, X, constellation, bits_per_symbol
+        return jax.vmap(
+            lambda yi, hi, Xi: max_log_approx_device(
+                yi, hi, noise_var, Xi, constellation, bits_per_symbol
             )
-    else:
-        raise ValueError('output_type must be "hard" or "soft"')
-    if qr is not None:
-        return jax.vmap(one)(y, h, *qr)
-    return jax.vmap(one)(y, h)
+        )(y, h, X)
+    raise ValueError('output_type must be "hard" or "soft"')
 
 
 def kbest(y, h, constellation, K, noise_var=0, output_type="hard",
@@ -386,6 +375,91 @@ def _chol_qr_batched(h, y):
     return r, yt
 
 
+def _beam_search_batched(y, h, constellation, widths, qr=None):
+    """Fully batched fixed-budget tree search (the fast device path).
+
+    Same search and same candidate/tie-break order as
+    :func:`_beam_search_single` (expanded candidate ``j * C + c`` for
+    symbol j and parent c, exact ``lax.top_k`` selection), but written
+    batch-first in real arithmetic with every survivor gather expressed
+    as a one-hot batched matmul — the vmapped per-vector form lowers to
+    XLA gathers, which dominate its wall clock on TPU 25:1 over the
+    actual metric arithmetic (scripts/kbest_profile.py).
+
+    y ``[B, nr]`` complex, h ``[B, nr, nt]`` complex.
+    Returns (X ``[B, nt, W]`` complex leaves, d_tot ``[B, W]``).
+    """
+    nt = h.shape[-1]
+    m = int(constellation.shape[0])
+    if qr is None:
+        qr = _chol_qr_batched(h, y)
+    r, yt = qr
+    B = yt.shape[0]
+    hr = jnp.real(constellation).astype(jnp.float32)  # [m]
+    hi = jnp.imag(constellation).astype(jnp.float32)
+    rr = jnp.real(r).astype(jnp.float32)  # [B, nt, nt]
+    ri = jnp.imag(r).astype(jnp.float32)
+
+    # residual rows [B, nt, C]; chosen symbols [B, nt, C]
+    dr = jnp.real(yt).astype(jnp.float32)[:, :, None]
+    di = jnp.imag(yt).astype(jnp.float32)[:, :, None]
+    Xr = jnp.zeros((B, nt, 1), jnp.float32)
+    Xi = jnp.zeros((B, nt, 1), jnp.float32)
+    dt = jnp.zeros((B, 1), jnp.float32)
+    C = 1
+    for lvl, coor in enumerate(range(nt - 1, -1, -1)):
+        CM = C * m
+        # metric increment |d[coor] - r[coor,coor] * s|^2; the Cholesky
+        # diagonal is real, so the symbol scaling stays a real broadcast
+        rii = rr[:, coor, coor][:, None, None]  # [B,1,1]
+        er = dr[:, coor, :, None] - rii * hr[None, None, :]  # [B,C,m]
+        ei = di[:, coor, :, None] - rii * hi[None, None, :]
+        inc = er * er + ei * ei
+        # candidate index j*C + c (reference repeat order): [B, m, C]
+        cand = (dt[:, None, :] + jnp.transpose(inc, (0, 2, 1))).reshape(
+            B, CM
+        )
+        keep = min(CM, int(widths[lvl]))
+        _, sel = jax.lax.top_k(-cand, keep)  # [B, keep], stable order
+        c_idx = sel % C      # parent index
+        j_idx = sel // C     # symbol index
+        # one-hot gathers as batched matmuls (MXU): parents and totals
+        oh_p = (c_idx[:, :, None] ==
+                jnp.arange(C)[None, None, :]).astype(jnp.float32)
+        oh_s = (j_idx[:, :, None] ==
+                jnp.arange(m)[None, None, :]).astype(jnp.float32)
+        oh_f = (sel[:, :, None] ==
+                jnp.arange(CM)[None, None, :]).astype(jnp.float32)
+        F = jnp.concatenate([Xr, Xi, dr, di], axis=1)  # [B, 4nt, C]
+        Fs = jnp.einsum("bkc,bfc->bfk", oh_p, F,
+                        precision=jax.lax.Precision.HIGHEST)
+        Xr, Xi, dr, di = (Fs[:, i * nt:(i + 1) * nt, :] for i in range(4))
+        sr = jnp.einsum("bkm,m->bk", oh_s, hr,
+                        precision=jax.lax.Precision.HIGHEST)  # [B, keep]
+        si = jnp.einsum("bkm,m->bk", oh_s, hi,
+                        precision=jax.lax.Precision.HIGHEST)
+        dt = jnp.einsum("bkc,bc->bk", oh_f, cand,
+                        precision=jax.lax.Precision.HIGHEST)
+        Xr = Xr.at[:, coor, :].set(sr)
+        Xi = Xi.at[:, coor, :].set(si)
+        # residual updates: row coor consumed its symbol; rows above
+        # (indices < coor) subtract r[i, coor] * s (complex)
+        dr = dr.at[:, coor, :].add(-rr[:, coor, coor][:, None] * sr)
+        di = di.at[:, coor, :].add(-rr[:, coor, coor][:, None] * si)
+        if coor > 0:
+            rr_c = rr[:, :coor, coor][:, :, None]  # [B, coor, 1]
+            ri_c = ri[:, :coor, coor][:, :, None]
+            dr = dr.at[:, :coor, :].add(
+                -(rr_c * sr[:, None, :] - ri_c * si[:, None, :])
+            )
+            di = di.at[:, :coor, :].add(
+                -(rr_c * si[:, None, :] + ri_c * sr[:, None, :])
+            )
+        C = keep
+    X = jax.lax.complex(Xr, Xi)
+    return X, dt
+
+
 def _beam_search_single(y, h, constellation, widths, qr=None):
     """Fixed-budget tree search for ONE received vector.
 
@@ -456,17 +530,11 @@ def best_first_device(y, h, constellation, beam=16, llr_max=500.0,
     if bits_per_symbol is None:
         bits_per_symbol = int(np.log2(m))
     widths = (beam,) * nt if np.ndim(beam) == 0 else tuple(beam)
-    qr = _chol_qr_batched(h, y) if nt <= 8 else None
-
-    def one(yi, hi, *qri):
-        X, mets = _beam_search_single(yi, hi, constellation, widths,
-                                      qr=qri if qri else None)
-        return _counter_hyp_llrs(X, mets, constellation, bits_per_symbol,
-                                 llr_max)
-
-    if qr is not None:
-        return jax.vmap(one)(y, h, *qr)
-    return jax.vmap(one)(y, h)
+    X, mets = _beam_search_batched(y, h, constellation, widths)
+    return jax.vmap(
+        lambda Xi, mi: _counter_hyp_llrs(Xi, mi, constellation,
+                                         bits_per_symbol, llr_max)
+    )(X, mets)
 
 
 def _counter_hyp_llrs(X, mets, constellation, bps: int, llr_max):

@@ -191,3 +191,29 @@ def test_chol_qr_matches_linalg_qr_metrics():
         )
         assert_allclose(np.asarray(dc), np.asarray(dq), rtol=2e-3, atol=2e-3)
         assert_allclose(np.asarray(Xc), np.asarray(Xq), atol=1e-5)
+
+
+def test_beam_search_batched_matches_single():
+    # the fully batched device search must reproduce the vmapped
+    # per-vector search exactly: same leaves, same metrics, same order
+    import jax
+    import jax.numpy as jnp
+    from commpy_tpu.ops.mimo import (_beam_search_batched,
+                                     _beam_search_single)
+    from commpy_tpu.ops.modem import qam_constellation
+
+    rng = np.random.RandomState(9)
+    const = jnp.asarray(qam_constellation(16).astype(np.complex64))
+    B, nt = 32, 4
+    h = jnp.asarray((rng.randn(B, nt, nt) + 1j * rng.randn(B, nt, nt))
+                    .astype(np.complex64) / np.sqrt(2))
+    y = jnp.asarray((rng.randn(B, nt) + 1j * rng.randn(B, nt))
+                    .astype(np.complex64))
+    widths = (16,) * nt
+    Xb, db = _beam_search_batched(y, h, const, widths)
+    Xs, ds = jax.vmap(
+        lambda yi, hi: _beam_search_single(yi, hi, const, widths)
+    )(y, h)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(ds), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Xb), np.asarray(Xs), atol=1e-6)
