@@ -1,4 +1,4 @@
-"""Render measured bench results into README.md and results_round2.md.
+"""Render measured bench results into README.md and results_round3.md.
 
 Usage:
     python benchmarks/bench_all.py | tee benchmarks/results_latest.jsonl
@@ -135,15 +135,16 @@ def main():
     new_readme, n = pat.subn(table_md + "\n", readme, count=1)
     if n != 1:
         raise SystemExit("README results table not found")
-    new_readme = new_readme.replace(
-        "(benchmarks/results_round1.md records the full run.)",
-        "(benchmarks/results_round2.md records the full run.)",
+    new_readme = re.sub(
+        r"\(benchmarks/results_round\d\.md records the full run\.\)",
+        "(benchmarks/results_round3.md records the full run.)",
+        new_readme,
     )
     open(readme_path, "w").write(new_readme)
 
-    out_md = os.path.join(HERE, "results_round2.md")
+    out_md = os.path.join(HERE, "results_round3.md")
     with open(out_md, "w") as f:
-        f.write("# Round-2 measured results (single TPU v5e chip)\n\n")
+        f.write("# Round-3 measured results (single TPU v5e chip)\n\n")
         f.write("Source run: `" + os.path.basename(src) + "` — every row "
                 "is the JSON emitted by `benchmarks/bench_all.py` on the "
                 "attached TPU; the README table is rendered from the same "
