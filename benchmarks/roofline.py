@@ -128,7 +128,6 @@ def main():
     def sec_tb():
         from commpy_tpu.kernels.viterbi_acs import (acs_forward_pallas,
                                                     traceback_pallas)
-        from commpy_tpu.ops.viterbi import _pack16
 
         tr = Trellis(np.array([6]), np.array([[0o133, 0o171]]))
         B, L, tb = 2048, 1024, 30
@@ -137,13 +136,14 @@ def main():
         x = jnp.asarray(rng.randn(B, T, 2).astype(np.float32))
         dec, best = acs_forward_pallas(x, tr, "soft", layout="gmaj")
         dec = jax.block_until_ready(dec)
-        pu = np.stack([_pack16(tr.pred_input_table[:, j])
-                       for j in range(2)], -1)
-        pu = tuple(tuple(int(v) for v in r) for r in pu)
 
         def body(c):
-            bits = traceback_pallas(dec, c, S, tb, pu, layout="gmaj")
-            return c + bits.astype(c.dtype).sum() * 0
+            bits = traceback_pallas(dec, c, S, tb, layout="gmaj")
+            # the carry perturbation must be FLOAT-fed and non-zero: an
+            # integer *0 constant-folds and DCE deletes the kernel (the
+            # first version of this section measured an empty scan)
+            return c + (bits.astype(jnp.float32).sum() * 1e-12).astype(
+                c.dtype)
 
         dt = timed_chain(body, best, rep=12)
         vpu = B * T * tb * (3 * G + 12)  # word select + bit walk + emit

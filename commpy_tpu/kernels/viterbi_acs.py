@@ -13,9 +13,10 @@ Replaces the XLA `lax.scan` forward recursion of
 * the grid iterates sequentially over time chunks; path metrics live in a
   VMEM scratch buffer that persists across grid steps (TPU grid order is
   sequential);
-* branch decisions are **bit-packed 16 states per int32 in-kernel** (a
-  powers-of-two matmul over the state axis), cutting decision-tensor HBM
-  traffic 16x (binary codes have one decision bit per state);
+* branch decisions are **bit-packed 32 states per int32 in-kernel** (a
+  powers-of-two matmul over the state axis packs 16, then adjacent words
+  pair with a shift-or), cutting decision-tensor HBM traffic 32x
+  (binary codes have one decision bit per state);
 * per step the metrics are renormalized by their min (a uniform shift
   that preserves every comparison) to keep float32 well-scaled.
 
@@ -114,6 +115,15 @@ def _acs_kernel(r_ref, C_ref, Q_ref, W_ref, dec_ref, best_ref, pm_ref, *,
         new_pm = jnp.where(take, cand[S:, :], cand[:S, :])
         # pack decision bits over the state (sublane) axis: [G,S]@[S,B]
         packed = _dot(W_ref[:, :], take.astype(jnp.float32)).astype(jnp.int32)  # [G, B]
+        # pair 16-bit packs into int32 words (static row slices): halves
+        # the decision tensor's HBM traffic and the traceback's VMEM set
+        G = packed.shape[0]
+        if G > 1:
+            packed = jnp.concatenate(
+                [packed[2 * g:2 * g + 1] | (packed[2 * g + 1:2 * g + 2]
+                                            << 16)
+                 if 2 * g + 1 < G else packed[2 * g:2 * g + 1]
+                 for g in range((G + 1) // 2)], axis=0)
         # argmin over the state (sublane) axis, first index on ties
         m = jnp.min(new_pm, axis=0, keepdims=True)
         row = jax.lax.broadcasted_iota(jnp.int32, new_pm.shape, 0)
@@ -170,7 +180,7 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
         r = jnp.concatenate([r, jnp.ones((B, T, 1), r.dtype)], axis=-1)
         n += 1
     W = _pack_matrix(S)
-    G = W.shape[0]
+    G = (W.shape[0] + 1) // 2  # int32 words out (16-bit packs paired)
 
     # The kernels assume the binary shift-trellis predecessor closed
     # form (prev(s, j) = ((s & (S/2-1)) << 1) | j, see _perm_matrices /
@@ -188,9 +198,9 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
     # [TC, n, B] f32, packed decisions [TC, G, B] int32, best [TC, B]
     # int32, each double-buffered — fit the scoped budget (14 MiB: the
     # measured-working K=7 B=2048 TC=128 configuration).
-    G_est = -(-S // _PACK)
+    G_est = G
     step_bytes = 2 * 4 * B * (n + G_est + 1)  # double-buffered
-    tc_cap = max(32, (14 * 1024 * 1024) // max(step_bytes, 1))
+    tc_cap = max(32, ((14 * 1024 * 1024) // max(step_bytes, 1)) // 8 * 8)
     TC = min(time_chunk, T, tc_cap)
     n_chunks = -(-T // TC)
     T_pad = n_chunks * TC
@@ -217,7 +227,7 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((I * S, S), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((G, S), lambda i: (0, 0),
+        pl.BlockSpec((W.shape[0], S), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     r_steps = r_tl.astype(jnp.float32)
@@ -257,19 +267,34 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
 
 
 def _traceback_kernel(dec_ref, best_ref, out_ref, *, T: int, S: int,
-                      tb_depth: int, pu_words):
+                      tb_depth: int):
     """Packed traceback, one batch chunk fully in VMEM.
 
     The XLA traceback (`ops/viterbi.py:_traceback_packed_structured`)
     rolls the whole [B, T, G] decision tensor through HBM once per
-    depth step (~80 MB of traffic x tb_depth for the K=7 bench shape) —
-    it dominates the decode wall clock 10:1 over the ACS forward pass.
+    depth step (~80 MB of traffic x tb_depth for the K=7 bench shape).
     Here the chunk's decisions stay resident in VMEM and every roll is
     an on-chip shift; the depth loop is unrolled (tb_depth is static),
     so all shifts and emission masks are compile-time constants.
 
+    The walk exploits two shift-trellis identities (the kernel's
+    existing precondition — the state update below is already the
+    shift-register closed form):
+
+    * the emitted input bit is the MSB of the current state,
+      ``pred_input[s, j] == s >> (log2(S) - 1)`` for BOTH j — so the
+      per-step pred-input word selects of the first version collapse
+      to one shift (device-profiled: the traceback walk dominated the
+      decode 1.3 ms : 1.15 ms against the ACS forward pass, and these
+      selects were ~40% of its per-step ops);
+    * decisions arrive packed 32 states per int32 word (paired inside
+      the ACS kernel), halving the word-select chain, the per-step tile
+      rolls, AND the decision tensor's HBM traffic.  Arithmetic >>
+      keeps bit 31 extractable: ``(w >> pos) & 1`` reads the sign bit
+      correctly.
+
     Same arithmetic, same tie-breaks, all-integer -> bit-identical to
-    the XLA version by construction.
+    the XLA version by construction (tests decode through both).
 
     dec_ref  : [G, BC, T] int32 packed branch decisions (word-major so
                the 128-lane minor axis is T, not the tiny word count)
@@ -277,30 +302,26 @@ def _traceback_kernel(dec_ref, best_ref, out_ref, *, T: int, S: int,
     out_ref  : [BC, T] int8 decoded bits (int8: XLA likes to place the
                result in VMEM, and an int32 [B, T] word overflows the
                scoped limit at B >= 2048)
-    pu_words : static ((w0, w1), ...) per-word pred_input bit packs
     """
-    G = dec_ref.shape[0]
+    G32 = dec_ref.shape[0]
     BC = dec_ref.shape[1]
     half_mask = S // 2 - 1
+    msb_shift = max(S.bit_length() - 2, 0)  # log2(S) - 1
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (BC, T), 1)
 
-    rolled = [dec_ref[g] for g in range(G)]
+    rolled = [dec_ref[g] for g in range(G32)]
     cur = best_ref[:, :]
     out = jnp.zeros((BC, T), jnp.int32)
 
     for d in range(max(tb_depth - 1, 1)):
-        cur_g = cur >> 4
-        pos = cur & 15
+        pos = cur & 31
         w = rolled[0]
-        pw0 = jnp.full((BC, T), pu_words[0][0], jnp.int32)
-        pw1 = jnp.full((BC, T), pu_words[0][1], jnp.int32)
-        for g in range(1, G):
-            sel = cur_g == g
-            w = jnp.where(sel, rolled[g], w)
-            pw0 = jnp.where(sel, pu_words[g][0], pw0)
-            pw1 = jnp.where(sel, pu_words[g][1], pw1)
+        if G32 > 1:
+            cur_g = cur >> 5
+            for g in range(1, G32):
+                w = jnp.where(cur_g == g, rolled[g], w)
         j = (w >> pos) & 1
-        inp = (jnp.where(j == 0, pw0, pw1) >> pos) & 1
+        inp = cur >> msb_shift  # pred_input[s, *] == MSB(s), shift trellis
         cur = ((cur & half_mask) << 1) | j
         emit = (t_iota <= T - 1 - d) & (
             (d == tb_depth - 2) | (t_iota == T - 1 - d)
@@ -313,16 +334,15 @@ def _traceback_kernel(dec_ref, best_ref, out_ref, *, T: int, S: int,
     out_ref[:, :] = out.astype(jnp.int8)
 
 
-@partial(jax.jit, static_argnames=("S", "tb_depth", "pu_words", "layout"))
+@partial(jax.jit, static_argnames=("S", "tb_depth", "layout"))
 def traceback_pallas(dec_packed, best_state, S: int, tb_depth: int,
-                     pu_words, batch_chunk: int = 128,
+                     batch_chunk: int = 128,
                      layout: str = "btg"):
-    """Run the packed traceback kernel.
+    """Run the packed traceback kernel (shift-structured trellises).
 
     dec_packed : [B, T, G] int32 (from `acs_forward_pallas`), or
                  [G, B, T] when ``layout='gmaj'`` (no transpose needed)
     best_state : [B, T] int32
-    pu_words   : tuple of (w0, w1) int pairs, one per 16-state word
     Returns decoded bits [B, T] int8.
     """
     if layout == "gmaj":
@@ -350,8 +370,7 @@ def traceback_pallas(dec_packed, best_state, S: int, tb_depth: int,
     dec_gmaj = (dec_packed if layout == "gmaj"
                 else jnp.transpose(dec_packed, (2, 0, 1)))
 
-    kernel = partial(_traceback_kernel, T=T, S=S, tb_depth=int(tb_depth),
-                     pu_words=tuple(tuple(w) for w in pu_words))
+    kernel = partial(_traceback_kernel, T=T, S=S, tb_depth=int(tb_depth))
     interpret = jax.default_backend() not in ("tpu", "axon")
     out = pl.pallas_call(
         kernel,

@@ -404,13 +404,8 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
             )
         dec_packed, best = acs_forward_pallas(r, trellis, decoding_type,
                                               layout="gmaj", exact=exact)
-        pu_words = np.stack(
-            [_pack16(trellis.pred_input_table[:, j]) for j in range(2)], -1
-        )
         bits = traceback_pallas(
-            dec_packed, best, S, int(tb_depth),
-            tuple(tuple(int(v) for v in row) for row in pu_words),
-            layout="gmaj",
+            dec_packed, best, S, int(tb_depth), layout="gmaj",
         )
     elif shift_structured:
         C = jnp.asarray(_branch_vectors(trellis, decoding_type))

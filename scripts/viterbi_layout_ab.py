@@ -19,7 +19,6 @@ import jax.numpy as jnp
 
 from commpy_tpu.ops.trellis import Trellis
 from commpy_tpu.kernels.viterbi_acs import acs_forward_pallas, traceback_pallas
-from commpy_tpu.ops.viterbi import _pack16
 
 L = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
@@ -27,19 +26,13 @@ B = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
 trellis = Trellis(np.array([6]), np.array([[0o133, 0o171]]))
 S = trellis.number_states
 tb_depth = 30
-pu_words = tuple(
-    tuple(int(v) for v in row)
-    for row in np.stack(
-        [_pack16(trellis.pred_input_table[:, j]) for j in range(2)], -1
-    )
-)
 rng = np.random.RandomState(0)
 r = rng.randn(B, L, 2).astype(np.float32) * 3
 
 
 def decode(x, layout):
     dec, best = acs_forward_pallas(x, trellis, "soft", layout=layout)
-    return traceback_pallas(dec, best, S, tb_depth, pu_words, layout=layout)
+    return traceback_pallas(dec, best, S, tb_depth, layout=layout)
 
 
 def make(layout, rep):
