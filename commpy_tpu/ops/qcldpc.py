@@ -613,7 +613,8 @@ def _qc_bp_core(llr, block_s_t, algorithm: str, n_iters: int, meta,
 def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
                         n_iters: int, backend: str = "auto",
                         schedule: str = "flooding",
-                        msa_scale: float = 1.0, msa_offset: float = 0.0):
+                        msa_scale: float = 1.0, msa_offset: float = 0.0,
+                        msg_io: str = "f32"):
     """Batched QC-LDPC BP decode: ``[..., n]`` LLRs -> (dec int8, llr).
 
     Same output conventions as :func:`ldpc.ldpc_bp_decode_device` (hard
@@ -634,6 +635,10 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
     (check message magnitude ``max(scale*min - offset, 0)``) — the
     standard production compensation for MSA's overestimate vs SPA
     (Chen & Fossorier 2002); (1, 0) is plain MSA exactly.  MSA only.
+    ``msg_io``: 'bf16' stores the streamed kernel's c2v messages
+    bfloat16 in HBM — halves its dominant traffic (the kernel is
+    HBM-bound, 63% of peak at DVB-S2 size); decisions can differ from
+    f32 near ties, BER-neutral (test_qcldpc.py).  pallas-streamed only.
     """
     if decoder_algorithm not in ("SPA", "MSA"):
         raise NameError(
@@ -644,6 +649,12 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
         raise ValueError('schedule must be "flooding" or "layered"')
     if (msa_scale, msa_offset) != (1.0, 0.0) and decoder_algorithm != "MSA":
         raise ValueError("msa_scale/msa_offset apply to MSA only")
+    if msg_io != "f32" and backend != "pallas-streamed":
+        raise ValueError(
+            "msg_io='bf16' applies to the HBM-streamed kernel only "
+            "(backend='pallas-streamed'); the other paths keep messages "
+            "on-chip in f32"
+        )
     Mb, Nb = qc_params["Mb"], qc_params["Nb"]
     Z, K = qc_params["Z"], qc_params["K"]
     x = jnp.asarray(llr, jnp.float32)
@@ -708,7 +719,8 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
             dec, out = qc_bp_pallas_streamed(
                 xf, decoder_algorithm, int(n_iters), (Z, Nb, rows),
                 msa_scale=float(msa_scale), msa_offset=float(msa_offset),
-                pos_masks=qc_params.get("pos_masks", ()))
+                pos_masks=qc_params.get("pos_masks", ()),
+                msg_io=msg_io)
         else:
             if qc_params.get("pos_masks"):
                 raise NotImplementedError(

@@ -428,3 +428,37 @@ def test_streamed_kernel_msa_correction_and_flooding_guard():
         Q.qc_bp_decode_device(llr, params, "MSA", 6,
                               backend="pallas-streamed",
                               schedule="flooding")
+
+
+def test_streamed_kernel_bf16_messages():
+    # msg_io='bf16' (halved HBM message traffic): noiseless decode is
+    # exact, noisy decisions track the f32 path at BER level, and the
+    # option is rejected off the streamed backend.
+    import pytest
+
+    params = Q.ieee80211n_params(648, "1/2")
+    rng = np.random.RandomState(6)
+    B, n = 8, params["n_vnodes"]
+    msg = rng.randint(0, 2, (B, params["k_bits"])).astype(np.int8)
+    cw = np.asarray(Q.qc_encode_device(msg, params))
+    d0, _ = Q.qc_bp_decode_device((1.0 - 2.0 * cw) * 20.0, params, "MSA",
+                                  4, backend="pallas-streamed",
+                                  schedule="layered", msg_io="bf16")
+    np.testing.assert_array_equal(np.asarray(d0), cw)
+
+    llr = 2.0 * ((1.0 - 2.0 * cw) + 0.7 * rng.randn(B, n)) / 0.7**2
+    d_f, _ = Q.qc_bp_decode_device(llr, params, "MSA", 10,
+                                   backend="pallas-streamed",
+                                   schedule="layered")
+    d_b, _ = Q.qc_bp_decode_device(llr, params, "MSA", 10,
+                                   backend="pallas-streamed",
+                                   schedule="layered", msg_io="bf16")
+    err_f = int((np.asarray(d_f) != cw).sum())
+    err_b = int((np.asarray(d_b) != cw).sum())
+    # 8-bit-mantissa messages: same BER ballpark (hardware decoders
+    # run 4-6 bit messages); allow a small absolute slack
+    assert abs(err_b - err_f) <= max(4, err_f), (err_f, err_b)
+
+    with pytest.raises(ValueError, match="streamed"):
+        Q.qc_bp_decode_device(llr, params, "MSA", 4, backend="xla",
+                              schedule="layered", msg_io="bf16")
