@@ -107,7 +107,8 @@ class SISOFlatChannel(_FlatChannel):
     def fading_param(self, fading_param):
         if fading_param[1] + np.absolute(fading_param[0]) ** 2 != 1:
             raise ValueError(
-                "With this parameters, the channel would add or remove energy."
+                "fading_param does not conserve energy: |LOS|^2 + NLOS "
+                "power must equal 1 (SISO) / nb_tx*nb_rx (MIMO)"
             )
         self._fading_param = fading_param
         self._isComplex = isinstance(fading_param[0], complex)
@@ -164,29 +165,23 @@ class MIMOFlatChannel(_FlatChannel):
     def _update_corr_KBSM(self, betat, betar):
         """KBSM-BD-AA correlation correction (channels.py:385-412)."""
         if betar < 0 or betat < 0:
-            raise ValueError("beta must be positif")
-        Er = np.array(
-            [
-                [np.exp(-betar * abs(m - n)) for m in range(self.nb_rx)]
-                for n in range(self.nb_rx)
-            ]
-        )
-        Et = np.array(
-            [
-                [np.exp(-betat * abs(m - n)) for m in range(self.nb_tx)]
-                for n in range(self.nb_tx)
-            ]
-        )
+            raise ValueError("KBSM beta factors must be non-negative")
+
+        def kbsm(n_ant, beta):
+            # elementwise exp(-beta |m - n|) taper on the antenna grid
+            idx = np.arange(n_ant)
+            return np.exp(-beta * np.abs(idx[None, :] - idx[:, None]))
+
         self.fading_param = (
             self.fading_param[0],
-            self.fading_param[1] * Et,
-            self.fading_param[2] * Er,
+            self.fading_param[1] * kbsm(self.nb_tx, betat),
+            self.fading_param[2] * kbsm(self.nb_rx, betar),
         )
 
     def specular_compo(self, thetat, dt, thetar, dr):
         """Specular (LOS) steering matrix (channels.py:414-453)."""
         if dr < 0 or dt < 0:
-            raise ValueError("the distance must be positive ")
+            raise ValueError("antenna spacings dt/dr must be non-negative")
         n = np.arange(self.nb_rx)[:, None]
         m = np.arange(self.nb_tx)[None, :]
         return np.exp(
@@ -207,7 +202,8 @@ class MIMOFlatChannel(_FlatChannel):
         )
         if np.absolute(NLOS_gain + LOS_gain - self.nb_tx * self.nb_rx) > 1e-3:
             raise ValueError(
-                "With this parameters, the channel would add or remove energy."
+                "fading_param does not conserve energy: |LOS|^2 + NLOS "
+                "power must equal 1 (SISO) / nb_tx*nb_rx (MIMO)"
             )
         self._fading_param = fading_param
         self._isComplex = isinstance(fading_param[0][0, 0], complex)
@@ -235,9 +231,9 @@ class MIMOFlatChannel(_FlatChannel):
     def expo_corr_rayleigh_fading(self, t, r, betat=0, betar=0):
         """Loyka exponential-correlation Rayleigh (channels.py:487-540)."""
         if abs(t) - 1 > 1e-4:
-            raise ValueError("abs(t) must be one.")
+            raise ValueError("|t| must equal 1 (unit-modulus correlation coefficient)")
         if abs(r) - 1 > 1e-4:
-            raise ValueError("abs(r) must be one.")
+            raise ValueError("|r| must equal 1 (unit-modulus correlation coefficient)")
         expo_tx = (
             np.arange(self.nb_tx)[None, :] - np.arange(self.nb_tx)[:, None]
         )
@@ -268,9 +264,9 @@ class MIMOFlatChannel(_FlatChannel):
     def expo_corr_rician_fading(self, mean, k_factor, t, r, betat=0, betar=0):
         """Exponential-correlation Rician fading (channels.py:560-627)."""
         if abs(t) - 1 > 1e-4:
-            raise ValueError("abs(t) must be one.")
+            raise ValueError("|t| must equal 1 (unit-modulus correlation coefficient)")
         if abs(r) - 1 > 1e-4:
-            raise ValueError("abs(r) must be one.")
+            raise ValueError("|r| must equal 1 (unit-modulus correlation coefficient)")
         nb_antennas = mean.size
         NLOS_gain = nb_antennas / (k_factor + 1)
         mean = mean * np.sqrt(
