@@ -94,16 +94,39 @@ def kbest_device(y, h, constellation, K: int, noise_var=0.0,
     h = jnp.asarray(h)
     constellation = jnp.asarray(constellation)
     nt = h.shape[-1]
-    X, _ = _beam_search_batched(y, h, constellation, (int(K),) * nt)
+    X, mets, idx = _beam_search_batched(y, h, constellation,
+                                        (int(K),) * nt)
     if output_type == "hard":
         return X[:, :, 0]
     elif output_type == "soft":
-        return jax.vmap(
-            lambda yi, hi, Xi: max_log_approx_device(
-                yi, hi, noise_var, Xi, constellation, bits_per_symbol
-            )
-        )(y, h, X)
+        if bits_per_symbol is None:
+            bits_per_symbol = int(np.log2(constellation.shape[0]))
+        return _max_log_llrs_batched(idx, mets, bits_per_symbol,
+                                     noise_var)
     raise ValueError('output_type must be "hard" or "soft"')
+
+
+def _leaf_bits(sym_idx, bps: int):
+    """[B, nt, W] indices -> [B, W, nt*bps] bits (reference bit layout)."""
+    bits = unpack_bits(sym_idx, bps)  # [B, nt, W, bps]
+    B, nt, W, _ = bits.shape
+    return jnp.transpose(bits, (0, 2, 1, 3)).reshape(B, W, nt * bps)
+
+
+def _max_log_llrs_batched(sym_idx, mets, bps: int, noise_var):
+    """Batched max-log LLRs straight from the search leaves.
+
+    Replaces the vmapped per-vector ``max_log_approx_device`` tail: the
+    leaf metrics already ARE ``|y - H x|^2``, and the constellation
+    indices rode the search, so this is pure elementwise/reduction work
+    (reference semantics: modulation.py:599-646).
+    """
+    bits = _leaf_bits(sym_idx, bps)  # [B, W, nb]
+    big = jnp.float32(np.inf)
+    m = mets[:, :, None]
+    n0 = jnp.min(jnp.where(bits == 0, m, big), axis=1)  # [B, nb]
+    n1 = jnp.min(jnp.where(bits == 1, m, big), axis=1)
+    return -(n0 - n1) / (2 * noise_var)
 
 
 def kbest(y, h, constellation, K, noise_var=0, output_type="hard",
@@ -387,7 +410,10 @@ def _beam_search_batched(y, h, constellation, widths, qr=None):
     actual metric arithmetic (scripts/kbest_profile.py).
 
     y ``[B, nr]`` complex, h ``[B, nr, nt]`` complex.
-    Returns (X ``[B, nt, W]`` complex leaves, d_tot ``[B, W]``).
+    Returns (X ``[B, nt, W]`` complex leaves, d_tot ``[B, W]``,
+    sym_idx ``[B, nt, W]`` int32 constellation indices).  The metrics
+    d_tot equal ``|y - H x|^2`` per leaf (the Cholesky triangularization
+    is metric-invariant), so soft outputs never recompute residuals.
     """
     nt = h.shape[-1]
     m = int(constellation.shape[0])
@@ -400,11 +426,14 @@ def _beam_search_batched(y, h, constellation, widths, qr=None):
     rr = jnp.real(r).astype(jnp.float32)  # [B, nt, nt]
     ri = jnp.imag(r).astype(jnp.float32)
 
-    # residual rows [B, nt, C]; chosen symbols [B, nt, C]
+    # residual rows [B, nt, C]; chosen symbols [B, nt, C] (+ their
+    # constellation indices, carried as exact small floats so the soft
+    # output never needs a nearest-point argmin over the leaves)
     dr = jnp.real(yt).astype(jnp.float32)[:, :, None]
     di = jnp.imag(yt).astype(jnp.float32)[:, :, None]
     Xr = jnp.zeros((B, nt, 1), jnp.float32)
     Xi = jnp.zeros((B, nt, 1), jnp.float32)
+    Ix = jnp.zeros((B, nt, 1), jnp.float32)
     dt = jnp.zeros((B, 1), jnp.float32)
     C = 1
     for lvl, coor in enumerate(range(nt - 1, -1, -1)):
@@ -430,10 +459,12 @@ def _beam_search_batched(y, h, constellation, widths, qr=None):
                 jnp.arange(m)[None, None, :]).astype(jnp.float32)
         oh_f = (sel[:, :, None] ==
                 jnp.arange(CM)[None, None, :]).astype(jnp.float32)
-        F = jnp.concatenate([Xr, Xi, dr, di], axis=1)  # [B, 4nt, C]
+        F = jnp.concatenate([Xr, Xi, dr, di, Ix], axis=1)  # [B, 5nt, C]
         Fs = jnp.einsum("bkc,bfc->bfk", oh_p, F,
                         precision=jax.lax.Precision.HIGHEST)
-        Xr, Xi, dr, di = (Fs[:, i * nt:(i + 1) * nt, :] for i in range(4))
+        Xr, Xi, dr, di, Ix = (
+            Fs[:, i * nt:(i + 1) * nt, :] for i in range(5)
+        )
         sr = jnp.einsum("bkm,m->bk", oh_s, hr,
                         precision=jax.lax.Precision.HIGHEST)  # [B, keep]
         si = jnp.einsum("bkm,m->bk", oh_s, hi,
@@ -442,6 +473,7 @@ def _beam_search_batched(y, h, constellation, widths, qr=None):
                         precision=jax.lax.Precision.HIGHEST)
         Xr = Xr.at[:, coor, :].set(sr)
         Xi = Xi.at[:, coor, :].set(si)
+        Ix = Ix.at[:, coor, :].set(j_idx.astype(jnp.float32))
         # residual updates: row coor consumed its symbol; rows above
         # (indices < coor) subtract r[i, coor] * s (complex)
         dr = dr.at[:, coor, :].add(-rr[:, coor, coor][:, None] * sr)
@@ -457,7 +489,7 @@ def _beam_search_batched(y, h, constellation, widths, qr=None):
             )
         C = keep
     X = jax.lax.complex(Xr, Xi)
-    return X, dt
+    return X, dt, Ix.astype(jnp.int32)
 
 
 def _beam_search_single(y, h, constellation, widths, qr=None):
@@ -530,11 +562,18 @@ def best_first_device(y, h, constellation, beam=16, llr_max=500.0,
     if bits_per_symbol is None:
         bits_per_symbol = int(np.log2(m))
     widths = (beam,) * nt if np.ndim(beam) == 0 else tuple(beam)
-    X, mets = _beam_search_batched(y, h, constellation, widths)
-    return jax.vmap(
-        lambda Xi, mi: _counter_hyp_llrs(Xi, mi, constellation,
-                                         bits_per_symbol, llr_max)
-    )(X, mets)
+    _, mets, idx = _beam_search_batched(y, h, constellation, widths)
+    bits = _leaf_bits(idx, bits_per_symbol)  # [B, W, nb]
+    map_i = jnp.argmin(mets, axis=-1)  # [B]
+    map_met = jnp.take_along_axis(mets, map_i[:, None], axis=-1)  # [B,1]
+    map_bits = jnp.take_along_axis(bits, map_i[:, None, None], axis=1)
+    sign = (2 * map_bits[:, 0, :] - 1).astype(jnp.float32)  # [B, nb]
+    differ = bits != map_bits
+    counter = jnp.min(
+        jnp.where(differ, mets[:, :, None], jnp.float32(np.inf)), axis=1
+    )  # [B, nb]
+    counter = jnp.clip(counter, map_met - llr_max, map_met + llr_max)
+    return (map_met - counter) * sign
 
 
 def _counter_hyp_llrs(X, mets, constellation, bps: int, llr_max):

@@ -210,7 +210,7 @@ def test_beam_search_batched_matches_single():
     y = jnp.asarray((rng.randn(B, nt) + 1j * rng.randn(B, nt))
                     .astype(np.complex64))
     widths = (16,) * nt
-    Xb, db = _beam_search_batched(y, h, const, widths)
+    Xb, db, _ = _beam_search_batched(y, h, const, widths)
     Xs, ds = jax.vmap(
         lambda yi, hi: _beam_search_single(yi, hi, const, widths)
     )(y, h)
