@@ -350,11 +350,16 @@ def traceback_pallas(dec_packed, best_state, S: int, tb_depth: int,
     else:
         B, T, G = dec_packed.shape
     # Cap the batch chunk so the kernel fits scoped VMEM: double-buffered
-    # dec/best/out blocks plus the unrolled walk's working set.  Theory
-    # says 4*T*BC*(2G+10) bytes; Mosaic's stack allocator measures ~1.5x
-    # that (16.64 MB at T=1205, G=4, BC=128), hence the 6x multiplier
-    # against a 14.5 MB budget.
-    cap = max(32, (14_500_000 // (6 * T * (2 * G + 10))) // 32 * 32)
+    # dec/best/out blocks plus the unrolled walk's working set.  Mosaic's
+    # stack allocator measures the CURRENT kernel at 136.5 bytes per
+    # (BC, T) element with G=2 (17.98 MB at T=1029 BC=128 — a scoped-vmem
+    # OOM against the 16 MB limit, caught on device at the K=7 B=2048
+    # bench shape; the earlier 6x-of-theory calibration came from the
+    # pre-pairing kernel and undershot).  Only the double-buffered
+    # decision blocks scale with G (8G bytes/elem, 16 of the 136.5), so
+    # model the footprint as BC*T*(8G + 121) bytes — plus a pad to 136
+    # for allocator variance — and budget 13 MB for headroom.
+    cap = max(32, (13_000_000 // (T * (8 * G + 136))) // 32 * 32)
     BC = min(batch_chunk, cap, -(-B // 32) * 32)
     n_chunks = -(-B // BC)
     Bp = n_chunks * BC
