@@ -334,6 +334,26 @@ def _traceback_kernel(dec_ref, best_ref, out_ref, *, T: int, S: int,
     out_ref[:, :] = out.astype(jnp.int8)
 
 
+def _traceback_batch_cap(T: int, G: int) -> int:
+    """Largest 32-multiple batch chunk that fits the traceback kernel
+    in scoped VMEM at time length ``T`` with ``G`` decision words.
+
+    Footprint model (Mosaic stack allocator, measured): 136.5 bytes per
+    (BC, T) element at G=2 — 17.98 MB at T=1029 BC=128, a scoped-vmem
+    OOM against the 16 MB limit caught on device at the K=7 B=2048
+    bench shape.  The G-scaling term covers BOTH the double-buffered
+    decision blocks (8G bytes/elem) and the unrolled walk's live
+    ``rolled`` list + pltpu.roll temporaries (up to ~8G more): modelled
+    at 16G bytes/elem total (ADVICE r3 — the 8G slope was extrapolated
+    from the single G=2 point and undershoots for G >= 8).  Plus a pad
+    to 136 for allocator variance; budget 13 MB for headroom.
+
+    Returns 0 when even BC=32 does not fit (caller must fall back to
+    the XLA traceback).
+    """
+    return (13_000_000 // (T * (16 * G + 136))) // 32 * 32
+
+
 @partial(jax.jit, static_argnames=("S", "tb_depth", "layout"))
 def traceback_pallas(dec_packed, best_state, S: int, tb_depth: int,
                      batch_chunk: int = 128,
@@ -349,18 +369,18 @@ def traceback_pallas(dec_packed, best_state, S: int, tb_depth: int,
         G, B, T = dec_packed.shape
     else:
         B, T, G = dec_packed.shape
-    # Cap the batch chunk so the kernel fits scoped VMEM: double-buffered
-    # dec/best/out blocks plus the unrolled walk's working set.  Mosaic's
-    # stack allocator measures the CURRENT kernel at 136.5 bytes per
-    # (BC, T) element with G=2 (17.98 MB at T=1029 BC=128 — a scoped-vmem
-    # OOM against the 16 MB limit, caught on device at the K=7 B=2048
-    # bench shape; the earlier 6x-of-theory calibration came from the
-    # pre-pairing kernel and undershot).  Only the double-buffered
-    # decision blocks scale with G (8G bytes/elem, 16 of the 136.5), so
-    # model the footprint as BC*T*(8G + 121) bytes — plus a pad to 136
-    # for allocator variance — and budget 13 MB for headroom.
-    cap = max(32, (13_000_000 // (T * (8 * G + 136))) // 32 * 32)
-    BC = min(batch_chunk, cap, -(-B // 32) * 32)
+    cap = _traceback_batch_cap(T, G)
+    if cap < 32 and jax.default_backend() in ("tpu", "axon"):
+        # The smallest tileable chunk (BC=32) would exceed scoped VMEM
+        # on device; don't rely on a floor that OOMs at compile time.
+        # Callers (ops/viterbi.py auto-resolution) check the same cap
+        # and route to the XLA traceback instead of reaching here.
+        raise ValueError(
+            f"traceback_pallas: T={T}, G={G} exceeds the 16 MB scoped-"
+            "VMEM budget even at the minimum batch chunk (32); use "
+            "backend='xla' (ops/viterbi._traceback_packed_structured)"
+        )
+    BC = min(batch_chunk, max(32, cap), -(-B // 32) * 32)
     n_chunks = -(-B // BC)
     Bp = n_chunks * BC
     if Bp != B:

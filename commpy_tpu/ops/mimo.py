@@ -242,8 +242,18 @@ def bit_lvl_repr(H, w):
 #   per-level limits), which batches over received vectors and runs
 #   entirely inside jit.  Its counter-hypothesis metrics come only from
 #   genuinely differing leaves (true max-log), so per-bit LLR magnitudes
-#   can exceed the host's (which also damps counters with every
-#   non-improving leaf), but signs and BER-level behavior agree.
+#   EXCEED the host's (which also damps counters with every
+#   non-improving leaf): measured at 18 dB, 4x4 16-QAM, beam 16 vs host
+#   stacks (1,3,5): signs agree on 100% of confident bits, ~80% of
+#   magnitudes are >= the host's, median ratio ~4x with a heavy upper
+#   tail where the host damped a counter to near the MAP metric
+#   (bounded in tests/test_mimo.py::test_best_first_device_llr_bound).
+#   BER-level behavior is equivalent — the tier-3 acceptance curve
+#   (tests/test_links.py::test_bestfirst_ldpc_mimo_reference_curve)
+#   runs THIS device detector through the WiMAX LDPC link and matches
+#   the reference curve.  Downstream decoders consuming these LLRs see
+#   a scale, not a sign, difference; max-log magnitudes are the
+#   textbook semantics.
 
 
 def best_first_detector(y, h, constellation, stack_size, noise_var, demode,

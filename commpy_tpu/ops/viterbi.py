@@ -352,15 +352,6 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
     lead = x.shape[:-1]
     x = x.reshape((-1,) + x.shape[-1:])
     B = x.shape[0]
-    if backend == "auto":
-        # Pallas wins on TPU for shift-structured binary codes once the
-        # batch fills the 128-lane axis; tiny batches stay on XLA.
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        backend = (
-            "pallas"
-            if on_tpu and B >= 64 and _is_shift_structured(trellis)
-            else "xla"
-        )
 
     k, n = trellis.k, trellis.n
     tm = trellis.total_memory
@@ -392,6 +383,22 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
 
     S, I = trellis.number_states, trellis.number_inputs
     shift_structured = _is_shift_structured(trellis)
+    if backend == "auto":
+        # Pallas wins on TPU for shift-structured binary codes once the
+        # batch fills the 128-lane axis; tiny batches stay on XLA.  Very
+        # long blocks whose traceback working set cannot fit scoped VMEM
+        # even at the minimum batch chunk also stay on XLA (ADVICE r3).
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if on_tpu and B >= 64 and shift_structured:
+            from ..kernels.viterbi_acs import _traceback_batch_cap
+
+            backend = (
+                "pallas"
+                if _traceback_batch_cap(T, -(-S // 32)) >= 32
+                else "xla"
+            )
+        else:
+            backend = "xla"
     if backend == "pallas":
         from ..kernels.viterbi_acs import acs_forward_pallas
 

