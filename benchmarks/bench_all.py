@@ -369,6 +369,55 @@ def main():
                "info bits/s", "")
     guarded(sec_wifi_ldpc)
 
+    # --- full MIMO links driven end to end (VERDICT r3 item 8) ---
+    # The reference bar here is its per-vector Python receive loop
+    # (links.py:320-326: one kbest() call per received vector); both
+    # links below run every vector of every frame through ONE batched
+    # search inside the jitted link step.
+    def sec_mimo_link():
+        from commpy_tpu.models.device_links import (
+            make_bestfirst_ldpc_mimo_link, make_kbest_mimo_link,
+        )
+        from commpy_tpu.ops.ldpc import get_ldpc_code_params
+
+        # (a) uncoded 4x4 16-QAM K-best(16) hard link: bits -> modulate
+        # -> Rayleigh -> batched K-best -> demod -> xor count
+        link = make_kbest_mimo_link(vectors_per_frame=32)
+        F = 128  # 4096 vectors per step
+        ns = jnp.float32(link.noise_std_fn(15.0))
+        x0 = jax.random.PRNGKey(0)
+
+        def body(k0):
+            errs = link.link_step(jax.random.split(k0, F), ns)
+            return jax.random.fold_in(k0, errs)
+
+        dt = timed_chain(body, x0, rep=10, score=jnp.sum)
+        report("kbest_mimo_full_link", F * 32 / dt, "vectors/s", "")
+
+        # (b) the tier-3 coded model with the K-best soft detector:
+        # WiMAX LDPC(1440,720) encode -> 16-QAM -> 4x4 Rayleigh ->
+        # batched K-best max-log soft LLRs -> MSA-15 BP decode
+        design = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..",
+            "commpy_tpu", "designs", "ldpc", "wimax", "1440.720.txt",
+        )
+        params = get_ldpc_code_params(design, True)
+        clink = make_bestfirst_ldpc_mimo_link(
+            ldpc_params=params, detector="kbest", beam=16,
+        )
+        Fc = 64  # 64 codewords = 5760 vectors per step
+        nsc = jnp.float32(clink.noise_std_fn(18.0))
+
+        def body_c(k0):
+            errs = clink.link_step(jax.random.split(k0, Fc), nsc)
+            return jax.random.fold_in(k0, errs)
+
+        dt = timed_chain(body_c, x0, rep=6, score=jnp.sum)
+        n_vec = 1440 // 4 // 4  # n / bps / nb_tx
+        report("kbest_ldpc_mimo_full_link", Fc * n_vec / dt,
+               "vectors/s", "")
+    guarded(sec_mimo_link)
+
 
 if __name__ == "__main__":
     main()

@@ -1,4 +1,4 @@
-"""Render measured bench results into README.md and results_round3.md.
+"""Render measured bench results into README.md and results_round4.md.
 
 Usage:
     python benchmarks/bench_all.py | tee benchmarks/results_latest.jsonl
@@ -39,8 +39,18 @@ LABELS = {
         "(=flooding-15 BER; beyond reference reach)",
     "qam16_soft_demod": "16-QAM exact-LLR soft demod",
     "kbest16_4x4_16qam": "K-best (K=16) 4x4 16-QAM MIMO detection",
+    "kbest16_4x4_16qam_soft":
+        "K-best (K=16) 4x4 16-QAM soft (max-log LLR) detection",
+    "qcldpc_dvbs2_16200_layered8_bf16":
+        "QC-LDPC DVB-S2-class (16200,7200) layered MSA 8 it, bf16 "
+        "message streams (beyond reference reach)",
     "wifi80211n_ldpc1944_full_link":
         "full 802.11n LDPC PHY link step (16-QAM + QC BP MSA-15)",
+    "kbest_mimo_full_link":
+        "full uncoded 4x4 16-QAM MIMO link step (batched K-best hard)",
+    "kbest_ldpc_mimo_full_link":
+        "full coded MIMO link step (K-best soft max-log -> WiMAX "
+        "LDPC(1440,720) MSA-15)",
 }
 ORDER = list(LABELS)
 
@@ -137,14 +147,14 @@ def main():
         raise SystemExit("README results table not found")
     new_readme = re.sub(
         r"\(benchmarks/results_round\d\.md records the full run\.\)",
-        "(benchmarks/results_round3.md records the full run.)",
+        "(benchmarks/results_round4.md records the full run.)",
         new_readme,
     )
     open(readme_path, "w").write(new_readme)
 
-    out_md = os.path.join(HERE, "results_round3.md")
+    out_md = os.path.join(HERE, "results_round4.md")
     with open(out_md, "w") as f:
-        f.write("# Round-3 measured results (single TPU v5e chip)\n\n")
+        f.write("# Round-4 measured results (single TPU v5e chip)\n\n")
         f.write("Source run: `" + os.path.basename(src) + "` — every row "
                 "is the JSON emitted by `benchmarks/bench_all.py` on the "
                 "attached TPU; the README table is rendered from the same "

@@ -1,0 +1,220 @@
+"""Weak-scaling harness for the sharded Monte-Carlo engine (CPU mesh).
+
+VERDICT r3 item 7: `parallel/distributed.py` asserts that the engine's
+host-sync cost is amortized by large per-round chunks ("keep chunks
+large") — this harness MEASURES it.  Per-device work is held fixed while
+the mesh grows 1 -> 8 virtual CPU devices, and each configuration is
+timed two ways:
+
+* **looped**  — rounds driven by the real `montecarlo_ber` host loop:
+  every round ends with a device->host transfer of the error tallies
+  and the Python stopping decision (the production control path);
+* **chained** — the same number of rounds fused into ONE jitted
+  `lax.scan`, no host involvement between rounds: pure device time.
+
+``sync_overhead = 1 - t_chained / t_looped`` is the fraction of wall
+clock the per-round host synchronization costs.  Two workloads bracket
+the range: a trivial uncoded-QPSK link (tiny per-round compute, worst
+case for sync) and the K=7 soft-Viterbi conv link (realistic decoder
+work, the production case).
+
+Honest-scope note: virtual CPU devices share physical cores, so
+bits/s/device here does NOT model ICI throughput or real-chip compute —
+what transfers to hardware is the STRUCTURE of the measurement: how
+often the host is consulted and what that costs relative to round size.
+
+Run:  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python benchmarks/weak_scaling.py
+Writes benchmarks/weak_scaling_latest.jsonl and prints a table
+(summarized in docs/performance.md "Host-sync overhead & weak scaling").
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+os.environ.setdefault("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
+
+import jax.numpy as jnp  # noqa: E402
+
+from commpy_tpu.models import make_conv_awgn_link  # noqa: E402
+from commpy_tpu.ops import modem as M  # noqa: E402
+from commpy_tpu.ops.channel import snr_to_noise_std  # noqa: E402
+from commpy_tpu.ops.trellis import Trellis  # noqa: E402
+from commpy_tpu.models.device_links import _frame_crandn, _gen_bits  # noqa: E402
+from commpy_tpu.parallel import make_mesh, make_round_fn  # noqa: E402
+from commpy_tpu.parallel.montecarlo import montecarlo_ber  # noqa: E402
+
+ROUNDS = 12
+FRAMES_PER_DEV = 32
+SNRS = np.array([2.0, 4.0, 6.0])
+
+
+def qpsk_link_step(frame_bits):
+    const = M.qam_constellation(4).astype(np.complex64)
+
+    def step(keys, ns):
+        bits = _gen_bits(keys, frame_bits)
+        y = M.modulate(bits, const, 2) + _frame_crandn(
+            keys, (frame_bits // 2,), 1
+        ) * (ns * 0.5)
+        return jnp.sum(
+            jnp.bitwise_xor(
+                M.demodulate_hard(y, const, 2), bits
+            ).astype(jnp.int32)
+        )
+
+    return step, (lambda s: snr_to_noise_std(s, Es=2.0))
+
+
+def conv_link(frame_bits):
+    link = make_conv_awgn_link(
+        trellis=Trellis(np.array([6]), np.array([[0o133, 0o171]])),
+        frame_bits=frame_bits,
+    )
+    return link.link_step, link.noise_std_fn
+
+
+def time_once(fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
+def measure(name, step, noise_std_fn, frame_bits, dev_counts=(1, 2, 4, 8),
+            frames_per_dev=FRAMES_PER_DEV):
+    rows = []
+    for n_dev in dev_counts:
+        mesh = make_mesh(n_dev)
+        fpr = frames_per_dev * n_dev
+        noise_stds = [float(noise_std_fn(s)) for s in SNRS]
+        round_fn = make_round_fn(step, noise_stds, fpr, mesh=mesh)
+
+        # chained: ROUNDS rounds inside one jitted scan — no host sync
+        @jax.jit
+        def chained(key):
+            def body(c, r):
+                return c + round_fn(jax.random.fold_in(key, r)), ()
+
+            tot, _ = jax.lax.scan(
+                body, jnp.zeros(len(SNRS), jnp.int32), jnp.arange(ROUNDS)
+            )
+            return tot
+
+        key = jax.random.PRNGKey(0)
+        t_chain = time_once(chained, key)
+
+        # bare dispatch loop: ROUNDS separate round_fn dispatches with a
+        # per-round host sync but NONE of the engine's tally/stopping
+        # logic — separates per-dispatch executor cost from engine cost
+        def bare(key):
+            tot = None
+            for r in range(ROUNDS):
+                e = round_fn(jax.random.fold_in(key, r))
+                tot = e if tot is None else tot + e
+                jax.block_until_ready(tot)
+            return tot
+
+        bare(key)
+        t0 = time.perf_counter()
+        bare(key)
+        t_bare = time.perf_counter() - t0
+
+        # looped: the production montecarlo_ber host loop, forced to run
+        # exactly ROUNDS rounds (err_min unreachable); the prebuilt
+        # round_fn is passed in so the warmup call's compile cache is
+        # shared and the measured run times only execution + host sync
+        montecarlo_ber(  # warmup/compile
+            step, SNRS, noise_std_fn, frame_bits, key,
+            frames_per_round=fpr, max_rounds=1, err_min=1 << 60, mesh=mesh,
+            round_fn=round_fn,
+        )
+        t0 = time.perf_counter()
+        res = montecarlo_ber(
+            step, SNRS, noise_std_fn, frame_bits, key,
+            frames_per_round=fpr, max_rounds=ROUNDS, err_min=1 << 60,
+            mesh=mesh, round_fn=round_fn,
+        )
+        t_loop = time.perf_counter() - t0
+        assert res.rounds == ROUNDS
+
+        bits = len(SNRS) * ROUNDS * fpr * frame_bits
+        row = {
+            "workload": name,
+            "n_devices": n_dev,
+            "frames_per_device": frames_per_dev,
+            "frame_bits": frame_bits,
+            "rounds": ROUNDS,
+            "t_looped_s": round(t_loop, 4),
+            "t_bare_loop_s": round(t_bare, 4),
+            "t_chained_s": round(t_chain, 4),
+            "sync_overhead_frac": round(max(0.0, 1 - t_chain / t_loop), 4),
+            "engine_ms_per_round": round(
+                max(0.0, (t_loop - t_bare) / ROUNDS * 1e3), 3
+            ),
+            "dispatch_ms_per_round": round(
+                max(0.0, (t_bare - t_chain) / ROUNDS * 1e3), 3
+            ),
+            "bits_per_s": round(bits / t_loop, 1),
+            "bits_per_s_per_device": round(bits / t_loop / n_dev, 1),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
+
+
+def main():
+    all_rows = []
+    qs, qn = qpsk_link_step(1024)
+    all_rows += measure("qpsk_uncoded_1k", qs, qn, 1024)
+    cs, cn = conv_link(1024)
+    all_rows += measure("conv_k7_soft_1k", cs, cn, 1024)
+    # chunk-size sweep at full mesh: the "keep chunks large" lever —
+    # sync cost per round is ~fixed, so its fraction falls as the
+    # per-round chunk grows
+    for fpd in (8, 32, 128):
+        all_rows += measure(
+            f"conv_k7_soft_1k_fpd{fpd}", cs, cn, 1024,
+            dev_counts=(8,), frames_per_dev=fpd,
+        )
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "weak_scaling_latest.jsonl"), "w") as f:
+        for r in all_rows:
+            f.write(json.dumps(r) + "\n")
+
+    print("\n| Workload | devs | looped s | bare s | chained s "
+          "| sync overhead | engine ms/rd | dispatch ms/rd | bits/s/dev |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for r in all_rows:
+        print(
+            f"| {r['workload']} | {r['n_devices']} | {r['t_looped_s']} "
+            f"| {r['t_bare_loop_s']} | {r['t_chained_s']} "
+            f"| {100 * r['sync_overhead_frac']:.1f}% "
+            f"| {r['engine_ms_per_round']} | {r['dispatch_ms_per_round']} "
+            f"| {r['bits_per_s_per_device']:.3g} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -590,19 +590,28 @@ def make_bestfirst_ldpc_mimo_link(
     llr_max: float = 500.0,
     algorithm: str = "MSA",
     n_iterations: int = 15,
+    detector: str = "bestfirst",
     name: str = "bestfirst-ldpc-mimo",
 ) -> DeviceLink:
-    """LDPC-coded MIMO link with batched best-first soft detection.
+    """LDPC-coded MIMO link with batched soft detection.
 
     The TPU image of the reference's tier-3 acceptance model
     (test_links.py:60-86): WiMAX LDPC(1440,720) encode -> 16-QAM -> 4x4
-    uncorrelated Rayleigh -> ``best_first_device`` soft LLRs (unscaled
-    metric differences, positive <=> bit 0 — MSA decisions are invariant
-    to the missing 1/(2 sigma^2) scale, exactly as in the reference) ->
-    MSA-15 BP decode.  One frame = one codeword.
+    uncorrelated Rayleigh -> soft detector LLRs -> MSA-15 BP decode.
+    One frame = one codeword.
+
+    ``detector='bestfirst'`` uses ``best_first_device`` (unscaled metric
+    differences, positive <=> bit 0 — MSA decisions are invariant to the
+    missing 1/(2 sigma^2) scale, exactly as in the reference);
+    ``detector='kbest'`` uses ``kbest_device``'s max-log soft output
+    (``beam`` is K), replacing the reference's per-vector
+    ``kbest``+``max_log_approx`` receive loop (links.py:320-326) with
+    one batched search across every vector of every frame.
     """
     from ..ops.ldpc import ldpc_bp_decode_device
 
+    if detector not in ("bestfirst", "kbest"):
+        raise ValueError(f"unknown detector {detector!r}")
     if ldpc_params.get("generator_matrix") is None:
         build_matrix(ldpc_params)
     G = np.asarray(ldpc_params["generator_matrix"].todense()) % 2
@@ -626,10 +635,18 @@ def make_bestfirst_ldpc_mimo_link(
         h = _frame_crandn(keys, (n_vec, nb_rx, nb_tx), 2) * jnp.sqrt(0.5)
         y = jnp.einsum("fvrt,fvt->fvr", h, x)
         y = y + _frame_crandn(keys, y.shape[1:], 1) * (noise_std * 0.5)
-        llrs = best_first_device(
-            y.reshape(-1, nb_rx), h.reshape(-1, nb_rx, nb_tx), const,
-            beam=beam, llr_max=llr_max, bits_per_symbol=bps,
-        )  # [F*n_vec, nt*bps], positive <=> bit 0
+        if detector == "kbest":
+            # max-log LLRs scaled by 1/(2 sigma^2); same sign convention
+            llrs = kbest_device(
+                y.reshape(-1, nb_rx), h.reshape(-1, nb_rx, nb_tx), const,
+                int(beam) if np.ndim(beam) == 0 else int(beam[-1]),
+                noise_std ** 2, "soft", bps,
+            )
+        else:
+            llrs = best_first_device(
+                y.reshape(-1, nb_rx), h.reshape(-1, nb_rx, nb_tx), const,
+                beam=beam, llr_max=llr_max, bits_per_symbol=bps,
+            )  # [F*n_vec, nt*bps], positive <=> bit 0
         llrs = llrs.reshape(F, n_v)
         dec, _ = ldpc_bp_decode_device(
             llrs, ldpc_params, algorithm, n_iterations

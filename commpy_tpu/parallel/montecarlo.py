@@ -115,6 +115,7 @@ def montecarlo_ber(
     mesh: Optional[Mesh] = None,
     axis_name: str = "dp",
     checkpoint_path: Optional[str] = None,
+    round_fn: Optional[Callable] = None,
 ) -> MonteCarloResult:
     """Run the sharded BER sweep with err_min / send_max early stopping.
 
@@ -131,12 +132,17 @@ def montecarlo_ber(
         persisted after every round and the sweep resumes from it if it
         exists (counter-based PRNG makes resumed rounds reproducible —
         the checkpoint/resume subsystem the reference lacks, SURVEY §5).
+    round_fn : optional prebuilt :func:`make_round_fn` result.  Pass it
+        when calling the sweep repeatedly with the same configuration so
+        the jitted round program (and its compile cache) is reused
+        across calls instead of being rebuilt each time.
     """
     snrs_db = np.atleast_1d(np.asarray(snrs_db, float))
     noise_stds = np.asarray([float(noise_std_fn(s)) for s in snrs_db])
-    round_fn = make_round_fn(
-        link_step, noise_stds, frames_per_round, mesh, axis_name
-    )
+    if round_fn is None:
+        round_fn = make_round_fn(
+            link_step, noise_stds, frames_per_round, mesh, axis_name
+        )
 
     n_snr = len(snrs_db)
     bits_per_round = frames_per_round * frame_bits

@@ -93,6 +93,32 @@ def test_kbest_mimo_reference_curve():
     assert_allclose(res.bers, [3e-2], rtol=1.0)
 
 
+def test_kbest_ldpc_mimo_link_decodes():
+    """The kbest-detector variant of the coded MIMO link (VERDICT r3
+    item 8): K-best max-log soft LLRs feed the WiMAX LDPC decoder with
+    the right sign convention — BER at 21 dB must sit well under the
+    raw-channel error rate (if signs were flipped the decoder would
+    emit ~50% errors)."""
+    from commpy_tpu.models.device_links import make_bestfirst_ldpc_mimo_link
+    from commpy_tpu.ops.ldpc import get_ldpc_code_params
+    import os
+
+    design = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "commpy_tpu", "designs", "ldpc", "wimax", "1440.720.txt",
+    )
+    params = get_ldpc_code_params(design, True)
+    link = make_bestfirst_ldpc_mimo_link(
+        ldpc_params=params, detector="kbest", beam=16
+    )
+    res = montecarlo_ber(
+        link.link_step, np.array([21.0]), link.noise_std_fn,
+        link.frame_bits, jax.random.PRNGKey(7), frames_per_round=16,
+        max_rounds=4, err_min=10_000, mesh=make_mesh(8),
+    )
+    assert res.bers[0] < 2e-2, res.bers
+
+
 @pytest.mark.slow
 def test_bestfirst_ldpc_mimo_reference_curve():
     """Tier-3 acceptance (reference test_links.py:60-86): 4x4 16-QAM soft
