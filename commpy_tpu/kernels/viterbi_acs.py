@@ -61,6 +61,25 @@ def _dot(a, b, precision=_DOT_PRECISION):
         precision=precision, preferred_element_type=jnp.float32,
     )
 
+
+def _dot_split3(a, b):
+    """f32-exact ``a @ b`` in 3 DEFAULT-precision MXU passes.
+
+    Valid when ``a`` is bf16-exact (one-hot permutations, ±1/±2 branch
+    vectors — every matrix this kernel multiplies by).  ``b`` is split
+    into three bf16-exact terms covering its 24 mantissa bits
+    (b1 top 8, b2 next 8, b3 rest); each pass then computes exact
+    products with f32 accumulation, and the three partials add back
+    without rounding for one-hot ``a`` (disjoint mantissa parts of one
+    f32 value).  Compare Precision.HIGHEST, which splits BOTH operands
+    (6 passes) because it cannot know ``a`` is exact.
+    """
+    b1 = b.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = b - b1
+    b2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    b3 = r1 - b2
+    return _dot(a, b1) + (_dot(a, b2) + _dot(a, b3))
+
 _PACK = 16  # states per int32 word (2^15 max is f32-exact)
 
 
@@ -107,8 +126,12 @@ def _acs_kernel(r_ref, C_ref, Q_ref, W_ref, dec_ref, best_ref, pm_ref, *,
         r_t = r_ref[t, :, :]  # [n, B]
         # both branches in ONE stacked matmul each: [2S,S]@[S,B] and
         # [2S,n]@[n,B] (halves the dependent-MXU-op chain per step)
-        permuted = _dot(Q_ref[:, :], pm, prec)  # [2S, B]
-        bm = _dot(C_ref[:, :], r_t, prec)  # [2S, B]
+        if prec == "split":
+            permuted = _dot_split3(Q_ref[:, :], pm)  # [2S, B]
+            bm = _dot_split3(C_ref[:, :], r_t)  # [2S, B]
+        else:
+            permuted = _dot(Q_ref[:, :], pm, prec)  # [2S, B]
+            bm = _dot(C_ref[:, :], r_t, prec)  # [2S, B]
         cand = permuted + bm
         # binary branch decision (I == 2), first-index tie-break
         take = cand[S:, :] < cand[:S, :]
@@ -218,9 +241,14 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
         C = np.concatenate([C, _hard_const(trellis)[:, None]], axis=1)
     C = C.reshape(S, I, -1).transpose(1, 0, 2).reshape(I * S, -1)
     Q = _perm_matrices(trellis.pred_state_table).reshape(I * S, S)
-    kernel = partial(_acs_kernel, n_steps=TC, S=S,
-                     prec=(jax.lax.Precision.HIGHEST if exact
-                           else _DOT_PRECISION))
+    if exact is True:
+        exact = "split"
+    kernel = partial(
+        _acs_kernel, n_steps=TC, S=S,
+        prec=("split" if exact == "split"
+              else jax.lax.Precision.HIGHEST if exact == "highest"
+              else _DOT_PRECISION),
+    )
     in_mats = [jnp.asarray(C), jnp.asarray(Q), jnp.asarray(W)]
     mat_specs = [
         pl.BlockSpec((I * S, n), lambda i: (0, 0),
@@ -313,7 +341,8 @@ def _traceback_kernel(dec_ref, best_ref, out_ref, *, T: int, S: int,
     cur = best_ref[:, :]
     out = jnp.zeros((BC, T), jnp.int32)
 
-    for d in range(max(tb_depth - 1, 1)):
+    last = max(tb_depth - 1, 1) - 1
+    for d in range(last + 1):
         pos = cur & 31
         w = rolled[0]
         if G32 > 1:
@@ -323,14 +352,22 @@ def _traceback_kernel(dec_ref, best_ref, out_ref, *, T: int, S: int,
         j = (w >> pos) & 1
         inp = cur >> msb_shift  # pred_input[s, *] == MSB(s), shift trellis
         cur = ((cur & half_mask) << 1) | j
-        emit = (t_iota <= T - 1 - d) & (
-            (d == tb_depth - 2) | (t_iota == T - 1 - d)
-        )
-        # roll by -d == roll by T - d (pltpu.roll wants shift >= 0)
-        inp_pos = pltpu.roll(inp, (T - d) % T, axis=1) if d else inp
-        out = jnp.where(emit, inp_pos, out)
-        if d + 1 < max(tb_depth - 1, 1):
+        if d < last:
+            # Non-final depth steps emit exactly ONE position,
+            # t = T-1-d, and its bit comes from the walk that started
+            # at the LAST column (t + d = T-1) — so instead of rolling
+            # the whole [BC, T] tile by -d to line it up (a full lane
+            # rotation per step, the single most expensive op of the
+            # original walk), broadcast the static last column and mask
+            # in the single static position.
+            inp_last = jnp.broadcast_to(inp[:, T - 1:T], (BC, T))
+            out = jnp.where(t_iota == T - 1 - d, inp_last, out)
             rolled = [pltpu.roll(x, 1, axis=1) for x in rolled]
+        else:
+            # Final step emits every remaining position t <= T-1-d from
+            # the walk that started at t + d: one roll total.
+            inp_pos = pltpu.roll(inp, (T - d) % T, axis=1) if d else inp
+            out = jnp.where(t_iota <= T - 1 - d, inp_pos, out)
     out_ref[:, :] = out.astype(jnp.int8)
 
 

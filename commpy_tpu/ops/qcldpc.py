@@ -45,6 +45,8 @@ __all__ = [
     "detect_qc_structure",
     "ieee80211n_params",
     "random_qc_params",
+    "qc_girth",
+    "qc_export_design",
     "qc_encode_device",
     "qc_bp_decode_device",
     "IEEE80211N_BASE",
@@ -341,8 +343,95 @@ def ieee80211n_params(n: int = 1944, rate: str = "1/2") -> dict:
     return qc_code_params(Bm, Z)
 
 
+def _has_6cycle_through(Bm: np.ndarray, Z: int, j: int,
+                        rows, shifts) -> bool:
+    """True if placing column ``j`` with ``(rows, shifts)`` closes a
+    lifted 6-cycle against the columns already in ``Bm``.
+
+    A 6-cycle through column j uses two of its entries (r_a, j),
+    (r_b, j) plus a row r3 reached from r_b via column c2 and returning
+    to r_a via column c3; it lifts to a real cycle iff the alternating
+    shift sum vanishes mod Z (Fossorier 2004, Thm 2.1):
+    (s[r_a,j]-s[r_b,j]) + (s[r_b,c2]-s[r3,c2]) + (s[r3,c3]-s[r_a,c3])
+    ≡ 0 (mod Z).
+    """
+    Mb, Nb = Bm.shape
+    cols_of = [np.nonzero(Bm[r] >= 0)[0] for r in range(Mb)]
+    w = len(rows)
+    for a in range(w):
+        for b in range(w):
+            if a == b:
+                continue
+            ra, rb = int(rows[a]), int(rows[b])
+            d_ab = (int(shifts[a]) - int(shifts[b])) % Z
+            for c2 in cols_of[rb]:
+                if c2 == j:
+                    continue
+                r3s = np.nonzero(Bm[:, c2] >= 0)[0]
+                for r3 in r3s:
+                    r3 = int(r3)
+                    if r3 == rb or r3 == ra:
+                        continue
+                    d_bc = (int(Bm[rb, c2]) - int(Bm[r3, c2])) % Z
+                    for c3 in cols_of[r3]:
+                        if c3 == j or c3 == c2 or Bm[ra, c3] < 0:
+                            continue
+                        d_ca = (int(Bm[r3, c3]) - int(Bm[ra, c3])) % Z
+                        if (d_ab + d_bc + d_ca) % Z == 0:
+                            return True
+    return False
+
+
+def qc_girth(base_matrix, Z: int, cap: int = 8) -> int:
+    """Girth of the LIFTED Tanner graph, certified up to ``cap``.
+
+    Returns 4, 6, or ``cap`` (meaning girth >= cap; only cap=8 is
+    implemented).  Block-level cycle test (Fossorier 2004): a base-graph
+    cycle lifts to a real cycle iff its alternating circulant-shift sum
+    vanishes mod Z — so girth is decided entirely on the (tiny) base
+    matrix, never on the expanded H.
+    """
+    if cap != 8:
+        raise NotImplementedError("qc_girth certifies up to girth 8")
+    Bm = np.asarray(base_matrix, np.int32)
+    Mb, Nb = Bm.shape
+    # 4-cycles: a row pair sharing >= 2 columns with equal shift diff
+    for r1 in range(Mb):
+        for r2 in range(r1 + 1, Mb):
+            both = np.nonzero((Bm[r1] >= 0) & (Bm[r2] >= 0))[0]
+            if both.size < 2:
+                continue
+            diffs = (Bm[r1, both] - Bm[r2, both]) % Z
+            if np.unique(diffs).size < diffs.size:
+                return 4
+    # 6-cycles: reuse the incremental test column by column (checking
+    # column j against columns < j covers every triple exactly once)
+    for j in range(Nb):
+        rows = np.nonzero(Bm[:, j] >= 0)[0]
+        sub = Bm.copy()
+        sub[:, j:] = -1  # only earlier columns participate as c2/c3
+        if _has_6cycle_through(sub, Z, j, rows, Bm[rows, j]):
+            return 6
+    return cap
+
+
+def qc_export_design(params: dict, file_path: str) -> None:
+    """Write a designed QC code as a reference-format design file.
+
+    Round-trips through the text format the reference defines
+    (ldpc.py:55-61): ``get_ldpc_code_params`` reads it back and
+    ``detect_qc_structure`` re-lifts it onto the QC decode path — so a
+    designed code interoperates with any tool speaking that format.
+    """
+    from .ldpc import write_ldpc_params
+
+    H = expand_base_matrix(params["base_matrix"], params["Z"])
+    write_ldpc_params(H, file_path)
+
+
 def random_qc_params(Mb: int, Nb: int, Z: int, *, col_weight: int = 3,
-                     seed: int = 0, girth_tries: int = 200) -> dict:
+                     seed: int = 0, girth_tries: int = 200,
+                     target_girth: int = 6) -> dict:
     """Synthesize a production-scale QC-LDPC code (IRA-style protograph).
 
     The reference decodes only shipped design files (its largest is
@@ -353,14 +442,21 @@ def random_qc_params(Mb: int, Nb: int, Z: int, *, col_weight: int = 3,
     * information columns get ``col_weight`` entries in distinct random
       check rows, with circulant shifts rejection-sampled to avoid
       4-cycles (girth >= 6 whenever ``girth_tries`` suffices);
+      ``target_girth=8`` additionally rejects lifted 6-cycles
+      (Fossorier shift-sum test), for girth >= 8 codes — the error-
+      floor lever production code designs use;
     * the parity part is block dual-diagonal with identity blocks (the
       DVB-S2/IRA accumulator structure), so encoding is a cumulative
       XOR of per-row info syndromes — O(n), no dense GF(2) solve.
 
     Returns the same params dict as :func:`qc_code_params`, with
     ``parity_structure='dual_diagonal'`` selecting the structured
-    encoder in :func:`qc_encode_device`.
+    encoder in :func:`qc_encode_device`.  Audit the result with
+    :func:`qc_girth`; export it to the reference's design-file format
+    with :func:`qc_export_design`.
     """
+    if target_girth not in (6, 8):
+        raise ValueError("target_girth must be 6 or 8")
     kb = Nb - Mb
     if kb <= 0:
         raise ValueError("Nb must exceed Mb")
@@ -385,8 +481,12 @@ def random_qc_params(Mb: int, Nb: int, Z: int, *, col_weight: int = 3,
                  int(shifts[a] - shifts[b]) % Z)
                 for a in range(col_weight) for b in range(a + 1, col_weight)
             ]
-            if all(d not in seen.get(p, ()) for p, d in pairs):
-                break
+            if not all(d not in seen.get(p, ()) for p, d in pairs):
+                continue
+            if target_girth >= 8 and _has_6cycle_through(
+                    Bm, Z, j, rows, shifts):
+                continue
+            break
         for p, d in pairs:
             seen.setdefault(p, set()).add(d)
         Bm[rows, j] = shifts
