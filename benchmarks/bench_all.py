@@ -69,9 +69,14 @@ def main():
 
         dt = (run(rep) - run(rep_lo)) / (rep - rep_lo)
         if dt <= 0:
-            # Host-link jitter exceeded the chain-length delta — the
-            # measurement is meaningless.  Fail loudly; guarded() will
-            # retry the section once.
+            # Host-link jitter exceeded the chain-length delta — retry
+            # once in-place with a 4x longer chain (amortizes the jitter
+            # 4x better) before failing the section to guarded()'s
+            # process-level retry.  (r4: sec_wifi tripped this once per
+            # sweep at rep=24.)
+            rep *= 4
+            dt = (run(rep) - run(max(1, rep // 4))) / (rep - rep // 4)
+        if dt <= 0:
             raise RuntimeError(
                 f"non-positive chain-differenced time ({dt:.3e} s); "
                 f"rep={rep} too small vs host-link jitter"
@@ -245,7 +250,10 @@ def main():
         x0 = jnp.asarray(rng.randn(Bq, 16200).astype(np.float32) * 2)
 
         # layered-8 == flooding-15 BER (tests/test_qcldpc.py); the
-        # layered schedule runs on the HBM-streamed Pallas kernel
+        # layered schedule runs on the HBM-streamed Pallas kernel, with
+        # bf16 message streams by DEFAULT since r4 (halves the kernel's
+        # dominant HBM traffic — it is HBM-bound; 2.4x measured;
+        # BER-parity tested, msg_io='f32' restores full precision)
         def body_l(c):
             dec, out = qc_bp_decode_device(c, params, "MSA", 8,
                                            schedule="layered")
@@ -254,16 +262,15 @@ def main():
         report("qcldpc_dvbs2_16200_layered8", Bq * 7200 / dt,
                "info bits/s", "")
 
-        # bf16 message streams: halves the streamed kernel's dominant
-        # HBM traffic (roofline: 63% of peak); BER-parity tested
-        def body_lb(c):
+        # full-precision message streams, for comparison across rounds
+        def body_lf(c):
             dec, out = qc_bp_decode_device(c, params, "MSA", 8,
                                            schedule="layered",
                                            backend="pallas-streamed",
-                                           msg_io="bf16")
+                                           msg_io="f32")
             return c + out * 1e-9
-        dt = timed_chain(body_lb, x0, rep=8)
-        report("qcldpc_dvbs2_16200_layered8_bf16", Bq * 7200 / dt,
+        dt = timed_chain(body_lf, x0, rep=8)
+        report("qcldpc_dvbs2_16200_layered8_f32msg", Bq * 7200 / dt,
                "info bits/s", "")
 
         # flooding-15 on the XLA roll core (the reference-shaped

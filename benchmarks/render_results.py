@@ -41,9 +41,9 @@ LABELS = {
     "kbest16_4x4_16qam": "K-best (K=16) 4x4 16-QAM MIMO detection",
     "kbest16_4x4_16qam_soft":
         "K-best (K=16) 4x4 16-QAM soft (max-log LLR) detection",
-    "qcldpc_dvbs2_16200_layered8_bf16":
-        "QC-LDPC DVB-S2-class (16200,7200) layered MSA 8 it, bf16 "
-        "message streams (beyond reference reach)",
+    "qcldpc_dvbs2_16200_layered8_f32msg":
+        "QC-LDPC DVB-S2-class (16200,7200) layered MSA 8 it, "
+        "full-precision (f32) message streams",
     "wifi80211n_ldpc1944_full_link":
         "full 802.11n LDPC PHY link step (16-QAM + QC BP MSA-15)",
     "kbest_mimo_full_link":

@@ -48,10 +48,11 @@ __all__ = ["acs_forward_pallas"]
 # path metrics with spread <= n * total_memory after per-step renorm),
 # all exactly representable in bf16, so the hard path is bit-identical
 # to CPU at DEFAULT (device-verified).  DEFAULT is the throughput
-# configuration (~2.1x faster forward: 643 vs 302 Mbit/s at B=1024);
-# pass exact=True to acs_forward_pallas to run at HIGHEST and restore
-# CPU/f32 bit-identity for the soft paths (Mosaic supports only DEFAULT
-# and HIGHEST in-kernel).
+# configuration; exact=True restores CPU/f32 bit-identity for the soft
+# paths via the 3-pass bf16 operand split (`_dot_split3` — r4
+# device-verified 0/65536 mismatches; ~2.0x e2e decode cost, 1.6x
+# faster than exact='highest' / Precision.HIGHEST at ~3.2x e2e;
+# benchmarks/device_probes/viterbi_exact.jsonl).
 _DOT_PRECISION = jax.lax.Precision.DEFAULT
 
 
@@ -172,14 +173,17 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
     layout : 'btg' returns dec_packed ``[B, T, G]``; 'gmaj' returns it
         ``[G, B, T]`` (the layout ``traceback_pallas`` consumes), saving
         one full HBM transpose of the decision tensor in the decode path.
-    exact : run the metric matmuls at Precision.HIGHEST so ACS decisions
-        match the CPU/f32 ground truth bit-for-bit (DEFAULT rounds
-        operands to bf16 per MXU pass — identically to the device XLA
-        core, which Pallas-DEFAULT matches exactly; real-valued
-        soft/unquantized metrics flip ~0.02% of near-tie decisions vs
-        CPU, hard-path integer operands are bf16-exact at any setting —
-        device-verified, scripts/viterbi_exact_probe.py).  ~2.1x slower
-        forward pass.
+    exact : make ACS decisions match the CPU/f32 ground truth
+        bit-for-bit (DEFAULT rounds operands to bf16 per MXU pass —
+        identically to the device XLA core, which Pallas-DEFAULT matches
+        exactly; real-valued soft/unquantized metrics flip ~0.02% of
+        near-tie decisions vs CPU, hard-path integer operands are
+        bf16-exact at any setting).  ``True``/``'split'`` uses the
+        3-pass bf16 operand split (`_dot_split3`; ~2.0x e2e decode
+        cost); ``'highest'`` uses Precision.HIGHEST (~3.2x e2e).  All
+        r4 device-verified, 0/65536 mismatches per configuration:
+        scripts/viterbi_exact_ab.py,
+        benchmarks/device_probes/viterbi_exact.jsonl.
 
     A radix-2 variant (two trellis steps fused per kernel iteration) was
     built and removed: it was bit-exact in interpret mode but misdecoded

@@ -714,7 +714,7 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
                         n_iters: int, backend: str = "auto",
                         schedule: str = "flooding",
                         msa_scale: float = 1.0, msa_offset: float = 0.0,
-                        msg_io: str = "f32"):
+                        msg_io: str = "auto"):
     """Batched QC-LDPC BP decode: ``[..., n]`` LLRs -> (dec int8, llr).
 
     Same output conventions as :func:`ldpc.ldpc_bp_decode_device` (hard
@@ -737,8 +737,11 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
     (Chen & Fossorier 2002); (1, 0) is plain MSA exactly.  MSA only.
     ``msg_io``: 'bf16' stores the streamed kernel's c2v messages
     bfloat16 in HBM — halves its dominant traffic (the kernel is
-    HBM-bound, 63% of peak at DVB-S2 size); decisions can differ from
-    f32 near ties, BER-neutral (test_qcldpc.py).  pallas-streamed only.
+    HBM-bound, ~53-63% of peak at DVB-S2 size; 2.4x measured speedup);
+    decisions can differ from f32 near ties, BER-neutral
+    (test_qcldpc.py).  'auto' (default) resolves to 'bf16' on the
+    HBM-streamed kernel and 'f32' everywhere else; pass 'f32' to force
+    full-precision message storage on the streamed path too.
     """
     if decoder_algorithm not in ("SPA", "MSA"):
         raise NameError(
@@ -749,7 +752,9 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
         raise ValueError('schedule must be "flooding" or "layered"')
     if (msa_scale, msa_offset) != (1.0, 0.0) and decoder_algorithm != "MSA":
         raise ValueError("msa_scale/msa_offset apply to MSA only")
-    if msg_io != "f32" and backend != "pallas-streamed":
+    if msg_io not in ("auto", "f32", "bf16"):
+        raise ValueError("msg_io must be 'auto', 'f32', or 'bf16'")
+    if msg_io == "bf16" and backend not in ("pallas-streamed", "auto"):
         raise ValueError(
             "msg_io='bf16' applies to the HBM-streamed kernel only "
             "(backend='pallas-streamed'); the other paths keep messages "
@@ -798,6 +803,13 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
                     else "xla"
                 )
 
+    if msg_io == "bf16" and backend != "pallas-streamed":
+        # auto-resolution landed off the streamed kernel: an explicit
+        # bf16 request cannot be honored there — fail, don't ignore
+        raise ValueError(
+            f"msg_io='bf16' requested but the backend resolved to "
+            f"{backend!r}; only 'pallas-streamed' stores messages in HBM"
+        )
     if backend in ("pallas", "pallas-streamed"):
         from ..kernels.qc_bp import qc_bp_pallas, qc_bp_pallas_streamed
 
@@ -820,7 +832,7 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
                 xf, decoder_algorithm, int(n_iters), (Z, Nb, rows),
                 msa_scale=float(msa_scale), msa_offset=float(msa_offset),
                 pos_masks=qc_params.get("pos_masks", ()),
-                msg_io=msg_io)
+                msg_io="bf16" if msg_io == "auto" else msg_io)
         else:
             if qc_params.get("pos_masks"):
                 raise NotImplementedError(

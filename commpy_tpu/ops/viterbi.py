@@ -56,6 +56,11 @@ __all__ = ["viterbi_decode", "viterbi_decode_device", "make_viterbi_decoder"]
 _LLR_CLIP = 500.0  # reference convcode.py:718-719
 
 
+def _xla_prec(exact):
+    """einsum/dot precision for the XLA cores under ``exact``."""
+    return jax.lax.Precision.HIGHEST if exact else None
+
+
 def _branch_vectors(trellis: Trellis, decoding_type: str) -> np.ndarray:
     """[S*I, n] vectors c such that bm = r . c (+ per-step const)."""
     ob = trellis.branch_codewords.reshape(-1, trellis.n).astype(np.float32)
@@ -174,18 +179,25 @@ def _traceback_packed_structured(dec_packed, best_state, pu_words, S: int,
     return out.astype(jnp.int8)
 
 
-@partial(jax.jit, static_argnames=("tb_depth",))
+@partial(jax.jit, static_argnames=("tb_depth", "exact"))
 def _viterbi_core_packed(
     bm,  # [B, T, S, 2] branch metrics
     P,  # [2, S, S] one-hot predecessor permutations
     W,  # [S, G] powers-of-two packing matrix (float32)
     pu_words,  # [G, 2] int32 packed pred_input bits
     tb_depth: int,
+    exact: bool = False,
 ):
-    """ACS + packed traceback for shift-structured binary-input codes."""
+    """ACS + packed traceback for shift-structured binary-input codes.
+
+    ``exact`` runs the path-metric permutation matmul at HIGHEST
+    precision (the packing dot is exact at any precision: {0,1} times
+    powers of two).  See ``viterbi_decode_device(exact=...)``.
+    """
     B, T, S, I = bm.shape
     G = W.shape[1]
     pm0 = jnp.full((B, S), jnp.inf, jnp.float32).at[:, 0].set(0.0)
+    prec = jax.lax.Precision.HIGHEST if exact else None
 
     def acs(pm, bm_t):
         pm_f = jnp.nan_to_num(pm, posinf=3.0e37)
@@ -193,7 +205,7 @@ def _viterbi_core_packed(
             jax.lax.dot_general(
                 pm_f, P[j],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
             + bm_t[..., j]
             for j in range(2)
@@ -220,7 +232,7 @@ def _viterbi_core_packed(
     return bits.reshape(B, T)  # k == 1
 
 
-@partial(jax.jit, static_argnames=("k", "tb_depth"))
+@partial(jax.jit, static_argnames=("k", "tb_depth", "exact"))
 def _viterbi_core(
     bm,  # [B, T, S, I] branch metrics
     P,  # [I, S, S] one-hot predecessor permutations (_perm_onehots)
@@ -228,10 +240,12 @@ def _viterbi_core(
     pu_cols,  # [I, S] pred_input columns (float32)
     k: int,
     tb_depth: int,
+    exact: bool = False,
 ):
     B, T, S, I = bm.shape
 
     pm0 = jnp.full((B, S), jnp.inf, jnp.float32).at[:, 0].set(0.0)
+    prec = jax.lax.Precision.HIGHEST if exact else None
 
     def acs(pm, bm_t):
         # bm_t: [B, S, I]; cand_j = pm @ P_j + bm_j (no gathers in-loop)
@@ -240,7 +254,7 @@ def _viterbi_core(
             jax.lax.dot_general(
                 pm_f, P[j],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
             + bm_t[..., j]
             for j in range(I)
@@ -328,17 +342,22 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
         kernel with bit-packed decisions, commpy_tpu.kernels.viterbi_acs),
         or 'auto' (pallas on TPU for >=512-state binary-input codes, where
         the matmul-based ACS beats the XLA gather scan; xla otherwise)
-    exact : Pallas backend only.  ``decoding_type='hard'`` is bit-exact vs
-        the CPU core at any setting (every MXU operand is a small integer,
-        exact in bf16 — device-verified, scripts/viterbi_exact_probe.py /
+    exact : ``decoding_type='hard'`` is bit-exact vs the CPU core at any
+        setting (every MXU operand is a small integer, exact in bf16 —
+        device-verified, scripts/viterbi_exact_probe.py /
         benchmarks/device_probes/viterbi_exact.jsonl).  For
         'soft'/'unquantized' the default MXU precision rounds the
         real-valued metric operands to bf16 per pass — IDENTICALLY in the
         Pallas kernel and the device XLA core (their decisions agree
         bit-for-bit on device), both deviating from the CPU/f32 ground
         truth by ~0.02% of decided bits near ACS ties (BER delta ~3e-5).
-        ``exact=True`` runs the kernel matmuls at Precision.HIGHEST,
-        restoring CPU bit-identity (~2.1x slower forward pass).
+        ``exact=True`` restores CPU/f32 bit-identity on device: the
+        Pallas kernel reconstructs f32 products from a 3-pass bf16
+        operand split (the permutation/branch matrices are bf16-exact) —
+        ~2.0x e2e decode cost, r4 device-verified 0/65536 mismatches;
+        ``exact='highest'`` keeps the Precision.HIGHEST variant (~3.2x
+        e2e).  The XLA cores honor ``exact`` via HIGHEST-precision
+        einsums/dots.  On CPU all settings are f32-identical.
 
     Returns
     -------
@@ -416,7 +435,7 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
         )
     elif shift_structured:
         C = jnp.asarray(_branch_vectors(trellis, decoding_type))
-        bm = jnp.einsum("btn,cn->btc", r, C)
+        bm = jnp.einsum("btn,cn->btc", r, C, precision=_xla_prec(exact))
         if decoding_type == "hard":
             bm = bm + jnp.asarray(_hard_const(trellis))
         bm = bm.reshape(B, T, S, I)
@@ -433,12 +452,14 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
             jnp.asarray(W),
             jnp.asarray(pu_words),
             int(tb_depth),
+            exact=bool(exact),
         )
     else:
         C = jnp.asarray(_branch_vectors(trellis, decoding_type))  # [S*I, n]
         # Branch axis is flat (s, j) of the predecessor table —
         # _branch_vectors is built from branch_codewords [S, I].
-        bm = jnp.einsum("btn,cn->btc", r, C)  # [B, T, S*I]
+        bm = jnp.einsum("btn,cn->btc", r, C,
+                        precision=_xla_prec(exact))  # [B, T, S*I]
         if decoding_type == "hard":
             bm = bm + jnp.asarray(_hard_const(trellis))
         bm = bm.reshape(B, T, S, I)
@@ -449,6 +470,7 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
             jnp.asarray(trellis.pred_input_table.T, jnp.float32),
             k,
             int(tb_depth),
+            exact=bool(exact),
         )
     bits = bits[:, :L].reshape(lead + (L,))
     if squeeze:

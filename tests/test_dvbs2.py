@@ -186,7 +186,7 @@ def test_pos_mask_parity_streamed_vs_xla():
                                    schedule="layered")
     d_s, l_s = qc_bp_decode_device(llr, params, "MSA", 6,
                                    backend="pallas-streamed",
-                                   schedule="layered")
+                                   schedule="layered", msg_io="f32")
     np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_s))
     np.testing.assert_array_equal(np.asarray(l_x), np.asarray(l_s))
     # and the mask changes the result vs the unmasked graph

@@ -451,7 +451,8 @@ def test_streamed_kernel_matches_xla_layered():
                                          schedule="layered")
         d_s, l_s = Q.qc_bp_decode_device(llr, params, alg, 10,
                                          backend="pallas-streamed",
-                                         schedule="layered")
+                                         schedule="layered",
+                                         msg_io="f32")
         np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_s))
         np.testing.assert_array_equal(np.asarray(l_x), np.asarray(l_s))
 
@@ -472,7 +473,8 @@ def test_streamed_kernel_msa_correction_and_flooding_guard():
                                      schedule="layered", msa_scale=0.75)
     d_s, l_s = Q.qc_bp_decode_device(llr, params, "MSA", 6,
                                      backend="pallas-streamed",
-                                     schedule="layered", msa_scale=0.75)
+                                     schedule="layered", msa_scale=0.75,
+                                     msg_io="f32")
     np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_s))
     np.testing.assert_array_equal(np.asarray(l_x), np.asarray(l_s))
     with pytest.raises(ValueError, match="layered"):
@@ -500,7 +502,7 @@ def test_streamed_kernel_bf16_messages():
     llr = 2.0 * ((1.0 - 2.0 * cw) + 0.7 * rng.randn(B, n)) / 0.7**2
     d_f, _ = Q.qc_bp_decode_device(llr, params, "MSA", 10,
                                    backend="pallas-streamed",
-                                   schedule="layered")
+                                   schedule="layered", msg_io="f32")
     d_b, _ = Q.qc_bp_decode_device(llr, params, "MSA", 10,
                                    backend="pallas-streamed",
                                    schedule="layered", msg_io="bf16")
