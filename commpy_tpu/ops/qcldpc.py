@@ -49,6 +49,7 @@ __all__ = [
     "qc_export_design",
     "qc_encode_device",
     "qc_bp_decode_device",
+    "qc_bp_decode_sharded",
     "IEEE80211N_BASE",
 ]
 
@@ -708,6 +709,178 @@ def _qc_bp_core(llr, block_s_t, algorithm: str, n_iters: int, meta,
         (0, c2v0, llr, dec0, act0)
     )
     return dec.reshape(B, Nb * Z), out_llr.reshape(B, Nb * Z)
+
+
+def _dist_roll(x, r: int, Z: int, D: int, axis_name: str):
+    """Global cyclic roll by ``r`` of a Z axis sharded across ``D``
+    devices (local length ``Zl = Z/D``), inside shard_map.
+
+    ``out[z] = x_global[(z + r) % Z]``.  With r = q*Zl + t, device d's
+    slice needs elements from shards d+q and d+q+1: two static
+    ``ppermute`` rotations of the local tile plus a static local
+    re-split — the circulant structure turns into pure neighbor
+    communication over ICI (one ppermute when t == 0).  x: ``[..., Zl]``.
+    """
+    Zl = Z // D
+    q, t = divmod(r % Z, Zl)
+    perm_a = [(s, (s - q) % D) for s in range(D)]
+    a = jax.lax.ppermute(x, axis_name, perm_a) if q % D else x
+    if t == 0:
+        return a
+    perm_b = [(s, (s - q - 1) % D) for s in range(D)]
+    b = jax.lax.ppermute(x, axis_name, perm_b)
+    return jnp.concatenate([a[..., t:], b[..., :t]], axis=-1)
+
+
+def qc_bp_decode_sharded(llr, qc_params: dict, decoder_algorithm: str,
+                         n_iters: int, mesh, axis_name: str = "dp",
+                         msa_scale: float = 1.0, msa_offset: float = 0.0):
+    """Tensor-parallel QC BP: ONE Tanner graph sharded over the mesh
+    along the circulant (Z) axis.
+
+    The generic edge-sharded decoder (:func:`.ldpc.ldpc_bp_decode_sharded`)
+    partitions check rows but carries a dense incidence matrix — it
+    cannot reach DVB-S2 sizes.  Here the natural QC axis is split
+    instead: every message tensor holds ``Z/D`` circulant positions per
+    device (memory and CN work are E/D each), variable-node totals are
+    positionwise on Z so they need NO collective at all, and each
+    circulant roll becomes at most two static ``ppermute`` neighbor
+    rotations over ICI (:func:`_dist_roll`).  The only reduction is the
+    per-iteration convergence flag (one psum of a [B] byte).
+
+    Flooding schedule only (the layered sweep is serial across block
+    rows by construction); requires ``Z % n_devices == 0``.  Outputs
+    match :func:`qc_bp_decode_device` (backend='xla',
+    schedule='flooding') exactly up to float summation order.
+    """
+    from ..parallel.mesh import P, shard_map
+
+    if decoder_algorithm not in ("SPA", "MSA"):
+        raise NameError(
+            'Please input a valid decoder_algorithm string '
+            '(meanning "SPA" or "MSA").'
+        )
+    Mb, Nb = qc_params["Mb"], qc_params["Nb"]
+    Z, K = qc_params["Z"], qc_params["K"]
+    D = mesh.shape[axis_name]
+    if Z % D:
+        raise ValueError(
+            f"Z-sharded decode needs Z % n_devices == 0 (Z={Z}, D={D}); "
+            "shard the batch axis instead for this code"
+        )
+    Zl = Z // D
+    bj = np.asarray(qc_params["block_j"])
+    sj = np.asarray(qc_params["block_s"])
+    valid = bj >= 0
+
+    x = jnp.asarray(llr, jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    lead = x.shape[:-1]
+    x = jnp.clip(x.reshape(-1, Nb, Z), -_llr_max, _llr_max)
+    B = x.shape[0]
+
+    pm_full = np.ones((Mb, Z, K), np.float32)
+    for (i, k, excluded) in qc_params.get("pos_masks", ()):
+        pm_full[i, list(excluded), k] = 0.0
+    for i in range(Mb):
+        for k in range(K):
+            if not valid[i, k]:
+                pm_full[i, :, k] = 0.0
+
+    def local(xs, pm):
+        # xs [B, Nb, Zl]; pm [Mb, Zl, K] — this device's Z slice
+        m = pm[None].astype(bool)  # [1, Mb, Zl, K]
+
+        def to_edges(v):  # [B, Nb, Zl] -> [B, Mb, Zl, K]
+            cols = []
+            for k in range(K):
+                col = jnp.stack(
+                    [
+                        _dist_roll(v[:, bj[i][k]], int(sj[i][k]) % Z,
+                                   Z, D, axis_name)
+                        if valid[i][k]
+                        else jnp.zeros((B, Zl), v.dtype)
+                        for i in range(Mb)
+                    ],
+                    axis=1,
+                )
+                cols.append(col)
+            return jnp.stack(cols, axis=-1)
+
+        def to_vnodes(e):  # [B, Mb, Zl, K] -> [B, Nb, Zl]
+            acc = [jnp.zeros((B, Zl), e.dtype) for _ in range(Nb)]
+            for i in range(Mb):
+                for k in range(K):
+                    if not valid[i][k]:
+                        continue
+                    acc[bj[i][k]] = acc[bj[i][k]] + _dist_roll(
+                        e[:, i, :, k], -int(sj[i][k]) % Z, Z, D, axis_name
+                    )
+            return jnp.stack(acc, axis=1)
+
+        def cn_update(v2c):
+            if decoder_algorithm == "SPA":
+                t = jnp.tanh(v2c * 0.5)
+                prod = _loo_prod(t, m)
+                msg = 2.0 * jnp.arctanh(jnp.clip(prod, -1.0, 1.0))
+                return jnp.clip(msg, -_llr_max, _llr_max)
+            sign = _loo_prod(jnp.sign(v2c), m)
+            loo = _loo_min(jnp.abs(v2c), m)
+            mag = jnp.maximum(msa_scale * loo - msa_offset, 0.0)
+            return jnp.where(m, sign * mag, 0.0)
+
+        def total_llr(c2v):
+            return xs + to_vnodes(jnp.where(m, c2v, 0.0))
+
+        def act_from(dec):
+            par = jnp.sum(
+                jnp.where(m, to_edges(dec.astype(jnp.float32)), 0.0),
+                axis=-1,
+            )  # [B, Mb, Zl] — check positions of THIS shard
+            bad = jnp.any(jnp.mod(par, 2.0) != 0, axis=(-2, -1))  # [B]
+            # a lane is active while ANY shard still sees a violation
+            return jax.lax.psum(bad.astype(jnp.float32), axis_name) > 0
+
+        dec0 = jnp.signbit(xs).astype(jnp.int8)
+        c2v0 = jnp.zeros((B, Mb, Zl, K), jnp.float32)
+        act0 = act_from(dec0)
+
+        def cond(state):
+            it, _, _, _, act = state
+            return jnp.logical_and(it < n_iters, jnp.any(act))
+
+        def body(state):
+            it, c2v, out_llr, dec, act = state
+            v2c = to_edges(total_llr(c2v))
+            v2c = jnp.where(m, v2c - c2v, 0.0)
+            new_c2v = cn_update(v2c)
+            new_total = total_llr(new_c2v)
+            new_dec = jnp.signbit(new_total).astype(jnp.int8)
+            sel3 = act[:, None, None, None]
+            c2v = jnp.where(sel3, new_c2v, c2v)
+            out_llr = jnp.where(act[:, None, None], new_total, out_llr)
+            dec = jnp.where(act[:, None, None], new_dec, dec)
+            act = jnp.logical_and(act, act_from(dec))
+            return it + 1, c2v, out_llr, dec, act
+
+        _, _, out_llr, dec, _ = jax.lax.while_loop(
+            cond, body, (0, c2v0, xs, dec0, act0)
+        )
+        return dec, out_llr
+
+    dec, out_llr = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, axis_name), P(None, axis_name, None)),
+        out_specs=(P(None, None, axis_name), P(None, None, axis_name)),
+        check_vma=False,
+    )(x, jnp.asarray(pm_full))
+    dec = dec.reshape(lead + (Nb * Z,))
+    out_llr = out_llr.reshape(lead + (Nb * Z,))
+    if squeeze:
+        return dec[0], out_llr[0]
+    return dec, out_llr
 
 
 def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
