@@ -222,10 +222,12 @@ def main():
 
         dt = timed_chain(body, x0, rep=6)
         vpu = n_it * E * B * 18
-        # c2v tiles stream HBM->VMEM->HBM every iteration
-        hbm = n_it * 2 * E * B * 4 + 3 * B * 16200 * 4
-        add("qc_bp streamed dvbs2class layered8 B512", dt, 0.0, vpu, hbm,
-            "c2v store streamed from HBM per layer; totals resident")
+        # c2v tiles stream HBM->VMEM->HBM every iteration; the streamed
+        # kernel stores them bf16 by default since r4 (2 bytes/message)
+        hbm = n_it * 2 * E * B * 2 + 3 * B * 16200 * 4
+        add("qc_bp streamed dvbs2class layered8 B512 bf16", dt, 0.0, vpu,
+            hbm, "c2v store streamed bf16 from HBM per layer; totals "
+            "resident f32")
     sec_qcs()
 
     # ---- 16-QAM exact-LLR soft demod ----

@@ -161,12 +161,66 @@ def _acs_kernel(r_ref, C_ref, Q_ref, W_ref, dec_ref, best_ref, pm_ref, *,
     pm_ref[:, :] = pm
 
 
+def _acs_kernel_fused(r_ref, QC_ref, W_ref, dec_ref, best_ref, pm_ref, *,
+                      n_steps: int, S: int):
+    """ACS chunk with ONE stacked matmul per step.
+
+    The per-step ``Q @ pm`` (predecessor permutation) and ``C @ r_t``
+    (branch metrics) of :func:`_acs_kernel` are independent MXU ops but
+    sit back-to-back in the dependent chain; stacking them as
+    ``[Q | C] @ [pm ; r_t]`` ([2S, S+n] @ [S+n, B]) issues a single MXU
+    op per trellis step — the contraction grows S -> S+n, which stays
+    inside the same 128-wide MXU tile for every supported code.
+
+    Numerics: the combined pass accumulates the permutation and branch
+    products in one f32 systolic sum instead of two sums added on the
+    VPU — same values to ulp-level, but a DIFFERENT rounding grouping,
+    so this variant is NOT guaranteed bit-identical to the device XLA
+    core (the unfused kernel is); near-tie decisions may differ at the
+    usual bf16-default rate.  Opt-in via
+    ``acs_forward_pallas(fuse_bm=True)`` until the A/B says otherwise
+    (scripts/acs_fused_ab.py).
+    """
+    QC = QC_ref[:, :]  # [2S, S + n]
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        B = pm_ref.shape[1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0)
+        pm_ref[:, :] = jnp.where(row == 0, 0.0, 1e30)
+
+    def step(t, pm):
+        r_t = r_ref[t, :, :]  # [n, B]
+        buf = jnp.concatenate([pm, r_t], axis=0)  # [S + n, B]
+        cand = _dot(QC, buf)  # [2S, B]
+        take = cand[S:, :] < cand[:S, :]
+        new_pm = jnp.where(take, cand[S:, :], cand[:S, :])
+        packed = _dot(W_ref[:, :], take.astype(jnp.float32)).astype(jnp.int32)
+        G = packed.shape[0]
+        if G > 1:
+            packed = jnp.concatenate(
+                [packed[2 * g:2 * g + 1] | (packed[2 * g + 1:2 * g + 2]
+                                            << 16)
+                 if 2 * g + 1 < G else packed[2 * g:2 * g + 1]
+                 for g in range((G + 1) // 2)], axis=0)
+        m = jnp.min(new_pm, axis=0, keepdims=True)
+        row = jax.lax.broadcasted_iota(jnp.int32, new_pm.shape, 0)
+        best = jnp.min(jnp.where(new_pm == m, row, S), axis=0)
+        dec_ref[t, :, :] = packed
+        best_ref[t, :] = best.astype(jnp.int32)
+        return new_pm - m
+
+    pm = pm_ref[:, :]
+    pm = jax.lax.fori_loop(0, n_steps, step, pm)
+    pm_ref[:, :] = pm
+
+
 @partial(jax.jit,
          static_argnames=("trellis", "decoding_type", "time_chunk",
-                          "layout", "exact"))
+                          "layout", "exact", "fuse_bm"))
 def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
                        time_chunk: int = 512,
-                       layout: str = "btg", exact: bool = False):
+                       layout: str = "btg", exact: bool = False,
+                       fuse_bm=None):
     """Run the fused ACS forward pass.
 
     r : ``[B, T, n]`` float32 received codewords (already clipped/padded).
@@ -247,21 +301,51 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
     Q = _perm_matrices(trellis.pred_state_table).reshape(I * S, S)
     if exact is True:
         exact = "split"
-    kernel = partial(
-        _acs_kernel, n_steps=TC, S=S,
-        prec=("split" if exact == "split"
-              else jax.lax.Precision.HIGHEST if exact == "highest"
-              else _DOT_PRECISION),
-    )
-    in_mats = [jnp.asarray(C), jnp.asarray(Q), jnp.asarray(W)]
-    mat_specs = [
-        pl.BlockSpec((I * S, n), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((I * S, S), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((W.shape[0], S), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    if fuse_bm is None:
+        # Shape-aware default (r4 device A/B, float-sync timed): the
+        # stacked matmul wins only once the batch fills many lane
+        # tiles — forward 1.62x and e2e decode 1.23x at B=2048, but
+        # neutral-to-slower at B <= 1024 (0.93-1.0x; the per-step
+        # [pm; r_t] concat costs more than the saved MXU op when the
+        # matmuls are small).  It is bit-identical to the two-matmul
+        # kernel on device (0 mismatches over 134M decision bits,
+        # scripts/acs_fused_ab.py), so the Pallas-default == device-XLA
+        # identity claim carries over.  Exact modes keep the two-matmul
+        # form, whose split bit-identity proof is per-pass.
+        fuse_bm = (not exact) and B >= 2048
+    if fuse_bm:
+        if exact:
+            raise ValueError(
+                "fuse_bm is a DEFAULT-precision fast path; exact modes "
+                "keep the two-matmul kernel (bit-identity)"
+            )
+        QC = np.concatenate([Q, C], axis=1)  # [2S, S + n]
+        kernel = partial(_acs_kernel_fused, n_steps=TC, S=S)
+        in_mats = [jnp.asarray(QC), jnp.asarray(W)]
+        mat_specs = [
+            pl.BlockSpec((I * S, S + n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W.shape[0], S), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        scratch_rows = S
+    else:
+        kernel = partial(
+            _acs_kernel, n_steps=TC, S=S,
+            prec=("split" if exact == "split"
+                  else jax.lax.Precision.HIGHEST if exact == "highest"
+                  else _DOT_PRECISION),
+        )
+        in_mats = [jnp.asarray(C), jnp.asarray(Q), jnp.asarray(W)]
+        mat_specs = [
+            pl.BlockSpec((I * S, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((I * S, S), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W.shape[0], S), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        scratch_rows = S
     r_steps = r_tl.astype(jnp.float32)
     r_spec = pl.BlockSpec((TC, n, B), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -282,7 +366,7 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
         in_specs=[r_spec, *mat_specs],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((scratch_rows, B), jnp.float32)],
         interpret=interpret,
     )(r_steps, *in_mats)
 

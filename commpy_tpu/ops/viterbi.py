@@ -329,7 +329,7 @@ def _traceback_windows(dec, best_state, ps_cols, pu_cols, k: int,
 
 def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
                           decoding_type="hard", L=None, backend="auto",
-                          exact: bool = False):
+                          exact: bool = False, fuse_bm=None):
     """Batched Viterbi decode.
 
     Parameters
@@ -429,7 +429,8 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
                 "trellis; use backend='xla'"
             )
         dec_packed, best = acs_forward_pallas(r, trellis, decoding_type,
-                                              layout="gmaj", exact=exact)
+                                              layout="gmaj", exact=exact,
+                                              fuse_bm=fuse_bm)
         bits = traceback_pallas(
             dec_packed, best, S, int(tb_depth), layout="gmaj",
         )
