@@ -74,7 +74,7 @@ def main():
     # median of the positive samples so one jittered window cannot
     # produce a nonsensical (or negative) headline number.
     slopes = []
-    for _ in range(3):
+    for _ in range(5):
         t_lo, t_hi = timed(fn_lo), timed(fn_hi)
         per_decode = (t_hi - t_lo) / (REP_HI - REP_LO)
         if per_decode > 0:
