@@ -45,38 +45,73 @@ _llr_max = 500.0  # reference ldpc.py:11
 # Design file IO (host)
 # --------------------------------------------------------------------------
 
+def _parse_ragged(lines, deg, max_deg):
+    """Vectorized ragged-section parse: rows of 1-based neighbor ids ->
+    a -1-padded [n, max_deg] 0-based adjacency matrix.
+
+    One tokenization of the whole section, then a single scatter by
+    (row, slot) computed from the degree prefix sums — no per-row loop.
+    """
+    n = len(deg)
+    flat = np.array(" ".join(lines).split(), dtype=np.int64) - 1
+    if flat.size != int(deg.sum()):
+        raise ValueError(
+            f"design file section has {flat.size} entries, degree list "
+            f"promises {int(deg.sum())}"
+        )
+    starts = np.concatenate([[0], np.cumsum(deg)[:-1]])
+    row = np.repeat(np.arange(n), deg)
+    slot = np.arange(flat.size) - np.repeat(starts, deg)
+    adj = -np.ones((n, max_deg), dtype=np.int64)
+    adj[row, slot] = flat
+    return adj, row, slot, flat
+
+
 def get_ldpc_code_params(ldpc_design_filename, compute_matrix=False):
-    """Parse an LDPC design file (format: reference ldpc.py:55-61)."""
+    """Parse an LDPC design file (text format of reference ldpc.py:55-61:
+    header ``n_vnodes n_cnodes`` / ``max_vnode_deg max_cnode_deg``,
+    degree lists, then 1-based per-vnode and per-cnode adjacency rows).
+
+    From-scratch vectorized parse: each section is tokenized once and
+    scattered into its padded adjacency matrix, and the vnode<->cnode
+    cross-index maps (the slot of each shared edge in the peer's row)
+    come from aligning the two sections' edge lists with one lexsort
+    each — no per-node Python loops.  The returned dict schema is the
+    established interop contract (flattened int32 adjacency/cross maps,
+    -1 padding), byte-identical to previous rounds' output.
+    """
     with open(ldpc_design_filename) as f:
-        n_vnodes, n_cnodes = [int(x) for x in f.readline().split(" ")]
-        max_vnode_deg, max_cnode_deg = [int(x) for x in f.readline().split(" ")]
-        vnode_deg_list = np.array(
-            [int(x) for x in f.readline().split(" ")[:-1]], np.int32
-        )
-        cnode_deg_list = np.array(
-            [int(x) for x in f.readline().split(" ")[:-1]], np.int32
-        )
+        text = f.read().split("\n")
+    n_vnodes, n_cnodes = (int(x) for x in text[0].split())
+    max_vnode_deg, max_cnode_deg = (int(x) for x in text[1].split())
+    vnode_deg_list = np.array(text[2].split(), dtype=np.int32)
+    cnode_deg_list = np.array(text[3].split(), dtype=np.int32)
+    if vnode_deg_list.size != n_vnodes or cnode_deg_list.size != n_cnodes:
+        raise ValueError("degree list length does not match the header")
 
-        cnode_adj_list = -np.ones([n_cnodes, max_cnode_deg], int)
-        vnode_adj_list = -np.ones([n_vnodes, max_vnode_deg], int)
-        for v in range(n_vnodes):
-            vnode_adj_list[v, : vnode_deg_list[v]] = [
-                int(x) - 1 for x in f.readline().split("\t")
-            ]
-        for c in range(n_cnodes):
-            cnode_adj_list[c, : cnode_deg_list[c]] = [
-                int(x) - 1 for x in f.readline().split("\t")
-            ]
+    vnode_adj_list, v_row, v_slot, v_peer = _parse_ragged(
+        text[4:4 + n_vnodes], vnode_deg_list, max_vnode_deg
+    )
+    cnode_adj_list, c_row, c_slot, c_peer = _parse_ragged(
+        text[4 + n_vnodes:4 + n_vnodes + n_cnodes],
+        cnode_deg_list, max_cnode_deg,
+    )
 
-    # Cross-index maps: position of the shared edge in the peer's row.
-    cnode_vnode_map = -np.ones([n_cnodes, max_cnode_deg], int)
-    vnode_cnode_map = -np.ones([n_vnodes, max_vnode_deg], int)
-    for c in range(n_cnodes):
-        for i, v in enumerate(cnode_adj_list[c, : cnode_deg_list[c]]):
-            cnode_vnode_map[c, i] = np.where(vnode_adj_list[v, :] == c)[0]
-    for v in range(n_vnodes):
-        for i, c in enumerate(vnode_adj_list[v, : vnode_deg_list[v]]):
-            vnode_cnode_map[v, i] = np.where(cnode_adj_list[c, :] == v)[0]
+    # Cross-index maps: both sections list the SAME edge set, once as
+    # (v, c, slot-in-v-row) and once as (c, v, slot-in-c-row).  Sorting
+    # each by the edge key (v, c) aligns them element for element, so
+    # the peer slots transfer with two scatters.
+    v_order = np.lexsort((v_peer, v_row))    # edges sorted by (v, c)
+    c_order = np.lexsort((c_row, c_peer))    # edges sorted by (v, c)
+    if not (np.array_equal(v_row[v_order], c_peer[c_order])
+            and np.array_equal(v_peer[v_order], c_row[c_order])):
+        raise ValueError(
+            "vnode and cnode sections disagree on the edge set"
+        )
+    cnode_vnode_map = -np.ones((n_cnodes, max_cnode_deg), dtype=np.int64)
+    vnode_cnode_map = -np.ones((n_vnodes, max_vnode_deg), dtype=np.int64)
+    cnode_vnode_map[c_row[c_order], c_slot[c_order]] = v_slot[v_order]
+    vnode_cnode_map[v_row[v_order], v_slot[v_order]] = c_slot[c_order]
 
     ldpc_code_params = {
         "n_vnodes": n_vnodes,
