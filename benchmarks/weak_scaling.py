@@ -38,20 +38,9 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
-os.environ.setdefault("XLA_FLAGS", "")
-if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
-    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+import scripts._cpu_smoke  # noqa: E402,F401 (CPU-8 env + axon unregister)
 
 import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-try:
-    from jax._src import xla_bridge as _xb
-
-    _xb._backend_factories.pop("axon", None)
-except Exception:
-    pass
-
 import jax.numpy as jnp  # noqa: E402
 
 from commpy_tpu.models import make_conv_awgn_link  # noqa: E402

@@ -174,12 +174,13 @@ def _acs_kernel_fused(r_ref, QC_ref, W_ref, dec_ref, best_ref, pm_ref, *,
 
     Numerics: the combined pass accumulates the permutation and branch
     products in one f32 systolic sum instead of two sums added on the
-    VPU — same values to ulp-level, but a DIFFERENT rounding grouping,
-    so this variant is NOT guaranteed bit-identical to the device XLA
-    core (the unfused kernel is); near-tie decisions may differ at the
-    usual bf16-default rate.  Opt-in via
-    ``acs_forward_pallas(fuse_bm=True)`` until the A/B says otherwise
-    (scripts/acs_fused_ab.py).
+    VPU — a different rounding grouping in principle, but measured
+    bit-identical to the two-matmul kernel on device (0 mismatches over
+    134M decision bits at the K=7 bench shape, scripts/acs_fused_ab.py;
+    plus interpret-mode equality on CPU), so it is the DEFAULT at
+    B >= 2048 where it wins 1.62x.  If a future code/shape shows a
+    deviation, pass ``fuse_bm=False`` (or use ``exact=``) — identity of
+    the two-matmul form is by construction per pass.
     """
     QC = QC_ref[:, :]  # [2S, S + n]
     @pl.when(pl.program_id(0) == 0)
@@ -301,6 +302,11 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
     Q = _perm_matrices(trellis.pred_state_table).reshape(I * S, S)
     if exact is True:
         exact = "split"
+    if exact not in (False, "split", "highest"):
+        raise ValueError(
+            f"exact must be False, True, 'split', or 'highest' "
+            f"(got {exact!r})"
+        )
     if fuse_bm is None:
         # Shape-aware default (r4 device A/B, float-sync timed): the
         # stacked matmul wins only once the batch fills many lane
@@ -328,7 +334,6 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
             pl.BlockSpec((W.shape[0], S), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        scratch_rows = S
     else:
         kernel = partial(
             _acs_kernel, n_steps=TC, S=S,
@@ -366,7 +371,7 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
         in_specs=[r_spec, *mat_specs],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((scratch_rows, B), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
         interpret=interpret,
     )(r_steps, *in_mats)
 

@@ -240,11 +240,14 @@ def validate_address_table(table, n_ldpc: int, rate: str, *,
             "the published codes are check-regular, so a spread > 1 "
             "means a mistyped address"
         )
-    if row_weight is not None and (lo + 2 != row_weight or
-                                   hi + 2 != row_weight):
+    if row_weight is not None and not (lo == hi and
+                                       lo + 2 == row_weight):
+        # declaring a row weight asserts the published codes' EXACT
+        # check-regularity, stricter than the spread-1 tolerance above
         raise ValueError(
             f"measured check row weight {lo + 2}..{hi + 2} != declared "
-            f"row_weight {row_weight}"
+            f"row_weight {row_weight} (declaring row_weight requires "
+            "exact check-regularity, as the published tables have)"
         )
 
     syndrome_ok = None

@@ -96,6 +96,10 @@ def kbest_device(y, h, constellation, K: int, noise_var=0.0,
     loss (BER-level impact bounded in tests; reference parity requires
     'exact', the default).
     """
+    if selection not in ("exact", "approx"):
+        raise ValueError(
+            f"selection must be 'exact' or 'approx' (got {selection!r})"
+        )
     y = jnp.asarray(y)
     h = jnp.asarray(h)
     constellation = jnp.asarray(constellation)

@@ -760,6 +760,8 @@ def qc_bp_decode_sharded(llr, qc_params: dict, decoder_algorithm: str,
             'Please input a valid decoder_algorithm string '
             '(meanning "SPA" or "MSA").'
         )
+    if (msa_scale, msa_offset) != (1.0, 0.0) and decoder_algorithm != "MSA":
+        raise ValueError("msa_scale/msa_offset apply to MSA only")
     Mb, Nb = qc_params["Mb"], qc_params["Nb"]
     Z, K = qc_params["Z"], qc_params["K"]
     D = mesh.shape[axis_name]

@@ -67,7 +67,10 @@ def make_round_fn(
                 keys = jax.random.split(k, frames_per_round)
                 return link_step(keys, ns)
             return jax.vmap(per_snr)(jax.random.split(key, n_snr), noise_stds)
-        return jax.jit(round_fn)
+        fn = jax.jit(round_fn)
+        fn._mc_frames_per_round = frames_per_round
+        fn._mc_noise_stds = np.asarray(noise_stds)
+        return fn
 
     n_dev = mesh.devices.size
     if frames_per_round % n_dev:
@@ -98,7 +101,10 @@ def make_round_fn(
         )(jax.random.split(key, n_snr))  # [n_snr, F, 2]
         return sharded_step(keys, noise_stds)
 
-    return jax.jit(round_fn)
+    fn = jax.jit(round_fn)
+    fn._mc_frames_per_round = frames_per_round
+    fn._mc_noise_stds = np.asarray(noise_stds)
+    return fn
 
 
 def montecarlo_ber(
@@ -143,6 +149,22 @@ def montecarlo_ber(
         round_fn = make_round_fn(
             link_step, noise_stds, frames_per_round, mesh, axis_name
         )
+    else:
+        # a prebuilt round function must agree with THIS sweep's
+        # configuration, or the per-round bit accounting silently
+        # corrupts every reported BER
+        fpr = getattr(round_fn, "_mc_frames_per_round", None)
+        if fpr is not None and fpr != frames_per_round:
+            raise ValueError(
+                f"round_fn was built with frames_per_round={fpr}, sweep "
+                f"requested {frames_per_round}"
+            )
+        ns = getattr(round_fn, "_mc_noise_stds", None)
+        if ns is not None and not np.allclose(ns, noise_stds):
+            raise ValueError(
+                "round_fn was built with different noise_stds than this "
+                "sweep's snrs_db/noise_std_fn produce"
+            )
 
     n_snr = len(snrs_db)
     bits_per_round = frames_per_round * frame_bits
