@@ -183,16 +183,19 @@ def _acs_kernel_fused(r_ref, QC_ref, W_ref, dec_ref, best_ref, pm_ref, *,
     the two-matmul form is by construction per pass.
     """
     QC = QC_ref[:, :]  # [2S, S + n]
+    # pm_ref is [S + n, B]: rows [0:S] carry the path metrics across
+    # steps, rows [S:] stage the current r_t — so the stacked operand
+    # is read straight from scratch, no per-step concat (the concat
+    # relayout is what made the fused form LOSE at small B).
     @pl.when(pl.program_id(0) == 0)
     def _():
         B = pm_ref.shape[1]
         row = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0)
-        pm_ref[:, :] = jnp.where(row == 0, 0.0, 1e30)
+        pm_ref[0:S, :] = jnp.where(row == 0, 0.0, 1e30)
 
-    def step(t, pm):
-        r_t = r_ref[t, :, :]  # [n, B]
-        buf = jnp.concatenate([pm, r_t], axis=0)  # [S + n, B]
-        cand = _dot(QC, buf)  # [2S, B]
+    def step(t, _):
+        pm_ref[S:, :] = r_ref[t, :, :]  # stage r_t rows
+        cand = _dot(QC, pm_ref[:, :])  # [2S, B]
         take = cand[S:, :] < cand[:S, :]
         new_pm = jnp.where(take, cand[S:, :], cand[:S, :])
         packed = _dot(W_ref[:, :], take.astype(jnp.float32)).astype(jnp.int32)
@@ -208,11 +211,10 @@ def _acs_kernel_fused(r_ref, QC_ref, W_ref, dec_ref, best_ref, pm_ref, *,
         best = jnp.min(jnp.where(new_pm == m, row, S), axis=0)
         dec_ref[t, :, :] = packed
         best_ref[t, :] = best.astype(jnp.int32)
-        return new_pm - m
+        pm_ref[0:S, :] = new_pm - m
+        return 0
 
-    pm = pm_ref[:, :]
-    pm = jax.lax.fori_loop(0, n_steps, step, pm)
-    pm_ref[:, :] = pm
+    jax.lax.fori_loop(0, n_steps, step, 0)
 
 
 @partial(jax.jit,
@@ -308,17 +310,18 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
             f"(got {exact!r})"
         )
     if fuse_bm is None:
-        # Shape-aware default (r4 device A/B, float-sync timed): the
-        # stacked matmul wins only once the batch fills many lane
-        # tiles — forward 1.62x and e2e decode 1.23x at B=2048, but
-        # neutral-to-slower at B <= 1024 (0.93-1.0x; the per-step
-        # [pm; r_t] concat costs more than the saved MXU op when the
-        # matmuls are small).  It is bit-identical to the two-matmul
-        # kernel on device (0 mismatches over 134M decision bits,
-        # scripts/acs_fused_ab.py), so the Pallas-default == device-XLA
-        # identity claim carries over.  Exact modes keep the two-matmul
-        # form, whose split bit-identity proof is per-pass.
-        fuse_bm = (not exact) and B >= 2048
+        # Default since r4 (device A/B, float-sync timed): with r_t
+        # STAGED into scratch rows [S:] instead of a per-step concat
+        # (the concat relayout made the first fused form lose at small
+        # B), the single stacked matmul wins at every batch size —
+        # e2e decode 1.51x at B=256, 1.43x at B=2048.  Decisions match
+        # the two-matmul kernel except rare near-tie flips from the
+        # changed f32 accumulation grouping (same class and rate as the
+        # documented ~0.02% default-vs-CPU deviation; quantified on
+        # device in benchmarks/device_probes/traceback_r4.jsonl).
+        # Exact modes keep the two-matmul form, whose split
+        # bit-identity proof is per-pass.
+        fuse_bm = not exact
     if fuse_bm:
         if exact:
             raise ValueError(
@@ -371,7 +374,9 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
         in_specs=[r_spec, *mat_specs],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
+        # fused: rows [0:S] path metrics + rows [S:] staged r_t
+        scratch_shapes=[pltpu.VMEM((S + n if fuse_bm else S, B),
+                                   jnp.float32)],
         interpret=interpret,
     )(r_steps, *in_mats)
 
