@@ -49,9 +49,10 @@ __all__ = ["acs_forward_pallas"]
 # all exactly representable in bf16, so the hard path is bit-identical
 # to CPU at DEFAULT (device-verified).  DEFAULT is the throughput
 # configuration; exact=True restores CPU/f32 bit-identity for the soft
-# paths via the 3-pass bf16 operand split (`_dot_split3` — r4
-# device-verified 0/65536 mismatches; ~2.0x e2e decode cost, 1.6x
-# faster than exact='highest' / Precision.HIGHEST at ~3.2x e2e;
+# paths via the 3-pass bf16 operand split (`_dot_split3`) riding the
+# fused stacked-matmul step — r4 device-verified 0/65536 mismatches at
+# ~1.5x e2e decode cost (1.05 vs 1.59 Gbit/s same-run), 2.6x faster
+# than exact='highest' / Precision.HIGHEST at ~4x;
 # benchmarks/device_probes/viterbi_exact.jsonl).
 _DOT_PRECISION = jax.lax.Precision.DEFAULT
 
@@ -162,7 +163,7 @@ def _acs_kernel(r_ref, C_ref, Q_ref, W_ref, dec_ref, best_ref, pm_ref, *,
 
 
 def _acs_kernel_fused(r_ref, QC_ref, W_ref, dec_ref, best_ref, pm_ref, *,
-                      n_steps: int, S: int):
+                      n_steps: int, S: int, split: bool = False):
     """ACS chunk with ONE stacked matmul per step.
 
     The per-step ``Q @ pm`` (predecessor permutation) and ``C @ r_t``
@@ -195,7 +196,15 @@ def _acs_kernel_fused(r_ref, QC_ref, W_ref, dec_ref, best_ref, pm_ref, *,
 
     def step(t, _):
         pm_ref[S:, :] = r_ref[t, :, :]  # stage r_t rows
-        cand = _dot(QC, pm_ref[:, :])  # [2S, B]
+        if split:
+            # exact='split' on the STACKED operand: 3 DEFAULT passes
+            # reconstruct the f32 products of the whole [pm; r_t]
+            # operand at once (QC is bf16-exact), vs 6 passes for the
+            # two-matmul split form — identity re-proved on device
+            # (scripts/viterbi_exact_ab.py)
+            cand = _dot_split3(QC, pm_ref[:, :])  # [2S, B]
+        else:
+            cand = _dot(QC, pm_ref[:, :])  # [2S, B]
         take = cand[S:, :] < cand[:S, :]
         new_pm = jnp.where(take, cand[S:, :], cand[:S, :])
         packed = _dot(W_ref[:, :], take.astype(jnp.float32)).astype(jnp.int32)
@@ -236,9 +245,10 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
         exactly; real-valued soft/unquantized metrics flip ~0.02% of
         near-tie decisions vs CPU, hard-path integer operands are
         bf16-exact at any setting).  ``True``/``'split'`` uses the
-        3-pass bf16 operand split (`_dot_split3`; ~2.0x e2e decode
-        cost); ``'highest'`` uses Precision.HIGHEST (~3.2x e2e).  All
-        r4 device-verified, 0/65536 mismatches per configuration:
+        3-pass bf16 operand split (`_dot_split3`) riding the fused
+        stacked-matmul step (~1.5x e2e decode cost); ``'highest'`` uses
+        Precision.HIGHEST on the two-matmul kernel (~4x e2e).  All r4
+        device-verified, 0/65536 mismatches per configuration:
         scripts/viterbi_exact_ab.py,
         benchmarks/device_probes/viterbi_exact.jsonl.
 
@@ -321,15 +331,16 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
         # device in benchmarks/device_probes/traceback_r4.jsonl).
         # Exact modes keep the two-matmul form, whose split
         # bit-identity proof is per-pass.
-        fuse_bm = not exact
+        fuse_bm = exact in (False, "split")
     if fuse_bm:
-        if exact:
+        if exact == "highest":
             raise ValueError(
-                "fuse_bm is a DEFAULT-precision fast path; exact modes "
-                "keep the two-matmul kernel (bit-identity)"
+                "fuse_bm composes with exact='split' or exact=False; "
+                "Precision.HIGHEST keeps the two-matmul kernel"
             )
         QC = np.concatenate([Q, C], axis=1)  # [2S, S + n]
-        kernel = partial(_acs_kernel_fused, n_steps=TC, S=S)
+        kernel = partial(_acs_kernel_fused, n_steps=TC, S=S,
+                         split=(exact == "split"))
         in_mats = [jnp.asarray(QC), jnp.asarray(W)]
         mat_specs = [
             pl.BlockSpec((I * S, S + n), lambda i: (0, 0),

@@ -352,12 +352,13 @@ def viterbi_decode_device(coded_bits, trellis: Trellis, tb_depth=None,
         bit-for-bit on device), both deviating from the CPU/f32 ground
         truth by ~0.02% of decided bits near ACS ties (BER delta ~3e-5).
         ``exact=True`` restores CPU/f32 bit-identity on device: the
-        Pallas kernel reconstructs f32 products from a 3-pass bf16
-        operand split (the permutation/branch matrices are bf16-exact) —
-        ~2.0x e2e decode cost, r4 device-verified 0/65536 mismatches;
-        ``exact='highest'`` keeps the Precision.HIGHEST variant (~3.2x
-        e2e).  The XLA cores honor ``exact`` via HIGHEST-precision
-        einsums/dots.  On CPU all settings are f32-identical.
+        Pallas kernel reconstructs the f32 products of the stacked
+        [pm; r_t] operand with a 3-pass bf16 split riding the fused
+        matmul step — ~1.5x e2e decode cost, r4 device-verified 0/65536
+        mismatches; ``exact='highest'`` keeps the Precision.HIGHEST
+        two-matmul variant (~4x e2e).  The XLA cores honor ``exact``
+        via HIGHEST-precision einsums/dots.  On CPU all settings are
+        f32-identical.
 
     Returns
     -------
