@@ -349,8 +349,12 @@ def main():
 
     # --- full 802.11 MCS-4 link step ---
     def sec_wifi():
+        # F frames per step = the Viterbi batch; 2048 matches the
+        # throughput regime every other section measures (the r4 stage
+        # profile shows the link is the exact SUM of frontend+decoder
+        # at this shape — scripts/wifi_stage_profile.py)
         link = wifi80211_device_link(mcs=4, frame_bits=1200)
-        F = 256
+        F = 2048
         ns = jnp.float32(link.noise_std_fn(12.0))
         x0 = jax.random.PRNGKey(0)
         def body(k0):
@@ -365,7 +369,7 @@ def main():
         from commpy_tpu.models.wifi80211_link import wifi80211n_ldpc_link
 
         link = wifi80211n_ldpc_link(n=1944, modulation_m=16)
-        F = 256
+        F = 512  # the QC BP bench batch
         ns = jnp.float32(link.noise_std_fn(10.0))
         x0 = jax.random.PRNGKey(0)
         def body(k0):
