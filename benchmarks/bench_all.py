@@ -288,6 +288,40 @@ def main():
                "info bits/s", "")
     guarded(sec_qcldpc_dvbs2)
 
+    # --- Polar codes (beyond reference: CommPy has no polar codec) ---
+    # SC: lax.scan over leaves, switch over ntz depth classes, [N, B]
+    # state with frames on lanes.  SCL-8+CRC11: path axis on sublanes,
+    # one-hot dot_general prune (ops/polar.py).
+    def sec_polar():
+        from commpy_tpu.ops.polar import (
+            make_polar_sc_decoder, make_polar_scl_decoder, polar_construct,
+        )
+
+        code = polar_construct(1024, 512, design_snr_db=2.0)
+        Bp = 2048
+        x0 = jnp.asarray(rng.randn(Bp, 1024).astype(np.float32) * 3)
+        sc = make_polar_sc_decoder(code, rule="minsum")
+
+        def body(c):
+            dec = sc(c)
+            return c.at[0, 0].add(jnp.sum(dec).astype(c.dtype) * 1e-12)
+        dt = timed_chain(body, x0, rep=8)
+        report("polar_sc_1024_512", Bp * 512 / dt, "info bits/s", "")
+
+        codec = polar_construct(1024, 512, crc="crc11", design_snr_db=2.0)
+        scl = make_polar_scl_decoder(codec, list_size=8, rule="minsum",
+                                     pm_rule="approx")
+        Bl = 256
+        xl = jnp.asarray(rng.randn(Bl, 1024).astype(np.float32) * 3)
+
+        def body_l(c):
+            dec = scl(c)
+            return c.at[0, 0].add(jnp.sum(dec).astype(c.dtype) * 1e-12)
+        dt = timed_chain(body_l, xl, rep=4)
+        report("polar_scl8_crc11_1024_512", Bl * 512 / dt,
+               "info bits/s", "")
+    guarded(sec_polar)
+
     # --- 16-QAM exact-LLR soft demod ---
     def sec_demod():
         const = M.qam_constellation(16).astype(np.complex64)

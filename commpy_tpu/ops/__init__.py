@@ -14,6 +14,7 @@ from . import (
     mimo,
     modem,
     ofdm,
+    polar,
     sequences,
     stream,
     turbo,
@@ -23,7 +24,7 @@ from .viterbi import viterbi_decode, viterbi_decode_device
 
 __all__ = [
     "algebraic", "channel", "convcode", "dvbs2", "filters", "fir", "galois",
-    "impairments", "interleave", "ldpc", "mimo", "modem", "ofdm",
+    "impairments", "interleave", "ldpc", "mimo", "modem", "ofdm", "polar",
     "sequences", "stream", "turbo", "Trellis", "viterbi_decode",
     "viterbi_decode_device",
 ]

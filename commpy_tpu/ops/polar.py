@@ -1,0 +1,550 @@
+r"""Polar codes: construction, encoding, SC and CRC-aided SCL decoding.
+
+Beyond-reference subsystem (veeresht/CommPy has no polar codec; this rounds
+out the modern-FEC family next to the turbo/LDPC stacks).  Everything is
+designed TPU-first rather than translated from sequential decoder
+pseudocode:
+
+* **Encoder** — ``x = u @ F^{\otimes n}`` over GF(2) becomes ``log2(N)``
+  reshape-XOR butterflies, batched over frames; no matrix is materialised.
+
+* **SC decoder** — successive cancellation is bit-sequential, so the TPU
+  formulation is a ``lax.scan`` over the N leaves whose per-leaf work is a
+  ``lax.switch`` over the ``ntz(phi)`` depth classes (the f/g refresh
+  schedule depends only on the leaf index, never on data).  Decoder state
+  lives in flat ``[N, B]`` buffers — level ``l`` occupies rows
+  ``[2^l, 2^{l+1})`` — so every slice the branches touch is a *static* row
+  range and the frame batch rides the 128-wide lane axis at every level
+  size.  Total work is the textbook O(N log N) per frame, fully
+  vectorised over frames.
+
+* **SCL decoder** — list decoding adds a path axis on *sublanes*
+  (state ``[N, P, B]``; ``(P, B)`` maps onto the (8, 128) f32 tile, so
+  even 1-row levels occupy one full tile).  The per-info-bit path prune is
+  a batched one-hot ``dot_general`` over the path axis (gathers inside
+  ``scan`` lower to scalar loops on TPU), run at ``precision=HIGHEST`` so
+  the f32 LLR state is never silently rounded to bf16 by the MXU.
+  Path-metric candidates are ranked with ``lax.top_k`` (ties to the lower
+  candidate index, matching the NumPy golden's stable sort).
+
+* **Construction** — Bhattacharyya (log-domain, so z^2 chains never
+  underflow into ties) and Gaussian-approximation density evolution, both
+  offline NumPy.
+
+Conventions: ``G = F^{\otimes n}`` with **no** bit-reversal; u-index
+reliability follows the MSB-first polarisation recursion; ``llr = log
+P(x=0)/P(x=1)`` and the hard decision is ``llr < 0``; CRCs are zero-init,
+non-reflected, no final XOR, appended to the payload before encoding (the
+5G convention for CRC-aided polar).
+
+Cross-checked bit-exactly against an independent recursive NumPy golden
+(tests/polar_ref.py) for min-sum/approx-PM configs, and to float tolerance
+for the exact (logaddexp/softplus) rules.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = [
+    "PolarCode",
+    "CrcSpec",
+    "CRC_POLYNOMIALS",
+    "polar_construct",
+    "polar_encode",
+    "polar_sc_decode",
+    "polar_scl_decode",
+    "make_polar_encoder",
+    "make_polar_sc_decoder",
+    "make_polar_scl_decoder",
+    "crc_encode_table",
+    "crc_check_table",
+]
+
+_F32 = jnp.float32
+_PM_INACTIVE = 1e30  # sentinel path metric for not-yet-branched list slots
+_CRC_FAIL = 1e20  # additive penalty for CRC-failing paths at selection
+
+
+# ---------------------------------------------------------------------------
+# CRC machinery (linear, zero-init => representable as GF(2) matrices)
+# ---------------------------------------------------------------------------
+
+#: Generator polynomials, MSB-first including the leading term.  The 5G
+#: NR polar chain (TS 38.212 §5.1) uses CRC6/CRC11 for UCI payloads; the
+#: CCITT CRC16 is included as a common general-purpose check.
+CRC_POLYNOMIALS = {
+    "crc6": (1, 1, 0, 0, 0, 0, 1),                    # x^6+x^5+1
+    "crc11": (1, 1, 1, 0, 0, 0, 1, 0, 0, 0, 0, 1),    # x^11+x^10+x^9+x^5+1
+    "crc16": (1, 0, 0, 0, 1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 1),  # CCITT
+}
+
+
+@dataclass(frozen=True)
+class CrcSpec:
+    """A cyclic redundancy check: ``poly`` is MSB-first incl. leading 1."""
+
+    poly: tuple
+
+    @classmethod
+    def named(cls, name):
+        return cls(poly=CRC_POLYNOMIALS[name])
+
+    @property
+    def length(self):
+        return len(self.poly) - 1
+
+
+def _crc_remainder(bits, poly):
+    """Zero-init CRC remainder by shift-register simulation (NumPy)."""
+    r = np.zeros(len(poly) - 1, np.int64)
+    taps = np.asarray(poly[1:], np.int64)
+    for b in np.asarray(bits, np.int64):
+        fb = b ^ r[0]
+        r = np.concatenate([r[1:], [0]])
+        if fb:
+            r ^= taps
+    return r
+
+
+def crc_encode_table(crc, k):
+    """[k, r] GF(2) matrix T with crc(m) = m @ T mod 2 (linearity)."""
+    rows = [_crc_remainder(np.eye(k, dtype=np.int64)[i], crc.poly)
+            for i in range(k)]
+    return np.stack(rows).astype(np.int64)
+
+
+def crc_check_table(crc, k_total):
+    """[k_total, r] matrix H with (payload||crc) @ H mod 2 == 0 iff valid."""
+    k = k_total - crc.length
+    return np.concatenate(
+        [crc_encode_table(crc, k), np.eye(crc.length, dtype=np.int64)], axis=0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Code construction (offline NumPy)
+# ---------------------------------------------------------------------------
+
+def _bhattacharyya_reliability(n, design_snr_db):
+    """log-domain Bhattacharyya recursion; returns -log z (big = reliable)."""
+    lz = np.array([-(10.0 ** (design_snr_db / 10.0))], np.float64)
+    for _ in range(n):
+        minus = lz + np.log(2.0 - np.exp(lz))  # degraded: z- = 2z - z^2
+        plus = 2.0 * lz                        # upgraded: z+ = z^2
+        out = np.empty(2 * lz.size, np.float64)
+        out[0::2], out[1::2] = minus, plus     # MSB-first indexing
+        lz = out
+    return -lz
+
+
+def _ga_phi_log(x):
+    """log phi(x) for the Gaussian-approximation mean-LLR functional."""
+    x = np.asarray(x, np.float64)
+    small = -0.4527 * np.power(np.maximum(x, 1e-300), 0.86) + 0.0218
+    big = 0.5 * (np.log(np.pi) - np.log(np.maximum(x, 1e-300))) - x / 4.0 \
+        + np.log1p(-10.0 / (7.0 * np.maximum(x, 10.0)))
+    return np.where(x < 10.0, small, big)
+
+
+def _ga_phi_inv_log(target_log):
+    """Inverse of log phi by bisection (phi is monotone decreasing)."""
+    lo = np.full_like(target_log, 1e-12)
+    hi = np.full_like(target_log, 1e7)
+    for _ in range(100):
+        mid = 0.5 * (lo + hi)
+        too_high = _ga_phi_log(mid) > target_log  # phi too big -> x too small
+        lo = np.where(too_high, mid, lo)
+        hi = np.where(too_high, hi, mid)
+    return 0.5 * (lo + hi)
+
+
+def _ga_reliability(n, design_snr_db):
+    """Gaussian-approximation mean LLRs (bigger = more reliable)."""
+    m = np.array([4.0 * 10.0 ** (design_snr_db / 10.0)], np.float64)
+    for _ in range(n):
+        lphi = _ga_phi_log(m)
+        # 1 - (1 - phi)^2 = phi * (2 - phi), stable in log domain.
+        minus = _ga_phi_inv_log(lphi + np.log(2.0 - np.exp(lphi)))
+        plus = 2.0 * m
+        out = np.empty(2 * m.size, np.float64)
+        out[0::2], out[1::2] = minus, plus
+        m = out
+    return m
+
+
+@dataclass(frozen=True)
+class PolarCode:
+    """An (N, K) polar code. ``K`` counts payload bits; if ``crc`` is set
+    the K + crc.length most reliable synthetic channels are unfrozen."""
+
+    N: int
+    K: int
+    frozen: tuple  # length-N tuple of bools, True = frozen
+    crc: CrcSpec | None = None
+
+    def __post_init__(self):
+        n = int(np.log2(self.N))
+        if 1 << n != self.N:
+            raise ValueError(f"N must be a power of two, got {self.N}")
+        if len(self.frozen) != self.N:
+            raise ValueError("frozen mask length != N")
+        if self.k_total != self.N - sum(self.frozen):
+            raise ValueError(
+                f"frozen mask has {self.N - sum(self.frozen)} info slots, "
+                f"need K{'+crc' if self.crc else ''} = {self.k_total}")
+
+    @property
+    def n(self):
+        return int(np.log2(self.N))
+
+    @property
+    def k_total(self):
+        return self.K + (self.crc.length if self.crc else 0)
+
+    @property
+    def frozen_mask(self):
+        return np.asarray(self.frozen, bool)
+
+    @property
+    def info_positions(self):
+        return np.flatnonzero(~self.frozen_mask)
+
+    @property
+    def rate(self):
+        return self.K / self.N
+
+
+def polar_construct(N, K, method="bhattacharyya", design_snr_db=2.0,
+                    crc=None):
+    """Design an (N, K) polar code for a BPSK/AWGN design Es/N0.
+
+    ``method``: 'bhattacharyya' (BEC-style bound) or 'ga' (Gaussian
+    approximation density evolution).  ``crc``: a CrcSpec or a name from
+    CRC_POLYNOMIALS — its parity bits also occupy reliable positions.
+    """
+    if isinstance(crc, str):
+        crc = CrcSpec.named(crc)
+    n = int(np.log2(N))
+    if 1 << n != N:
+        raise ValueError(f"N must be a power of two, got {N}")
+    k_total = K + (crc.length if crc else 0)
+    if not 0 < k_total <= N:
+        raise ValueError(f"need 0 < K(+crc)={k_total} <= N={N}")
+    if method == "bhattacharyya":
+        rel = _bhattacharyya_reliability(n, design_snr_db)
+    elif method == "ga":
+        rel = _ga_reliability(n, design_snr_db)
+    else:
+        raise ValueError(f"unknown construction method {method!r}")
+    # Most reliable first; ties prefer the higher index (the upgraded leg).
+    order = np.lexsort((-np.arange(N), -rel))
+    frozen = np.ones(N, bool)
+    frozen[order[:k_total]] = False
+    return PolarCode(N=N, K=K, frozen=tuple(frozen.tolist()), crc=crc)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _butterfly_encode(u):
+    r"""x = u @ F^{\otimes n} mod 2 via n reshape-XOR stages. u [..., N]."""
+    lead = u.shape[:-1]
+    N = u.shape[-1]
+    n = int(np.log2(N))
+    x = u
+    for s in range(n):
+        x = x.reshape(lead + (1 << s, 2, N >> (s + 1)))
+        x = jnp.concatenate([x[..., 0:1, :] ^ x[..., 1:2, :], x[..., 1:2, :]],
+                            axis=-2)
+    return x.reshape(lead + (N,))
+
+
+@functools.lru_cache(maxsize=64)
+def make_polar_encoder(code):
+    """jitted msg [B, K] -> codeword [B, N] (int8). Appends CRC if set."""
+    info = jnp.asarray(code.info_positions)
+    if code.crc:
+        crc_tab = jnp.asarray(crc_encode_table(code.crc, code.K), jnp.int32)
+
+    @jax.jit
+    def encode(msg):
+        msg = msg.astype(jnp.int32)
+        if code.crc:
+            parity = (msg @ crc_tab) % 2
+            msg = jnp.concatenate([msg, parity], axis=-1)
+        u = jnp.zeros(msg.shape[:-1] + (code.N,), jnp.int32)
+        u = u.at[..., info].set(msg)
+        return _butterfly_encode(u).astype(jnp.int8)
+
+    return encode
+
+
+def polar_encode(code, msg):
+    """Encode payload bits [..., K] -> codeword [..., N] (int8)."""
+    return make_polar_encoder(code)(jnp.asarray(msg))
+
+
+# ---------------------------------------------------------------------------
+# Shared decoder machinery
+# ---------------------------------------------------------------------------
+
+def _f_op(a, b, rule):
+    if rule == "minsum":
+        return jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a), jnp.abs(b))
+    # exact: log((1 + e^{a+b}) / (e^a + e^b))
+    return jnp.logaddexp(0.0, a + b) - jnp.logaddexp(a, b)
+
+
+def _g_op(a, b, s):
+    return b + (1.0 - 2.0 * s) * a
+
+
+def _xor_f(a, b):
+    """GF(2) add on float 0/1 tensors (exact)."""
+    return jnp.abs(a - b)
+
+
+def _leaf_schedule(N):
+    """Static per-leaf switch indices: (g-level, store-level) for each phi."""
+    n = int(np.log2(N))
+    t1 = np.empty(N, np.int32)
+    t2 = np.empty(N, np.int32)
+    t1[0] = n  # leaf 0: no g, full f chain from the channel
+    for phi in range(1, N):
+        t1[phi] = (phi & -phi).bit_length() - 1  # ntz(phi)
+    for phi in range(N):
+        t2[phi] = (~phi & (phi + 1)).bit_length() - 1  # ntz(phi+1)
+    t2[N - 1] = n  # nothing to store after the last leaf
+    return t1, t2
+
+
+def _make_llr_branches(N, rule, chan_broadcast):
+    """Branches for the LLR-refresh switch over flat [rows(N), ...] state.
+
+    ``chan_broadcast(chan)`` adapts the channel block's shape to the state's
+    (identity for SC, path-broadcast for SCL).  Branch t < n: one g at level
+    t then f down to level 0; branch n: pure f chain (leaf 0).
+    """
+    n = int(np.log2(N))
+
+    def src_rows(L, chan, level):
+        if level == n:
+            return chan_broadcast(chan)
+        return L[(1 << level):(2 << level)]
+
+    def f_chain(L, chan, top):
+        for l in range(top - 1, -1, -1):
+            src = src_rows(L, chan, l + 1)
+            h = 1 << l
+            L = L.at[h:2 * h].set(_f_op(src[:h], src[h:], rule))
+        return L
+
+    def make_branch(t):
+        if t == n:
+            return lambda L, C, chan: f_chain(L, chan, n)
+
+        def branch(L, C, chan):
+            src = src_rows(L, chan, t + 1)
+            h = 1 << t
+            s = C[h:2 * h]
+            L = L.at[h:2 * h].set(_g_op(src[:h], src[h:], s))
+            return f_chain(L, chan, t)
+
+        return branch
+
+    return [make_branch(t) for t in range(n + 1)]
+
+
+def _make_ps_branches(N):
+    """Branches for the partial-sum switch: combine up t levels, store."""
+    n = int(np.log2(N))
+
+    def make_branch(t):
+        if t == n:
+            return lambda C, bit: C
+
+        def branch(C, bit):
+            b = bit[None]
+            for l in range(t):
+                h = 1 << l
+                b = jnp.concatenate([_xor_f(C[h:2 * h], b), b], axis=0)
+            return C.at[(1 << t):(2 << t)].set(b)
+
+        return branch
+
+    return [make_branch(t) for t in range(n + 1)]
+
+
+# ---------------------------------------------------------------------------
+# SC decoder
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def make_polar_sc_decoder(code, rule="minsum", full=False):
+    """jitted llr [B, N] -> payload [B, K] int8 (or all N u-decisions if
+    ``full``, frozen positions forced to 0 — the golden-comparison surface).
+    """
+    N, n = code.N, code.n
+    t1_np, t2_np = _leaf_schedule(N)
+    frozen_np = code.frozen_mask
+    payload_pos = jnp.asarray(code.info_positions[:code.K])
+
+    llr_branches = _make_llr_branches(N, rule, lambda chan: chan)
+    ps_branches = _make_ps_branches(N)
+
+    @jax.jit
+    def decode(llr):
+        B = llr.shape[0]
+        chan = llr.astype(_F32).T  # [N, B]: frames on lanes
+        L = jnp.zeros((N, B), _F32)
+        C = jnp.zeros((N, B), _F32)
+        u = jnp.zeros((N, B), _F32)
+
+        xs = (jnp.asarray(t1_np), jnp.asarray(t2_np),
+              jnp.asarray(frozen_np), jnp.arange(N, dtype=jnp.int32))
+
+        def body(carry, x):
+            L, C, u = carry
+            t1, t2, frz, phi = x
+            L = lax.switch(t1, llr_branches, L, C, chan)
+            bit = jnp.where(frz, 0.0, (L[1] < 0).astype(_F32))  # [B]
+            u = lax.dynamic_update_slice_in_dim(u, bit[None], phi, axis=0)
+            C = lax.switch(t2, ps_branches, C, bit)
+            return (L, C, u), None
+
+        (L, C, u), _ = lax.scan(body, (L, C, u), xs)
+        u = u.T.astype(jnp.int8)  # [B, N]
+        if full:
+            return u
+        return u[:, payload_pos]
+
+    return decode
+
+
+def polar_sc_decode(code, llr, rule="minsum"):
+    """Successive-cancellation decode. llr [B, N] -> payload [B, K] int8."""
+    return make_polar_sc_decoder(code, rule=rule)(jnp.asarray(llr))
+
+
+# ---------------------------------------------------------------------------
+# SCL decoder
+# ---------------------------------------------------------------------------
+
+def _pm_penalties(l0, pm_rule):
+    """(penalty for u=0, penalty for u=1) against leaf LLRs ``l0``."""
+    if pm_rule == "approx":
+        return jnp.maximum(-l0, 0.0), jnp.maximum(l0, 0.0)
+    return jax.nn.softplus(-l0), jax.nn.softplus(l0)
+
+
+@functools.lru_cache(maxsize=64)
+def make_polar_scl_decoder(code, list_size=8, rule="minsum",
+                           pm_rule="approx", full=False):
+    """jitted llr [B, N] -> payload [B, K] int8 (CRC-aided selection when
+    the code carries a CRC).  With ``full``, returns (payload, pm [B, P],
+    u_all [B, P, N]) for diagnostics/golden comparison.
+
+    State is [N, P, B]: path axis on sublanes, frames on lanes.  Pruning
+    permutes the L/C/u state with one batched one-hot dot_general each
+    (HIGHEST precision: the MXU must not round the f32 LLR state to bf16).
+    """
+    N, n, P = code.N, code.n, list_size
+    t1_np, t2_np = _leaf_schedule(N)
+    frozen_np = code.frozen_mask
+    payload_pos = jnp.asarray(code.info_positions[:code.K])
+    info_pos = jnp.asarray(code.info_positions)
+    if code.crc:
+        crc_h = jnp.asarray(crc_check_table(code.crc, code.k_total), _F32)
+
+    llr_branches = _make_llr_branches(N, rule, lambda chan: chan[:, None, :])
+    ps_branches = _make_ps_branches(N)
+
+    def permute_paths(state, onehot):
+        """state [N, P, B] x onehot [P_old, P_new, B] -> [N, P_new, B]."""
+        out = lax.dot_general(
+            state, onehot,
+            dimension_numbers=(((1,), (0,)), ((2,), (2,))),
+            precision=lax.Precision.HIGHEST)  # out: [B, N, P_new]
+        return out.transpose(1, 2, 0)
+
+    @jax.jit
+    def decode(llr):
+        B = llr.shape[0]
+        chan = llr.astype(_F32).T  # [N, B]
+        L = jnp.zeros((N, P, B), _F32)
+        C = jnp.zeros((N, P, B), _F32)
+        u = jnp.zeros((N, P, B), _F32)
+        pm = jnp.concatenate(
+            [jnp.zeros((1, B), _F32),
+             jnp.full((P - 1, B), _PM_INACTIVE, _F32)], axis=0)
+
+        xs = (jnp.asarray(t1_np), jnp.asarray(t2_np),
+              jnp.asarray(frozen_np), jnp.arange(N, dtype=jnp.int32))
+
+        def frozen_leaf(L, C, u, pm, phi):
+            pen0, _ = _pm_penalties(L[1], pm_rule)  # [P, B]
+            pm = pm + pen0
+            bit = jnp.zeros((P, B), _F32)
+            u = lax.dynamic_update_slice_in_dim(u, bit[None], phi, axis=0)
+            return L, C, u, pm, bit
+
+        def info_leaf(L, C, u, pm, phi):
+            pen0, pen1 = _pm_penalties(L[1], pm_rule)
+            cand = jnp.concatenate([pm + pen0, pm + pen1], axis=0)  # [2P, B]
+            # Smallest-PM P candidates; lax.top_k ties go to the lower
+            # candidate index, matching the golden's stable sort.
+            neg_top, idx = lax.top_k(-cand.T, P)  # [B, P] each
+            pm_new = (-neg_top).T  # [P, B]
+            parent = (idx % P).T  # [P_new, B]
+            bit = (idx // P).T.astype(_F32)  # [P_new, B]
+            onehot = (parent[None] ==
+                      jnp.arange(P, dtype=parent.dtype)[:, None, None]
+                      ).astype(_F32)  # [P_old, P_new, B]
+            L = permute_paths(L, onehot)
+            C = permute_paths(C, onehot)
+            u = permute_paths(u, onehot)
+            u = lax.dynamic_update_slice_in_dim(u, bit[None], phi, axis=0)
+            return L, C, u, pm_new, bit
+
+        def body(carry, x):
+            L, C, u, pm = carry
+            t1, t2, frz, phi = x
+            L = lax.switch(t1, llr_branches, L, C, chan)
+            L, C, u, pm, bit = lax.cond(frz, frozen_leaf, info_leaf,
+                                        L, C, u, pm, phi)
+            C = lax.switch(t2, ps_branches, C, bit)
+            return (L, C, u, pm), None
+
+        (L, C, u, pm), _ = lax.scan(body, (L, C, u, pm), xs)
+
+        u_all = u.transpose(2, 1, 0).astype(jnp.int8)  # [B, P, N]
+        pm_b = pm.T  # [B, P]
+        score = pm_b
+        if code.crc:
+            bits_f = u_all[..., info_pos].astype(_F32)  # [B, P, k_total]
+            syndrome = jnp.mod(bits_f @ crc_h, 2.0)
+            ok = jnp.all(syndrome == 0.0, axis=-1)  # [B, P]
+            score = score + jnp.where(ok, 0.0, _CRC_FAIL)
+        winner = jnp.argmin(score, axis=-1)  # [B]; ties -> lower path index
+        sel = (winner[:, None] == jnp.arange(P)[None, :]).astype(_F32)
+        best_u = jnp.einsum("bp,bpn->bn", sel, u_all.astype(_F32),
+                            precision=lax.Precision.HIGHEST).astype(jnp.int8)
+        payload = best_u[:, payload_pos]
+        if full:
+            return payload, pm_b, u_all
+        return payload
+
+    return decode
+
+
+def polar_scl_decode(code, llr, list_size=8, rule="minsum", pm_rule="approx"):
+    """List decode. llr [B, N] -> payload [B, K] int8 (CRC-aided if set)."""
+    return make_polar_scl_decoder(code, list_size=list_size, rule=rule,
+                                  pm_rule=pm_rule)(jnp.asarray(llr))

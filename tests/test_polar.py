@@ -1,0 +1,266 @@
+"""Polar codes: construction, encoder, SC/SCL decoders vs NumPy goldens."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from commpy_tpu.ops.polar import (
+    CRC_POLYNOMIALS,
+    CrcSpec,
+    PolarCode,
+    crc_check_table,
+    crc_encode_table,
+    make_polar_sc_decoder,
+    make_polar_scl_decoder,
+    polar_construct,
+    polar_encode,
+    polar_sc_decode,
+    polar_scl_decode,
+)
+
+import polar_ref
+
+
+def _random_code(rng, N, K, crc=None):
+    frozen = np.ones(N, bool)
+    frozen[rng.choice(N, K + (CrcSpec.named(crc).length if crc else 0),
+                      replace=False)] = False
+    return PolarCode(N=N, K=K, frozen=tuple(frozen.tolist()),
+                     crc=CrcSpec.named(crc) if crc else None)
+
+
+# ---------------------------------------------------------------------------
+# Construction
+# ---------------------------------------------------------------------------
+
+def test_construction_known_n8():
+    # For N=8 both constructions must pick the classic {3,5,6,7} info set.
+    for method in ("bhattacharyya", "ga"):
+        code = polar_construct(8, 4, method=method, design_snr_db=0.0)
+        assert sorted(code.info_positions.tolist()) == [3, 5, 6, 7], method
+
+
+def test_construction_monotone_nesting():
+    # Higher-K codes must contain the lower-K info sets (fixed reliability
+    # order => nested designs).
+    for method in ("bhattacharyya", "ga"):
+        prev = set()
+        for K in (16, 32, 64, 100):
+            code = polar_construct(128, K, method=method, design_snr_db=1.0)
+            cur = set(code.info_positions.tolist())
+            assert prev <= cur
+            prev = cur
+
+
+def test_construction_validation():
+    with pytest.raises(ValueError):
+        polar_construct(100, 10)
+    with pytest.raises(ValueError):
+        polar_construct(64, 65)
+    with pytest.raises(ValueError):
+        polar_construct(64, 32, method="nope")
+    with pytest.raises(ValueError):
+        PolarCode(N=8, K=5, frozen=(True,) * 4 + (False,) * 4)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("N,K", [(2, 1), (8, 4), (64, 30), (256, 200)])
+def test_encoder_matches_kron_golden(N, K):
+    rng = np.random.default_rng(7 + N)
+    code = _random_code(rng, N, K)
+    msg = rng.integers(0, 2, (5, K))
+    x = np.asarray(polar_encode(code, msg))
+    u = np.zeros((5, N), np.int64)
+    u[:, code.info_positions] = msg
+    assert np.array_equal(x, polar_ref.encode_np(u))
+
+
+def test_encoder_linearity_and_involution():
+    # F^{\otimes n} is an involution over GF(2): encoding twice on the full
+    # u-domain is the identity.
+    rng = np.random.default_rng(3)
+    code = PolarCode(N=64, K=64, frozen=(False,) * 64)
+    msg = rng.integers(0, 2, (4, 64))
+    twice = polar_encode(code, polar_encode(code, msg))
+    assert np.array_equal(np.asarray(twice), msg)
+
+
+# ---------------------------------------------------------------------------
+# SC decoder
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("N,K", [(2, 1), (4, 2), (8, 4), (32, 16),
+                                 (128, 77), (256, 128)])
+def test_sc_matches_golden_minsum_bitexact(N, K):
+    rng = np.random.default_rng(11 + N)
+    code = _random_code(rng, N, K)
+    B = 6
+    llr = rng.normal(size=(B, N)).astype(np.float32) * 3.0
+    dec = make_polar_sc_decoder(code, rule="minsum", full=True)
+    got = np.asarray(dec(jnp.asarray(llr)))
+    for b in range(B):
+        want = polar_ref.sc_decode_np(llr[b], code.frozen_mask, "minsum")
+        assert np.array_equal(got[b], want), f"frame {b}"
+
+
+def test_sc_matches_golden_exact_rule():
+    rng = np.random.default_rng(5)
+    code = _random_code(rng, 64, 40)
+    llr = rng.normal(size=(4, 64)).astype(np.float32) * 2.0
+    dec = make_polar_sc_decoder(code, rule="exact", full=True)
+    got = np.asarray(dec(jnp.asarray(llr)))
+    for b in range(4):
+        want = polar_ref.sc_decode_np(llr[b], code.frozen_mask, "exact")
+        assert np.array_equal(got[b], want)
+
+
+def test_sc_noiseless_roundtrip():
+    code = polar_construct(256, 120, design_snr_db=2.0)
+    rng = np.random.default_rng(9)
+    msg = rng.integers(0, 2, (8, code.K))
+    x = np.asarray(polar_encode(code, msg))
+    llr = (1.0 - 2.0 * x) * 20.0  # strong correct LLRs
+    out = np.asarray(polar_sc_decode(code, llr))
+    assert np.array_equal(out, msg)
+
+
+def test_sc_frozen_positions_forced_zero():
+    rng = np.random.default_rng(21)
+    code = _random_code(rng, 32, 10)
+    llr = rng.normal(size=(3, 32)).astype(np.float32)
+    full = np.asarray(make_polar_sc_decoder(code, full=True)(jnp.asarray(llr)))
+    assert not full[:, code.frozen_mask].any()
+
+
+# ---------------------------------------------------------------------------
+# SCL decoder
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("N,K,P", [(8, 4, 2), (32, 20, 4), (64, 32, 8),
+                                   (128, 64, 4)])
+def test_scl_matches_golden_bitexact(N, K, P):
+    rng = np.random.default_rng(31 + N + P)
+    code = _random_code(rng, N, K)
+    B = 4
+    llr = rng.normal(size=(B, N)).astype(np.float32) * 2.5
+    dec = make_polar_scl_decoder(code, list_size=P, rule="minsum",
+                                 pm_rule="approx", full=True)
+    payload, pms, u_all = (np.asarray(a) for a in dec(jnp.asarray(llr)))
+    for b in range(B):
+        want_u, want_pms, want_all = polar_ref.scl_decode_np(
+            llr[b], code.frozen_mask, P, rule="minsum", pm_rule="approx")
+        active = want_pms < 1e20
+        assert np.array_equal(u_all[b][active], want_all[active]), f"frame {b}"
+        assert np.array_equal(pms[b][active].astype(np.float32),
+                              want_pms[active]), f"frame {b}"
+        assert np.array_equal(payload[b],
+                              want_u[~code.frozen_mask][:K]), f"frame {b}"
+
+
+def test_scl_exact_pm_close_to_golden():
+    rng = np.random.default_rng(17)
+    code = _random_code(rng, 64, 40)
+    P = 4
+    llr = rng.normal(size=(3, 64)).astype(np.float32) * 2.0
+    dec = make_polar_scl_decoder(code, list_size=P, rule="minsum",
+                                 pm_rule="exact", full=True)
+    payload, pms, _ = (np.asarray(a) for a in dec(jnp.asarray(llr)))
+    for b in range(3):
+        want_u, want_pms, _ = polar_ref.scl_decode_np(
+            llr[b], code.frozen_mask, P, rule="minsum", pm_rule="exact")
+        np.testing.assert_allclose(np.sort(pms[b]), np.sort(want_pms),
+                                   rtol=1e-5, atol=1e-5)
+        assert np.array_equal(payload[b], want_u[~code.frozen_mask][:code.K])
+
+
+def test_scl_list1_equals_sc():
+    rng = np.random.default_rng(41)
+    code = _random_code(rng, 128, 70)
+    llr = rng.normal(size=(5, 128)).astype(np.float32) * 2.0
+    sc = np.asarray(polar_sc_decode(code, llr))
+    scl = np.asarray(polar_scl_decode(code, llr, list_size=1))
+    assert np.array_equal(sc, scl)
+
+
+def test_scl_noiseless_roundtrip_with_crc():
+    code = polar_construct(128, 60, crc="crc11", design_snr_db=2.0)
+    rng = np.random.default_rng(13)
+    msg = rng.integers(0, 2, (6, code.K))
+    x = np.asarray(polar_encode(code, msg))
+    llr = (1.0 - 2.0 * x) * 20.0
+    out = np.asarray(polar_scl_decode(code, llr, list_size=4))
+    assert np.array_equal(out, msg)
+
+
+def test_scl_crc_rescues_wrong_best_path():
+    # At moderate noise, collect frames where SC fails but some list path is
+    # correct: CRC-aided SCL must recover strictly more frames than plain
+    # best-metric selection on those.
+    code = polar_construct(128, 48, crc="crc11", design_snr_db=1.0)
+    nocrc = PolarCode(N=128, K=code.k_total, frozen=code.frozen)
+    rng = np.random.default_rng(101)
+    B = 400
+    msg = rng.integers(0, 2, (B, code.K))
+    x = np.asarray(polar_encode(code, msg))
+    snr_db = -1.0
+    sigma = 1.0 / np.sqrt(2.0 * 10 ** (snr_db / 10.0))
+    y = (1.0 - 2.0 * x) + sigma * rng.normal(size=x.shape)
+    llr = (2.0 / sigma**2) * y
+    with_crc = np.asarray(polar_scl_decode(code, llr, list_size=8))
+    plain = np.asarray(polar_scl_decode(nocrc, llr, list_size=8))[:, :code.K]
+    fer_crc = np.mean(np.any(with_crc != msg, axis=1))
+    fer_plain = np.mean(np.any(plain != msg, axis=1))
+    # Measured at this operating point: plain best-metric FER ~3%, CRC-aided 0.
+    assert fer_plain > 0.01
+    assert fer_crc < fer_plain
+
+
+# ---------------------------------------------------------------------------
+# CRC tables
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", sorted(CRC_POLYNOMIALS))
+def test_crc_table_matches_long_division(name):
+    crc = CrcSpec.named(name)
+    rng = np.random.default_rng(59)
+    for k in (5, 24, 40):
+        tab = crc_encode_table(crc, k)
+        for _ in range(5):
+            m = rng.integers(0, 2, k)
+            want = polar_ref.crc_remainder_np(m, crc.poly)
+            assert np.array_equal((m @ tab) % 2, want)
+        h = crc_check_table(crc, k + crc.length)
+        m = rng.integers(0, 2, k)
+        word = np.concatenate([m, (m @ tab) % 2])
+        assert not ((word @ h) % 2).any()
+        word[0] ^= 1
+        assert ((word @ h) % 2).any()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end BER sanity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("decoder", ["sc", "scl"])
+def test_ber_beats_uncoded(decoder):
+    code = polar_construct(128, 64, design_snr_db=2.0)
+    rng = np.random.default_rng(77)
+    B = 600
+    msg = rng.integers(0, 2, (B, code.K))
+    x = np.asarray(polar_encode(code, msg))
+    ebno_db = 4.0
+    esno = 10 ** (ebno_db / 10.0) * code.rate
+    sigma = 1.0 / np.sqrt(2.0 * esno)
+    y = (1.0 - 2.0 * x) + sigma * rng.normal(size=x.shape)
+    llr = (2.0 / sigma**2) * y
+    if decoder == "sc":
+        out = np.asarray(polar_sc_decode(code, llr))
+    else:
+        out = np.asarray(polar_scl_decode(code, llr, list_size=4))
+    ber = np.mean(out != msg)
+    # Uncoded BPSK at Eb/N0 = 4 dB: Q(sqrt(2*10^0.4)) ~ 1.2e-2; measured
+    # here: SC 8.3e-4, SCL-4 6.3e-4.
+    assert ber < 5e-3, ber
