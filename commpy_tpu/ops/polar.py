@@ -325,12 +325,15 @@ def _leaf_schedule(N):
     return t1, t2
 
 
-def _make_llr_branches(N, rule, chan_broadcast):
+def _make_llr_branches(N, rule, chan_broadcast, stop=0):
     """Branches for the LLR-refresh switch over flat [rows(N), ...] state.
 
     ``chan_broadcast(chan)`` adapts the channel block's shape to the state's
-    (identity for SC, path-broadcast for SCL).  Branch t < n: one g at level
-    t then f down to level 0; branch n: pure f chain (leaf 0).
+    (identity for SC, path-broadcast for SCL).  Branch j < n-stop: one g at
+    level stop+j then f down to level ``stop``; branch n-stop: pure f chain
+    from the channel (first leaf/block).  ``stop`` > 0 is the block-decoding
+    configuration: levels below ``stop`` are handled by the unrolled
+    in-step subtree decode and never live in the carried buffers.
     """
     n = int(np.log2(N))
 
@@ -340,7 +343,7 @@ def _make_llr_branches(N, rule, chan_broadcast):
         return L[(1 << level):(2 << level)]
 
     def f_chain(L, chan, top):
-        for l in range(top - 1, -1, -1):
+        for l in range(top - 1, stop - 1, -1):
             src = src_rows(L, chan, l + 1)
             h = 1 << l
             L = L.at[h:2 * h].set(_f_op(src[:h], src[h:], rule))
@@ -359,27 +362,73 @@ def _make_llr_branches(N, rule, chan_broadcast):
 
         return branch
 
-    return [make_branch(t) for t in range(n + 1)]
+    return [make_branch(stop + j) for j in range(n - stop)] + \
+        [make_branch(n)]
 
 
-def _make_ps_branches(N):
-    """Branches for the partial-sum switch: combine up t levels, store."""
+def _make_ps_branches(N, stop=0):
+    """Branches for the partial-sum switch: combine up from level ``stop``.
+
+    Branch j takes ``beta`` ([2^stop, ...] partial sums of the just-decoded
+    subtree), XOR-combines it with the pending left sums at levels
+    stop..stop+j-1, and stores the result at level stop+j.  Branch n-stop
+    is the no-op (after the last leaf/block).
+    """
     n = int(np.log2(N))
 
     def make_branch(t):
         if t == n:
-            return lambda C, bit: C
+            return lambda C, beta: C
 
-        def branch(C, bit):
-            b = bit[None]
-            for l in range(t):
+        def branch(C, beta):
+            b = beta
+            for l in range(stop, t):
                 h = 1 << l
                 b = jnp.concatenate([_xor_f(C[h:2 * h], b), b], axis=0)
             return C.at[(1 << t):(2 << t)].set(b)
 
         return branch
 
-    return [make_branch(t) for t in range(n + 1)]
+    return [make_branch(stop + j) for j in range(n - stop)] + \
+        [make_branch(n)]
+
+
+def _block_schedule(nb, n_top):
+    """Static per-block switch indices over ``nb`` scan steps.
+
+    j1: LLR branch (n_top = the init pure-f branch for block 0, else
+    ntz(m)); j2: partial-sum store branch (ntz(m+1), no-op after the
+    last block).
+    """
+    j1 = np.empty(nb, np.int32)
+    j2 = np.empty(nb, np.int32)
+    j1[0] = n_top
+    for m in range(1, nb):
+        j1[m] = (m & -m).bit_length() - 1
+    for m in range(nb):
+        j2[m] = (~m & (m + 1)).bit_length() - 1
+    j2[nb - 1] = n_top
+    return j1, j2
+
+
+def _sc_subtree(alpha, frz, rule):
+    """Fully unrolled SC decode of one 2^k-leaf subtree.
+
+    ``alpha`` [W, ...] level-k LLRs, ``frz`` [W, 1...] float frozen flags
+    (broadcastable against alpha rows).  Returns (decisions [W, ...],
+    level-k partial sums [W, ...]).  Same dataflow as the recursive
+    definition — bit-identical to the per-leaf formulation.
+    """
+    W = alpha.shape[0]
+    if W == 1:
+        bit = jnp.where(frz[0:1] > 0, 0.0, (alpha < 0).astype(_F32))
+        return bit, bit
+    h = W // 2
+    a, b = alpha[:h], alpha[h:]
+    u1, b1 = _sc_subtree(_f_op(a, b, rule), frz[:h], rule)
+    u2, b2 = _sc_subtree(_g_op(a, b, b1), frz[h:], rule)
+    return (jnp.concatenate([u1, u2]),
+            jnp.concatenate([_xor_f(b1, b2), b2]))
 
 
 # ---------------------------------------------------------------------------
@@ -387,17 +436,30 @@ def _make_ps_branches(N):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=64)
-def make_polar_sc_decoder(code, rule="minsum", full=False):
+def make_polar_sc_decoder(code, rule="minsum", full=False, block_exp=9):
     """jitted llr [B, N] -> payload [B, K] int8 (or all N u-decisions if
     ``full``, frozen positions forced to 0 — the golden-comparison surface).
+
+    The scan runs over blocks of ``2^block_exp`` leaves: each step refreshes
+    the carried [N, B] LLR buffer down to the block level with one switch,
+    decodes the whole 2^k-leaf subtree with unrolled in-step ops (that
+    state never enters the carry), and emits the block's decisions as
+    stacked scan outputs.  vs the per-leaf formulation this cuts both the
+    sequential step count and the carried-buffer churn 2^k-fold — the
+    scan-step overhead, not arithmetic, is what bounds SC on TPU
+    (measured on a v5e at N=1024/B=2048: per-leaf 9.5 Mbit/s; 2^4 blocks
+    221; 2^9 blocks 1.23 Gbit/s, interleaved same-process medians).
     """
     N, n = code.N, code.n
-    t1_np, t2_np = _leaf_schedule(N)
+    bk = min(block_exp, n)
+    W, nb = 1 << bk, N >> bk
     frozen_np = code.frozen_mask
     payload_pos = jnp.asarray(code.info_positions[:code.K])
 
-    llr_branches = _make_llr_branches(N, rule, lambda chan: chan)
-    ps_branches = _make_ps_branches(N)
+    llr_branches = _make_llr_branches(N, rule, lambda chan: chan, stop=bk)
+    ps_branches = _make_ps_branches(N, stop=bk)
+    j1_np, j2_np = _block_schedule(nb, n - bk)
+    frz_blocks_np = frozen_np.reshape(nb, W).astype(np.float32)
 
     @jax.jit
     def decode(llr):
@@ -405,22 +467,25 @@ def make_polar_sc_decoder(code, rule="minsum", full=False):
         chan = llr.astype(_F32).T  # [N, B]: frames on lanes
         L = jnp.zeros((N, B), _F32)
         C = jnp.zeros((N, B), _F32)
-        u = jnp.zeros((N, B), _F32)
 
-        xs = (jnp.asarray(t1_np), jnp.asarray(t2_np),
-              jnp.asarray(frozen_np), jnp.arange(N, dtype=jnp.int32))
+        xs = (jnp.asarray(j1_np), jnp.asarray(j2_np),
+              jnp.asarray(frz_blocks_np))
 
         def body(carry, x):
-            L, C, u = carry
-            t1, t2, frz, phi = x
-            L = lax.switch(t1, llr_branches, L, C, chan)
-            bit = jnp.where(frz, 0.0, (L[1] < 0).astype(_F32))  # [B]
-            u = lax.dynamic_update_slice_in_dim(u, bit[None], phi, axis=0)
-            C = lax.switch(t2, ps_branches, C, bit)
-            return (L, C, u), None
+            L, C = carry
+            j1, j2, frz = x  # frz [W]
+            if bk < n:
+                L = lax.switch(j1, llr_branches, L, C, chan)
+                alpha = L[W:2 * W]  # level-bk rows
+            else:
+                alpha = chan
+            bits, beta = _sc_subtree(alpha, frz[:, None], rule)
+            if bk < n:
+                C = lax.switch(j2, ps_branches, C, beta)
+            return (L, C), bits
 
-        (L, C, u), _ = lax.scan(body, (L, C, u), xs)
-        u = u.T.astype(jnp.int8)  # [B, N]
+        _, ys = lax.scan(body, (L, C), xs)  # ys [nb, W, B]
+        u = ys.reshape(N, B).T.astype(jnp.int8)  # [B, N]
         if full:
             return u
         return u[:, payload_pos]
@@ -519,7 +584,7 @@ def make_polar_scl_decoder(code, list_size=8, rule="minsum",
             L = lax.switch(t1, llr_branches, L, C, chan)
             L, C, u, pm, bit = lax.cond(frz, frozen_leaf, info_leaf,
                                         L, C, u, pm, phi)
-            C = lax.switch(t2, ps_branches, C, bit)
+            C = lax.switch(t2, ps_branches, C, bit[None])
             return (L, C, u, pm), None
 
         (L, C, u, pm), _ = lax.scan(body, (L, C, u, pm), xs)
