@@ -8,6 +8,7 @@ from .device_links import (
     make_ldpc_rayleigh_link,
     make_ofdm_mimo_conv_link,
     make_ofdm_qcldpc_link,
+    make_polar_awgn_link,
     make_qcldpc_awgn_link,
     make_rrc_conv_awgn_link,
     make_turbo_awgn_link,
@@ -20,6 +21,7 @@ __all__ = [
     "make_ldpc_rayleigh_link",
     "make_ofdm_mimo_conv_link",
     "make_ofdm_qcldpc_link",
+    "make_polar_awgn_link",
     "make_qcldpc_awgn_link",
     "make_rrc_conv_awgn_link",
     "make_turbo_awgn_link",

@@ -36,6 +36,7 @@ __all__ = [
     "make_conv_awgn_link",
     "make_rrc_conv_awgn_link",
     "make_turbo_awgn_link",
+    "make_polar_awgn_link",
     "make_qcldpc_awgn_link",
     "make_ofdm_qcldpc_link",
     "make_ldpc_rayleigh_link",
@@ -284,6 +285,68 @@ def make_turbo_awgn_link(
 
     return DeviceLink(link_step, frame_bits, noise_std_fn, name,
                       {"rate": rate})
+
+
+def make_polar_awgn_link(
+    *,
+    code,
+    decoder: str = "scl",
+    list_size: int = 8,
+    modulation_m: int = 2,
+    use_psk: bool = True,
+    rule: str = "minsum",
+    name: str = "polar-awgn",
+) -> DeviceLink:
+    """Polar-coded link over complex AWGN (beyond the reference set).
+
+    ``code`` is a :class:`~commpy_tpu.ops.polar.PolarCode` (build with
+    :func:`~commpy_tpu.ops.polar.polar_construct`; give it a CRC for
+    CRC-aided list decoding).  ``decoder``: 'sc' or 'scl'.  CRC parity
+    bits are counted as rate overhead in the Eb/N0 accounting
+    (rate = K_payload / N).
+    """
+    from ..ops.polar import (
+        make_polar_encoder, make_polar_sc_decoder, make_polar_scl_decoder,
+    )
+
+    if decoder not in ("sc", "scl"):
+        raise ValueError(f"decoder must be 'sc' or 'scl', got {decoder!r}")
+    const_np = (
+        M.psk_constellation(modulation_m)
+        if use_psk
+        else M.qam_constellation(modulation_m)
+    )
+    Es = float(np.mean(np.abs(const_np) ** 2))
+    const = const_np.astype(np.complex64)
+    bps = int(np.log2(modulation_m))
+    if code.N % bps:
+        raise ValueError(f"N={code.N} must fill whole {bps}-bit symbols")
+    rate = code.K / code.N
+    encode = make_polar_encoder(code)
+    if decoder == "sc":
+        decode = make_polar_sc_decoder(code, rule=rule)
+    else:
+        decode = make_polar_scl_decoder(code, list_size=list_size, rule=rule)
+
+    def link_step(keys, noise_std):
+        msg = _gen_bits(keys, code.K)  # [F, K]
+        x = encode(msg)  # [F, N]
+        symbols = M.modulate(x, const, bps)
+        y = symbols + _frame_crandn(keys, symbols.shape[1:], 1) * (
+            noise_std * 0.5
+        )
+        # polar convention: positive LLR => bit 0 (negated demapper out)
+        llr = -M.demodulate_soft(y, const, bps, noise_std**2)
+        dec = decode(llr)
+        return jnp.sum(jnp.bitwise_xor(dec.astype(msg.dtype), msg)
+                       .astype(jnp.int32))
+
+    def noise_std_fn(snr_db):
+        return snr_to_noise_std(snr_db, code_rate=rate, Es=Es)
+
+    return DeviceLink(link_step, code.K, noise_std_fn, name,
+                      {"rate": rate, "Es": Es, "bps": bps,
+                       "decoder": decoder})
 
 
 # --------------------------------------------------------------------------
