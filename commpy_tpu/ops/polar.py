@@ -303,7 +303,9 @@ def _f_op(a, b, rule):
 
 
 def _g_op(a, b, s):
-    return b + (1.0 - 2.0 * s) * a
+    one = jnp.asarray(1.0, a.dtype)
+    two = jnp.asarray(2.0, a.dtype)
+    return b + (one - two * s) * a
 
 
 def _xor_f(a, b):
@@ -325,8 +327,9 @@ def _leaf_schedule(N):
     return t1, t2
 
 
-def _make_llr_branches(N, rule, chan_broadcast, stop=0):
-    """Branches for the LLR-refresh switch over flat [rows(N), ...] state.
+def _make_llr_branches(N, rule, chan_broadcast, stop=0, unit=1):
+    """Branches for the LLR-refresh switch over flat [rows(N)*unit, ...]
+    state.
 
     ``chan_broadcast(chan)`` adapts the channel block's shape to the state's
     (identity for SC, path-broadcast for SCL).  Branch j < n-stop: one g at
@@ -334,18 +337,24 @@ def _make_llr_branches(N, rule, chan_broadcast, stop=0):
     from the channel (first leaf/block).  ``stop`` > 0 is the block-decoding
     configuration: levels below ``stop`` are handled by the unrolled
     in-step subtree decode and never live in the carried buffers.
+
+    ``unit`` scales every level offset: with unit=B and 1-D buffers the
+    state is value-major flat ([2^l * B, 2^{l+1} * B) holds level l), so
+    every slice is contiguous and fully lane/sublane-packed regardless of
+    level size — the 2-D [rows, B] layout wastes 7/8 sublanes at levels
+    with < 8 rows.
     """
     n = int(np.log2(N))
 
     def src_rows(L, chan, level):
         if level == n:
             return chan_broadcast(chan)
-        return L[(1 << level):(2 << level)]
+        return L[(1 << level) * unit:(2 << level) * unit]
 
     def f_chain(L, chan, top):
         for l in range(top - 1, stop - 1, -1):
             src = src_rows(L, chan, l + 1)
-            h = 1 << l
+            h = (1 << l) * unit
             L = L.at[h:2 * h].set(_f_op(src[:h], src[h:], rule))
         return L
 
@@ -355,7 +364,7 @@ def _make_llr_branches(N, rule, chan_broadcast, stop=0):
 
         def branch(L, C, chan):
             src = src_rows(L, chan, t + 1)
-            h = 1 << t
+            h = (1 << t) * unit
             s = C[h:2 * h]
             L = L.at[h:2 * h].set(_g_op(src[:h], src[h:], s))
             return f_chain(L, chan, t)
@@ -366,13 +375,13 @@ def _make_llr_branches(N, rule, chan_broadcast, stop=0):
         [make_branch(n)]
 
 
-def _make_ps_branches(N, stop=0):
+def _make_ps_branches(N, stop=0, unit=1):
     """Branches for the partial-sum switch: combine up from level ``stop``.
 
-    Branch j takes ``beta`` ([2^stop, ...] partial sums of the just-decoded
-    subtree), XOR-combines it with the pending left sums at levels
-    stop..stop+j-1, and stores the result at level stop+j.  Branch n-stop
-    is the no-op (after the last leaf/block).
+    Branch j takes ``beta`` ([2^stop * unit, ...] partial sums of the
+    just-decoded subtree), XOR-combines it with the pending left sums at
+    levels stop..stop+j-1, and stores the result at level stop+j.  Branch
+    n-stop is the no-op (after the last leaf/block).
     """
     n = int(np.log2(N))
 
@@ -383,9 +392,9 @@ def _make_ps_branches(N, stop=0):
         def branch(C, beta):
             b = beta
             for l in range(stop, t):
-                h = 1 << l
+                h = (1 << l) * unit
                 b = jnp.concatenate([_xor_f(C[h:2 * h], b), b], axis=0)
-            return C.at[(1 << t):(2 << t)].set(b)
+            return C.at[(1 << t) * unit:(2 << t) * unit].set(b)
 
         return branch
 
@@ -411,22 +420,23 @@ def _block_schedule(nb, n_top):
     return j1, j2
 
 
-def _sc_subtree(alpha, frz, rule):
+def _sc_subtree(alpha, frz, rule, W, unit=1):
     """Fully unrolled SC decode of one 2^k-leaf subtree.
 
-    ``alpha`` [W, ...] level-k LLRs, ``frz`` [W, 1...] float frozen flags
-    (broadcastable against alpha rows).  Returns (decisions [W, ...],
-    level-k partial sums [W, ...]).  Same dataflow as the recursive
+    ``alpha``: level-k LLRs for W leaves, either [W, ...] (unit=1) or
+    value-major flat [W * unit] with ``unit`` elements per leaf; ``frz``:
+    float frozen flags of the same shape.  Returns (decisions, level-k
+    partial sums), same shape as alpha.  Same dataflow as the recursive
     definition — bit-identical to the per-leaf formulation.
     """
-    W = alpha.shape[0]
     if W == 1:
-        bit = jnp.where(frz[0:1] > 0, 0.0, (alpha < 0).astype(_F32))
+        bit = jnp.where(frz > 0, jnp.zeros((), alpha.dtype),
+                        (alpha < 0).astype(alpha.dtype))
         return bit, bit
-    h = W // 2
+    h = (W // 2) * unit
     a, b = alpha[:h], alpha[h:]
-    u1, b1 = _sc_subtree(_f_op(a, b, rule), frz[:h], rule)
-    u2, b2 = _sc_subtree(_g_op(a, b, b1), frz[h:], rule)
+    u1, b1 = _sc_subtree(_f_op(a, b, rule), frz[:h], rule, W // 2, unit)
+    u2, b2 = _sc_subtree(_g_op(a, b, b1), frz[h:], rule, W // 2, unit)
     return (jnp.concatenate([u1, u2]),
             jnp.concatenate([_xor_f(b1, b2), b2]))
 
@@ -436,7 +446,8 @@ def _sc_subtree(alpha, frz, rule):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=64)
-def make_polar_sc_decoder(code, rule="minsum", full=False, block_exp=9):
+def make_polar_sc_decoder(code, rule="minsum", full=False, block_exp=9,
+                          dtype="f32"):
     """jitted llr [B, N] -> payload [B, K] int8 (or all N u-decisions if
     ``full``, frozen positions forced to 0 — the golden-comparison surface).
 
@@ -448,43 +459,56 @@ def make_polar_sc_decoder(code, rule="minsum", full=False, block_exp=9):
     sequential step count and the carried-buffer churn 2^k-fold — the
     scan-step overhead, not arithmetic, is what bounds SC on TPU
     (measured on a v5e at N=1024/B=2048: per-leaf 9.5 Mbit/s; 2^4 blocks
-    221; 2^9 blocks 1.23 Gbit/s, interleaved same-process medians).
+    221; 2^9 blocks 1.23 Gbit/s, interleaved same-process medians; the
+    value-major flat layout then adds ~1.5x over the [rows, B] form).
+
+    ``dtype='bf16'`` keeps the LLR state in bfloat16.  NOT bit-exact vs
+    the f32 golden; device-probed BER parity within Monte-Carlo noise at
+    2-3 dB.  Measured on the v5e it does NOT beat f32 at N=1024/B=2048
+    (1.71 vs 1.82 Gbit/s same-process — the halved traffic is offset by
+    the 16-row bf16 tile at the small levels), so f32 stays the default;
+    the option exists for memory-constrained or other-shape use.
     """
     N, n = code.N, code.n
     bk = min(block_exp, n)
     W, nb = 1 << bk, N >> bk
     frozen_np = code.frozen_mask
     payload_pos = jnp.asarray(code.info_positions[:code.K])
-
-    llr_branches = _make_llr_branches(N, rule, lambda chan: chan, stop=bk)
-    ps_branches = _make_ps_branches(N, stop=bk)
-    j1_np, j2_np = _block_schedule(nb, n - bk)
     frz_blocks_np = frozen_np.reshape(nb, W).astype(np.float32)
+    j1_np, j2_np = _block_schedule(nb, n - bk)
+
+    sdtype = jnp.bfloat16 if dtype == "bf16" else _F32
 
     @jax.jit
     def decode(llr):
         B = llr.shape[0]
-        chan = llr.astype(_F32).T  # [N, B]: frames on lanes
-        L = jnp.zeros((N, B), _F32)
-        C = jnp.zeros((N, B), _F32)
+        # Value-major flat state: level l occupies [2^l * B, 2^{l+1} * B)
+        # of a 1-D [N * B] buffer, so every f/g slice is contiguous and
+        # fully packed onto the (8, 128) tile at every level size.
+        llr_branches = _make_llr_branches(N, rule, lambda chan: chan,
+                                          stop=bk, unit=B)
+        ps_branches = _make_ps_branches(N, stop=bk, unit=B)
+        chan = llr.astype(sdtype).T.reshape(N * B)  # value-major flat
+        L = jnp.zeros(N * B, sdtype)
+        C = jnp.zeros(N * B, sdtype)
+        frz_rep = jnp.repeat(jnp.asarray(frz_blocks_np, sdtype), B, axis=1)
 
-        xs = (jnp.asarray(j1_np), jnp.asarray(j2_np),
-              jnp.asarray(frz_blocks_np))
+        xs = (jnp.asarray(j1_np), jnp.asarray(j2_np), frz_rep)
 
         def body(carry, x):
             L, C = carry
-            j1, j2, frz = x  # frz [W]
+            j1, j2, frz = x  # frz [W * B]
             if bk < n:
                 L = lax.switch(j1, llr_branches, L, C, chan)
-                alpha = L[W:2 * W]  # level-bk rows
+                alpha = L[W * B:2 * W * B]  # level-bk values
             else:
                 alpha = chan
-            bits, beta = _sc_subtree(alpha, frz[:, None], rule)
+            bits, beta = _sc_subtree(alpha, frz, rule, W, unit=B)
             if bk < n:
                 C = lax.switch(j2, ps_branches, C, beta)
             return (L, C), bits
 
-        _, ys = lax.scan(body, (L, C), xs)  # ys [nb, W, B]
+        _, ys = lax.scan(body, (L, C), xs)  # ys [nb, W * B]
         u = ys.reshape(N, B).T.astype(jnp.int8)  # [B, N]
         if full:
             return u

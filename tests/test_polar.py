@@ -127,6 +127,23 @@ def test_sc_noiseless_roundtrip():
     assert np.array_equal(out, msg)
 
 
+def test_sc_bf16_state_ber_parity():
+    # bf16 LLR state: not bit-exact, but BER must track f32 closely.
+    code = polar_construct(256, 128, design_snr_db=2.0)
+    rng = np.random.default_rng(23)
+    msg = rng.integers(0, 2, (512, code.K))
+    x = np.asarray(polar_encode(code, msg))
+    esno = 10 ** (3.0 / 10.0) * code.rate
+    sigma = 1.0 / np.sqrt(2.0 * esno)
+    y = (1.0 - 2.0 * x) + sigma * rng.normal(size=x.shape)
+    llr = ((2.0 / sigma**2) * y).astype(np.float32)
+    dec32 = make_polar_sc_decoder(code)
+    dec16 = make_polar_sc_decoder(code, dtype="bf16")
+    ber32 = np.mean(np.asarray(dec32(jnp.asarray(llr))) != msg)
+    ber16 = np.mean(np.asarray(dec16(jnp.asarray(llr))) != msg)
+    assert ber16 < max(3.0 * ber32, 5e-3), (ber16, ber32)
+
+
 def test_sc_frozen_positions_forced_zero():
     rng = np.random.default_rng(21)
     code = _random_code(rng, 32, 10)
