@@ -340,6 +340,19 @@ def main():
                          score=lambda c: jnp.sum(c[0][:4]))
         report("qam16_soft_demod", Ns / dt / 1e6, "Msamples/s",
                "qam16_soft_demod_msamples_per_s")
+
+        # 64-QAM: auto routes to the axis-separable exact-LLR fast path
+        # (per-axis logsumexp factorization; 3.9x vs joint measured)
+        const64 = M.qam_constellation(64).astype(np.complex64)
+
+        def body64(c):
+            r, i = c
+            llr = M.demodulate_soft(jax.lax.complex(r, i), const64, 6, 0.1)
+            return (r + jnp.sum(llr) * 1e-20, i)
+
+        dt = timed_chain(body64, (re0, im0), rep=24,
+                         score=lambda c: jnp.sum(c[0][:4]))
+        report("qam64_soft_demod", Ns / dt / 1e6, "Msamples/s", "")
     guarded(sec_demod)
 
     # --- K-best (K=16) 4x4 16-QAM MIMO detection ---

@@ -134,14 +134,100 @@ def demodulate_hard(symbols, constellation, bits_per_symbol: int):
     return bits.reshape(lead + (-1,))
 
 
-def demodulate_soft(symbols, constellation, bits_per_symbol: int, noise_var):
+_SEPARABLE_PLAN_CACHE = {}
+
+
+def _separable_qam_plan(const_np, bps):
+    """Per-axis factorization of a product-grid constellation, or None.
+
+    For a full {Re levels} x {Im levels} grid where every bit's value
+    depends on only ONE axis (true of Gray-labelled square QAM), the
+    exact LLR factorizes: the other axis' logsumexp term is common to
+    numerator and denominator and cancels.  Detected numerically from
+    the concrete constellation, so any labelling that happens to be
+    separable gets the fast path.
+    """
+    key = (const_np.tobytes(), bps)
+    if key in _SEPARABLE_PLAN_CACHE:
+        return _SEPARABLE_PLAN_CACHE[key]
+    plan = None
+    m = len(const_np)
+    re = np.round(const_np.real.astype(np.float64), 9)
+    im = np.round(const_np.imag.astype(np.float64), 9)
+    uR, iR = np.unique(re, return_inverse=True)
+    uI, iI = np.unique(im, return_inverse=True)
+    if len(uR) * len(uI) == m and \
+            len(np.unique(iR * len(uI) + iI)) == m:
+        masks = constellation_bit_masks(m, bps)  # [bps, m]
+        rows = []
+        for p in range(bps):
+            mk = masks[p]
+            if all(len(set(mk[iR == g])) == 1 for g in range(len(uR))):
+                rows.append(("I", np.array(
+                    [mk[iR == g][0] for g in range(len(uR))])))
+            elif all(len(set(mk[iI == g])) == 1 for g in range(len(uI))):
+                rows.append(("Q", np.array(
+                    [mk[iI == g][0] for g in range(len(uI))])))
+            else:
+                rows = None
+                break
+        if rows is not None:
+            plan = (uR.astype(np.float32), uI.astype(np.float32), rows)
+    _SEPARABLE_PLAN_CACHE[key] = plan
+    return plan
+
+
+def _demodulate_soft_separable(symbols, plan, noise_var):
+    uR, uI, rows = plan
+    y = jnp.asarray(symbols)
+    noise_var = jnp.asarray(noise_var)
+    if noise_var.ndim:
+        noise_var = noise_var[..., None]
+    dI = -(y.real[..., None] - jnp.asarray(uR)) ** 2 / noise_var
+    dQ = -(y.imag[..., None] - jnp.asarray(uI)) ** 2 / noise_var
+    neg_inf = jnp.asarray(-jnp.inf, dI.dtype)
+    llrs = []
+    for axis, mrow in rows:
+        d = dI if axis == "I" else dQ
+        mk = jnp.asarray(mrow)
+        lse1 = jax.nn.logsumexp(jnp.where(mk, d, neg_inf), axis=-1)
+        lse0 = jax.nn.logsumexp(jnp.where(mk, neg_inf, d), axis=-1)
+        llrs.append(lse1 - lse0)
+    llr = jnp.stack(llrs, axis=-1).astype(jnp.float32)
+    lead = llr.shape[:-2]
+    return llr.reshape(lead + (-1,))
+
+
+def demodulate_soft(symbols, constellation, bits_per_symbol: int, noise_var,
+                    method: str = "auto"):
     """Exact-LLR soft demapping, log-domain.
 
     LLR(bit=1 vs 0) per output position, same sign convention as the
     reference (positive -> bit 1), computed with logsumexp instead of the
     reference's exp-sum ratio (modulation.py:125-137).
     Returns float32 ``[..., n_sym * bits_per_symbol]``.
+
+    ``method='auto'`` uses the per-axis factorized form when the
+    constellation is a concrete axis-separable product grid (square Gray
+    QAM) of order >= 64: sqrt(m)-point 1-D distance rows per axis instead
+    of the m-point 2-D matrix — the same exact LLR (the other axis'
+    logsumexp cancels; agreement ~2e-5 rel in f32), at ~sqrt(m)/2 the
+    work.  v5e-measured: 3.9x at 64-QAM, 11.8x at 256-QAM; at 16-QAM the
+    2x work ratio loses to the per-bit stacking overhead, so auto keeps
+    the joint path there.  ``method='separable'`` forces the factorized
+    form at any order; ``method='joint'`` forces the generic path (any
+    labelling, traced constellations).
     """
+    if method in ("auto", "separable"):
+        try:
+            const_np = np.asarray(constellation)
+        except Exception:  # traced inside jit/vmap: no concrete values
+            const_np = None
+        if const_np is not None and \
+                (method == "separable" or len(const_np) >= 64):
+            plan = _separable_qam_plan(const_np, bits_per_symbol)
+            if plan is not None:
+                return _demodulate_soft_separable(symbols, plan, noise_var)
     m = len(constellation)
     masks = jnp.asarray(
         constellation_bit_masks(m, bits_per_symbol)

@@ -150,6 +150,37 @@ def test_soft_demod_matches_reference_formula():
     assert_allclose(llr, expect, rtol=2e-4, atol=1e-4)
 
 
+def test_soft_demod_separable_fast_path():
+    # Square Gray QAM factorizes per axis; the fast path must agree with
+    # the joint logsumexp to f32 noise, at every order, incl. per-symbol
+    # noise variances.  Non-grid constellations must fall back cleanly.
+    from commpy_tpu.ops.modem import _separable_qam_plan
+
+    rng = np.random.RandomState(9)
+    y = (rng.randn(300) + 1j * rng.randn(300)).astype(np.complex64)
+    for m in (4, 16, 64, 256):
+        const = M.qam_constellation(m).astype(np.complex64)
+        bps = int(np.log2(m))
+        assert _separable_qam_plan(const, bps) is not None
+        joint = np.asarray(M.demodulate_soft(y, const, bps, 0.5,
+                                             method="joint"))
+        sep = np.asarray(M.demodulate_soft(y, const, bps, 0.5,
+                                           method="separable"))
+        assert_allclose(sep, joint, rtol=2e-4, atol=2e-4)
+    # per-symbol noise variance broadcast
+    const = M.qam_constellation(64).astype(np.complex64)
+    nv = (0.2 + rng.rand(300)).astype(np.float32)
+    joint = np.asarray(M.demodulate_soft(y, const, 6, nv, method="joint"))
+    sep = np.asarray(M.demodulate_soft(y, const, 6, nv, method="separable"))
+    assert_allclose(sep, joint, rtol=2e-4, atol=2e-4)
+    # 8-PSK is not a product grid: no plan, auto == joint exactly
+    psk = M.psk_constellation(8).astype(np.complex64)
+    assert _separable_qam_plan(psk, 3) is None
+    a = np.asarray(M.demodulate_soft(y, psk, 3, 0.5, method="auto"))
+    b = np.asarray(M.demodulate_soft(y, psk, 3, 0.5, method="joint"))
+    assert np.array_equal(a, b)
+
+
 def test_maxlog_demod_close_to_exact_at_high_snr():
     modem = QAMModem(16)
     const = np.asarray(modem.constellation)
