@@ -307,6 +307,7 @@ def make_polar_awgn_link(
     """
     from ..ops.polar import (
         make_polar_encoder, make_polar_sc_decoder, make_polar_scl_decoder,
+        polar_rate_match, polar_rate_recover,
     )
 
     if decoder not in ("sc", "scl"):
@@ -319,9 +320,9 @@ def make_polar_awgn_link(
     Es = float(np.mean(np.abs(const_np) ** 2))
     const = const_np.astype(np.complex64)
     bps = int(np.log2(modulation_m))
-    if code.N % bps:
-        raise ValueError(f"N={code.N} must fill whole {bps}-bit symbols")
-    rate = code.K / code.N
+    if code.E % bps:
+        raise ValueError(f"E={code.E} must fill whole {bps}-bit symbols")
+    rate = code.rate  # K / transmitted bits (CRC counted as overhead)
     encode = make_polar_encoder(code)
     if decoder == "sc":
         decode = make_polar_sc_decoder(code, rule=rule)
@@ -330,13 +331,14 @@ def make_polar_awgn_link(
 
     def link_step(keys, noise_std):
         msg = _gen_bits(keys, code.K)  # [F, K]
-        x = encode(msg)  # [F, N]
+        x = polar_rate_match(code, encode(msg))  # [F, E]
         symbols = M.modulate(x, const, bps)
         y = symbols + _frame_crandn(keys, symbols.shape[1:], 1) * (
             noise_std * 0.5
         )
         # polar convention: positive LLR => bit 0 (negated demapper out)
-        llr = -M.demodulate_soft(y, const, bps, noise_std**2)
+        llr = polar_rate_recover(
+            code, -M.demodulate_soft(y, const, bps, noise_std**2))
         dec = decode(llr)
         return jnp.sum(jnp.bitwise_xor(dec.astype(msg.dtype), msg)
                        .astype(jnp.int32))

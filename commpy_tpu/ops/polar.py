@@ -57,6 +57,8 @@ __all__ = [
     "CRC_POLYNOMIALS",
     "polar_construct",
     "polar_encode",
+    "polar_rate_match",
+    "polar_rate_recover",
     "polar_sc_decode",
     "polar_scl_decode",
     "make_polar_encoder",
@@ -181,12 +183,18 @@ def _ga_reliability(n, design_snr_db):
 @dataclass(frozen=True)
 class PolarCode:
     """An (N, K) polar code. ``K`` counts payload bits; if ``crc`` is set
-    the K + crc.length most reliable synthetic channels are unfrozen."""
+    the K + crc.length most reliable synthetic channels are unfrozen.
+
+    ``rm`` optionally carries a rate-matching scheme ``(mode, E)`` with
+    mode in {'puncture', 'shorten', 'repeat'}: the mother code stays
+    (N, K) but ``E`` coded bits go over the air (see polar_rate_match /
+    polar_rate_recover)."""
 
     N: int
     K: int
     frozen: tuple  # length-N tuple of bools, True = frozen
     crc: CrcSpec | None = None
+    rm: tuple | None = None
 
     def __post_init__(self):
         n = int(np.log2(self.N))
@@ -217,16 +225,37 @@ class PolarCode:
 
     @property
     def rate(self):
-        return self.K / self.N
+        return self.K / self.E
+
+    @property
+    def E(self):
+        """Number of transmitted coded bits (N unless rate-matched)."""
+        return self.rm[1] if self.rm else self.N
 
 
 def polar_construct(N, K, method="bhattacharyya", design_snr_db=2.0,
-                    crc=None):
+                    crc=None, E=None, rm_mode="auto"):
     """Design an (N, K) polar code for a BPSK/AWGN design Es/N0.
 
     ``method``: 'bhattacharyya' (BEC-style bound) or 'ga' (Gaussian
     approximation density evolution).  ``crc``: a CrcSpec or a name from
     CRC_POLYNOMIALS — its parity bits also occupy reliable positions.
+
+    ``E`` (optional) rate-matches the mother code to an arbitrary number
+    of transmitted bits (5G-style block schemes, not 38.212's exact
+    sub-block interleaver):
+
+    * ``E < N`` + ``'shorten'``: the last ``N-E`` codeword bits are
+      forced to zero by freezing the last ``N-E`` u-indices (G is lower
+      triangular, so x_j with j >= N-s depends only on those u's) and
+      are not transmitted; the receiver knows them (+huge LLR).  Chosen
+      by 'auto' for rates above 7/16 (the 38.212 switch point).
+    * ``E < N`` + ``'puncture'``: the first ``N-E`` codeword bits are
+      not transmitted (0 LLR at the receiver); the first ``N-E``
+      u-indices are frozen (block/QUP-style heuristic).  'auto' picks
+      this for low rates.
+    * ``E > N`` + ``'repeat'``: the codeword repeats cyclically;
+      receiver combines repeat LLRs by addition.
     """
     if isinstance(crc, str):
         crc = CrcSpec.named(crc)
@@ -236,6 +265,31 @@ def polar_construct(N, K, method="bhattacharyya", design_snr_db=2.0,
     k_total = K + (crc.length if crc else 0)
     if not 0 < k_total <= N:
         raise ValueError(f"need 0 < K(+crc)={k_total} <= N={N}")
+
+    rm = None
+    forced = np.zeros(N, bool)
+    if E is not None and E != N:
+        if E <= 0:
+            raise ValueError(f"E must be positive, got {E}")
+        if E > N:
+            if rm_mode not in ("auto", "repeat"):
+                raise ValueError(f"E={E} > N={N} requires mode 'repeat'")
+            rm = ("repeat", E)
+        else:
+            s = N - E
+            if k_total > E:
+                raise ValueError(
+                    f"K(+crc)={k_total} cannot fit in E={E} transmitted bits")
+            if rm_mode == "auto":
+                rm_mode = "shorten" if k_total / E > 7.0 / 16.0 else "puncture"
+            if rm_mode == "shorten":
+                forced[N - s:] = True
+            elif rm_mode == "puncture":
+                forced[:s] = True
+            else:
+                raise ValueError(f"unknown rm_mode {rm_mode!r}")
+            rm = (rm_mode, E)
+
     if method == "bhattacharyya":
         rel = _bhattacharyya_reliability(n, design_snr_db)
     elif method == "ga":
@@ -243,10 +297,51 @@ def polar_construct(N, K, method="bhattacharyya", design_snr_db=2.0,
     else:
         raise ValueError(f"unknown construction method {method!r}")
     # Most reliable first; ties prefer the higher index (the upgraded leg).
+    rel = np.where(forced, -np.inf, rel)
     order = np.lexsort((-np.arange(N), -rel))
     frozen = np.ones(N, bool)
     frozen[order[:k_total]] = False
-    return PolarCode(N=N, K=K, frozen=tuple(frozen.tolist()), crc=crc)
+    return PolarCode(N=N, K=K, frozen=tuple(frozen.tolist()), crc=crc, rm=rm)
+
+
+def polar_rate_match(code, x):
+    """Codeword [..., N] -> transmitted bits [..., E] per ``code.rm``."""
+    if not code.rm:
+        return x
+    mode, E = code.rm
+    N = code.N
+    if mode == "shorten":
+        return x[..., :E]
+    if mode == "puncture":
+        return x[..., N - E:]
+    reps = -(-E // N)  # repeat
+    return jnp.tile(x, (1,) * (x.ndim - 1) + (reps,))[..., :E]
+
+
+_SHORTEN_LLR = 1e9  # "known zero" LLR for shortened positions
+
+
+def polar_rate_recover(code, llr_e):
+    """Transmitted LLRs [..., E] -> mother-code LLRs [..., N].
+
+    Punctured bits get 0 (unknown), shortened bits get +huge (known 0),
+    repeated bits combine by LLR addition.
+    """
+    if not code.rm:
+        return llr_e
+    mode, E = code.rm
+    N = code.N
+    lead = llr_e.shape[:-1]
+    if mode == "shorten":
+        pad = jnp.full(lead + (N - E,), _SHORTEN_LLR, llr_e.dtype)
+        return jnp.concatenate([llr_e, pad], axis=-1)
+    if mode == "puncture":
+        pad = jnp.zeros(lead + (N - E,), llr_e.dtype)
+        return jnp.concatenate([pad, llr_e], axis=-1)
+    reps = -(-E // N)  # repeat: sum LLRs of each position's copies
+    padded = jnp.concatenate(
+        [llr_e, jnp.zeros(lead + (reps * N - E,), llr_e.dtype)], axis=-1)
+    return padded.reshape(lead + (reps, N)).sum(axis=-2)
 
 
 # ---------------------------------------------------------------------------

@@ -291,6 +291,61 @@ def test_polar_montecarlo_sharded():
     assert res.bers[2] < 1e-3
 
 
+# ---------------------------------------------------------------------------
+# Rate matching
+# ---------------------------------------------------------------------------
+
+def test_rate_match_mode_selection_and_validation():
+    from commpy_tpu.ops.polar import polar_rate_match
+
+    hi = polar_construct(128, 80, E=100)  # K/E = 0.8 > 7/16
+    lo = polar_construct(128, 30, E=100)
+    assert hi.rm == ("shorten", 100) and lo.rm == ("puncture", 100)
+    assert hi.E == 100 and hi.rate == 0.8
+    rep = polar_construct(128, 64, E=200)
+    assert rep.rm == ("repeat", 200)
+    with pytest.raises(ValueError):
+        polar_construct(128, 90, E=80)  # K > E
+    with pytest.raises(ValueError):
+        polar_construct(128, 64, E=200, rm_mode="shorten")
+    # shortened codeword bits must actually be zero (G lower triangular)
+    rng = np.random.default_rng(3)
+    x = np.asarray(polar_encode(hi, rng.integers(0, 2, (6, hi.K))))
+    assert not x[:, 100:].any()
+    assert np.asarray(polar_rate_match(hi, jnp.asarray(x))).shape == (6, 100)
+
+
+@pytest.mark.parametrize("E,K,mode", [(96, 60, "shorten"), (96, 30, "puncture"),
+                                      (200, 64, "repeat")])
+def test_rate_match_roundtrip_all_modes(E, K, mode):
+    from commpy_tpu.ops.polar import polar_rate_match, polar_rate_recover
+
+    code = polar_construct(128, K, E=E, rm_mode=mode, design_snr_db=2.0)
+    assert code.rm == (mode, E)
+    rng = np.random.default_rng(7 + E)
+    msg = rng.integers(0, 2, (8, K))
+    tx = np.asarray(polar_rate_match(code, polar_encode(code, msg)))
+    assert tx.shape == (8, E)
+    llr_e = ((1.0 - 2.0 * tx) * 12.0 +
+             rng.normal(size=tx.shape) * 0.5).astype(np.float32)
+    llr = polar_rate_recover(code, jnp.asarray(llr_e))
+    out = np.asarray(polar_sc_decode(code, llr))
+    assert np.array_equal(out, msg)
+    out_l = np.asarray(polar_scl_decode(code, llr, list_size=4))
+    assert np.array_equal(out_l, msg)
+
+
+def test_rate_matched_link_end_to_end():
+    import jax
+    from commpy_tpu.models import make_polar_awgn_link
+
+    code = polar_construct(256, 100, crc="crc11", E=200, design_snr_db=2.0)
+    link = make_polar_awgn_link(code=code, decoder="scl", list_size=4)
+    keys = jax.random.split(jax.random.PRNGKey(2), 16)
+    assert int(link.link_step(keys, link.noise_std_fn(35.0))) == 0
+    assert int(link.link_step(keys, link.noise_std_fn(-1.0))) > 0
+
+
 @pytest.mark.slow
 def test_acceptance_ca_scl_waterfall_n512():
     """Tier-3 acceptance: CA-SCL-8 FER curve at N=512, R~1/2.
