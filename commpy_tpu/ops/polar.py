@@ -195,6 +195,7 @@ class PolarCode:
     frozen: tuple  # length-N tuple of bools, True = frozen
     crc: CrcSpec | None = None
     rm: tuple | None = None
+    systematic: bool = False
 
     def __post_init__(self):
         n = int(np.log2(self.N))
@@ -233,8 +234,23 @@ class PolarCode:
         return self.rm[1] if self.rm else self.N
 
 
+def _butterfly_np(u):
+    """NumPy x = u F^{tensor n} mod 2 (same stages as the device encoder)."""
+    u = np.asarray(u, np.int64)
+    lead = u.shape[:-1]
+    N = u.shape[-1]
+    n = int(np.log2(N))
+    x = u
+    for s in range(n):
+        x = x.reshape(lead + (1 << s, 2, N >> (s + 1)))
+        x = np.concatenate([x[..., 0:1, :] ^ x[..., 1:2, :], x[..., 1:2, :]],
+                           axis=-2)
+        x = x.reshape(lead + (N,))
+    return x
+
+
 def polar_construct(N, K, method="bhattacharyya", design_snr_db=2.0,
-                    crc=None, E=None, rm_mode="auto"):
+                    crc=None, E=None, rm_mode="auto", systematic=False):
     """Design an (N, K) polar code for a BPSK/AWGN design Es/N0.
 
     ``method``: 'bhattacharyya' (BEC-style bound) or 'ga' (Gaussian
@@ -256,6 +272,15 @@ def polar_construct(N, K, method="bhattacharyya", design_snr_db=2.0,
       this for low rates.
     * ``E > N`` + ``'repeat'``: the codeword repeats cyclically;
       receiver combines repeat LLRs by addition.
+
+    ``systematic=True`` makes the payload (and CRC) appear verbatim at
+    the info positions of the codeword (Arikan's systematic polar via
+    the two-pass encode — G is a GF(2) involution).  The systematic
+    property is VERIFIED exactly at construction on the K_total basis
+    vectors (it holds when the info set is domination-closed, which
+    reliability-based sets are in practice).  Decoders re-encode the
+    decision vector and read the payload from the codeword domain —
+    systematic payload BER is never worse than the u-domain's.
     """
     if isinstance(crc, str):
         crc = CrcSpec.named(crc)
@@ -301,7 +326,22 @@ def polar_construct(N, K, method="bhattacharyya", design_snr_db=2.0,
     order = np.lexsort((-np.arange(N), -rel))
     frozen = np.ones(N, bool)
     frozen[order[:k_total]] = False
-    return PolarCode(N=N, K=K, frozen=tuple(frozen.tolist()), crc=crc, rm=rm)
+    code = PolarCode(N=N, K=K, frozen=tuple(frozen.tolist()), crc=crc, rm=rm,
+                     systematic=systematic)
+    if systematic:
+        # Exact check on the basis: mask_A(E(I_A)) re-encoded must hit
+        # the identity at the info positions.
+        A = code.info_positions
+        basis = np.zeros((len(A), N), np.int64)
+        basis[np.arange(len(A)), A] = 1
+        mid = _butterfly_np(basis)
+        mid[:, code.frozen_mask] = 0
+        x = _butterfly_np(mid)
+        if not np.array_equal(x[:, A], np.eye(len(A), dtype=np.int64)):
+            raise ValueError(
+                "info set is not domination-closed: systematic two-pass "
+                "encoding does not reproduce the payload for this mask")
+    return code
 
 
 def polar_rate_match(code, x):
@@ -363,8 +403,10 @@ def _butterfly_encode(u):
 
 @functools.lru_cache(maxsize=64)
 def make_polar_encoder(code):
-    """jitted msg [B, K] -> codeword [B, N] (int8). Appends CRC if set."""
+    """jitted msg [B, K] -> codeword [B, N] (int8). Appends CRC if set.
+    Systematic codes use the two-pass (encode, mask, encode) form."""
     info = jnp.asarray(code.info_positions)
+    nonfrozen = jnp.asarray((~code.frozen_mask).astype(np.int32))
     if code.crc:
         crc_tab = jnp.asarray(crc_encode_table(code.crc, code.K), jnp.int32)
 
@@ -376,6 +418,8 @@ def make_polar_encoder(code):
             msg = jnp.concatenate([msg, parity], axis=-1)
         u = jnp.zeros(msg.shape[:-1] + (code.N,), jnp.int32)
         u = u.at[..., info].set(msg)
+        if code.systematic:
+            u = _butterfly_encode(u) * nonfrozen
         return _butterfly_encode(u).astype(jnp.int8)
 
     return encode
@@ -606,7 +650,9 @@ def make_polar_sc_decoder(code, rule="minsum", full=False, block_exp=9,
         _, ys = lax.scan(body, (L, C), xs)  # ys [nb, W * B]
         u = ys.reshape(N, B).T.astype(jnp.int8)  # [B, N]
         if full:
-            return u
+            return u  # raw u-domain decisions (golden surface)
+        if code.systematic:
+            u = _butterfly_encode(u)  # payload lives in the codeword domain
         return u[:, payload_pos]
 
     return decode
@@ -809,17 +855,20 @@ def make_polar_scl_decoder(code, list_size=8, rule="minsum",
         _, outs = lax.scan(back, ident, (bits_all, perms), reverse=True)
         u_all = outs.reshape(N, P, B).transpose(2, 1, 0).astype(jnp.int8)
         pm_b = pm.T  # [B, P]
+        # Systematic codes carry payload and CRC in the codeword domain:
+        # re-encode every path's decisions before checking/selecting.
+        dom = _butterfly_encode(u_all) if code.systematic else u_all
         score = pm_b
         if code.crc:
-            bits_f = u_all[..., info_pos].astype(_F32)  # [B, P, k_total]
+            bits_f = dom[..., info_pos].astype(_F32)  # [B, P, k_total]
             syndrome = jnp.mod(bits_f @ crc_h, 2.0)
             ok = jnp.all(syndrome == 0.0, axis=-1)  # [B, P]
             score = score + jnp.where(ok, 0.0, _CRC_FAIL)
         winner = jnp.argmin(score, axis=-1)  # [B]; ties -> lower path index
         sel = (winner[:, None] == jnp.arange(P)[None, :]).astype(_F32)
-        best_u = jnp.einsum("bp,bpn->bn", sel, u_all.astype(_F32),
-                            precision=lax.Precision.HIGHEST).astype(jnp.int8)
-        payload = best_u[:, payload_pos]
+        best = jnp.einsum("bp,bpn->bn", sel, dom.astype(_F32),
+                          precision=lax.Precision.HIGHEST).astype(jnp.int8)
+        payload = best[:, payload_pos]
         if full:
             return payload, pm_b, u_all
         return payload
