@@ -51,6 +51,14 @@ LABELS = {
     "kbest_ldpc_mimo_full_link":
         "full coded MIMO link step (K-best soft max-log -> WiMAX "
         "LDPC(1440,720) MSA-15)",
+    "polar_sc_1024_512":
+        "polar SC decode, N=1024 K=512 (beyond reference: no polar "
+        "codec in CommPy)",
+    "polar_scl8_crc11_1024_512":
+        "polar CRC-aided SCL-8 (CRC-11) decode, N=1024 K=512 (beyond "
+        "reference)",
+    "qam64_soft_demod":
+        "64-QAM exact-LLR soft demod (axis-separable fast path)",
 }
 ORDER = list(LABELS)
 
