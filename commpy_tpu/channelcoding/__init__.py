@@ -19,6 +19,16 @@ from ..ops.ldpc import (
 from ..ops.galois import GF, polydivide, polymultiply, poly_to_string
 from ..ops.algebraic import cyclic_code_genpoly
 
+# Beyond the reference surface: polar codes (no CommPy counterpart),
+# exposed here so all FEC lives under one namespace.
+from ..ops.polar import (  # noqa: F401
+    PolarCode,
+    polar_construct,
+    polar_encode,
+    polar_sc_decode,
+    polar_scl_decode,
+)
+
 # Submodules mirroring the reference layout
 from . import algcode, convcode, gfields, interleavers, ldpc, turbo  # noqa: F401
 
@@ -37,6 +47,11 @@ __all__ = [
     "ldpc_bp_decode",
     "triang_ldpc_systematic_encode",
     "write_ldpc_params",
+    "PolarCode",
+    "polar_construct",
+    "polar_encode",
+    "polar_sc_decode",
+    "polar_scl_decode",
     "GF",
     "polydivide",
     "polymultiply",
