@@ -177,7 +177,12 @@ def _separable_qam_plan(const_np, bps):
     return plan
 
 
-def _demodulate_soft_separable(symbols, plan, noise_var):
+def _demodulate_soft_separable(symbols, plan, noise_var,
+                               reduce=jax.nn.logsumexp):
+    """Per-axis LLRs for a separable plan.  ``reduce``: logsumexp gives
+    the exact LLR; jnp.max gives the max-log LLR (both factorizations
+    are exact — the other axis' term is common to numerator and
+    denominator and cancels)."""
     uR, uI, rows = plan
     y = jnp.asarray(symbols)
     noise_var = jnp.asarray(noise_var)
@@ -190,9 +195,9 @@ def _demodulate_soft_separable(symbols, plan, noise_var):
     for axis, mrow in rows:
         d = dI if axis == "I" else dQ
         mk = jnp.asarray(mrow)
-        lse1 = jax.nn.logsumexp(jnp.where(mk, d, neg_inf), axis=-1)
-        lse0 = jax.nn.logsumexp(jnp.where(mk, neg_inf, d), axis=-1)
-        llrs.append(lse1 - lse0)
+        r1 = reduce(jnp.where(mk, d, neg_inf), axis=-1)
+        r0 = reduce(jnp.where(mk, neg_inf, d), axis=-1)
+        llrs.append(r1 - r0)
     llr = jnp.stack(llrs, axis=-1).astype(jnp.float32)
     lead = llr.shape[:-2]
     return llr.reshape(lead + (-1,))
@@ -245,8 +250,25 @@ def demodulate_soft(symbols, constellation, bits_per_symbol: int, noise_var,
     return llr.reshape(lead + (-1,))
 
 
-def demodulate_maxlog(symbols, constellation, bits_per_symbol: int, noise_var):
-    """Max-log LLR soft demapping (fast path; approximates demodulate_soft)."""
+def demodulate_maxlog(symbols, constellation, bits_per_symbol: int, noise_var,
+                      method: str = "auto"):
+    """Max-log LLR soft demapping (fast path; approximates demodulate_soft).
+
+    Same ``method`` semantics as :func:`demodulate_soft`: separable
+    product-grid constellations of order >= 64 take per-axis maxes
+    (exact for max-log as well — the other axis' max cancels).
+    """
+    if method in ("auto", "separable"):
+        try:
+            const_np = np.asarray(constellation)
+        except Exception:
+            const_np = None
+        if const_np is not None and \
+                (method == "separable" or len(const_np) >= 64):
+            plan = _separable_qam_plan(const_np, bits_per_symbol)
+            if plan is not None:
+                return _demodulate_soft_separable(symbols, plan, noise_var,
+                                                  reduce=jnp.max)
     m = len(constellation)
     masks = jnp.asarray(constellation_bit_masks(m, bits_per_symbol))
     noise_var = jnp.asarray(noise_var)

@@ -179,6 +179,15 @@ def test_soft_demod_separable_fast_path():
     a = np.asarray(M.demodulate_soft(y, psk, 3, 0.5, method="auto"))
     b = np.asarray(M.demodulate_soft(y, psk, 3, 0.5, method="joint"))
     assert np.array_equal(a, b)
+    # max-log takes the same factorization (per-axis maxes, exact)
+    for m in (16, 64):
+        const = M.qam_constellation(m).astype(np.complex64)
+        bps = int(np.log2(m))
+        joint = np.asarray(M.demodulate_maxlog(y, const, bps, 0.5,
+                                               method="joint"))
+        sep = np.asarray(M.demodulate_maxlog(y, const, bps, 0.5,
+                                             method="separable"))
+        assert_allclose(sep, joint, rtol=1e-5, atol=1e-5)
 
 
 def test_maxlog_demod_close_to_exact_at_high_snr():

@@ -52,6 +52,21 @@ def test_construction_monotone_nesting():
             prev = cur
 
 
+def test_construction_ga_bhatt_agree_at_matched_design():
+    # At a matched design point the two constructions select nearly the
+    # same info set (measured SC BER is equal within MC noise; see the
+    # polar_construct docstring for the mismatch sensitivity).
+    from commpy_tpu.ops.polar import (_bhattacharyya_reliability,
+                                      _ga_reliability)
+    ga = _ga_reliability(10, -0.5)
+    bh = _bhattacharyya_reliability(10, -0.5)
+    A_ga = set(np.argsort(-ga)[:512].tolist())
+    A_bh = set(np.argsort(-bh)[:512].tolist())
+    assert len(A_ga & A_bh) >= 500
+    # GA mean LLRs must be positive, finite, and monotone under 'plus'
+    assert np.all(np.isfinite(ga)) and np.all(ga > 0)
+
+
 def test_construction_validation():
     with pytest.raises(ValueError):
         polar_construct(100, 10)
