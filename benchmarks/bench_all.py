@@ -322,6 +322,33 @@ def main():
                "info bits/s", "")
     guarded(sec_polar)
 
+    # --- BCH hard-decision decode (beyond reference: CommPy has no
+    # algebraic codec).  DVB-S2-class outer-code shape: t=12 over
+    # GF(2^16), shortened to n=16200.  Bit-sliced syndromes/BM/Chien
+    # (ops/bch.py). ---
+    def sec_bch():
+        from commpy_tpu.ops.bch import bch_construct, bch_encode, \
+            make_bch_decoder
+
+        code = bch_construct(16, 12, shorten=(1 << 16) - 1 - 16200)
+        Bb = 256
+        brng = np.random.default_rng(0)
+        msg = brng.integers(0, 2, (Bb, code.k))
+        cw = np.asarray(bch_encode(code, msg))
+        rx = cw.copy()
+        for b in range(Bb):
+            pos = brng.choice(code.n, 12, replace=False)
+            rx[b, pos] ^= 1
+        dec = make_bch_decoder(code)
+        x0 = jnp.asarray(rx.astype(np.float32))
+
+        def body(c):
+            _, ne, _ = dec(c.astype(jnp.int8))
+            return c.at[0, 0].add(jnp.sum(ne).astype(c.dtype) * 1e-12)
+        dt = timed_chain(body, x0, rep=8)
+        report("bch_dvbs2_16200_t12", Bb * code.k / dt, "info bits/s", "")
+    guarded(sec_bch)
+
     # --- 16-QAM exact-LLR soft demod ---
     def sec_demod():
         const = M.qam_constellation(16).astype(np.complex64)

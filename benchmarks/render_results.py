@@ -59,6 +59,9 @@ LABELS = {
         "reference)",
     "qam64_soft_demod":
         "64-QAM exact-LLR soft demod (axis-separable fast path)",
+    "bch_dvbs2_16200_t12":
+        "BCH hard-decision decode, DVB-S2-class outer code (n=16200, "
+        "t=12, GF(2^16)) (beyond reference)",
 }
 ORDER = list(LABELS)
 

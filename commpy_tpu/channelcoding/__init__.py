@@ -19,8 +19,14 @@ from ..ops.ldpc import (
 from ..ops.galois import GF, polydivide, polymultiply, poly_to_string
 from ..ops.algebraic import cyclic_code_genpoly
 
-# Beyond the reference surface: polar codes (no CommPy counterpart),
-# exposed here so all FEC lives under one namespace.
+# Beyond the reference surface: polar + BCH codecs (no CommPy
+# counterpart), exposed here so all FEC lives under one namespace.
+from ..ops.bch import (  # noqa: F401
+    BchCode,
+    bch_construct,
+    bch_decode,
+    bch_encode,
+)
 from ..ops.polar import (  # noqa: F401
     PolarCode,
     polar_construct,
@@ -47,6 +53,10 @@ __all__ = [
     "ldpc_bp_decode",
     "triang_ldpc_systematic_encode",
     "write_ldpc_params",
+    "BchCode",
+    "bch_construct",
+    "bch_encode",
+    "bch_decode",
     "PolarCode",
     "polar_construct",
     "polar_encode",

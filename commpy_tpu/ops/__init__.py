@@ -2,6 +2,7 @@
 
 from . import (
     algebraic,
+    bch,
     channel,
     convcode,
     dvbs2,
@@ -23,7 +24,7 @@ from .trellis import Trellis
 from .viterbi import viterbi_decode, viterbi_decode_device
 
 __all__ = [
-    "algebraic", "channel", "convcode", "dvbs2", "filters", "fir", "galois",
+    "algebraic", "bch", "channel", "convcode", "dvbs2", "filters", "fir", "galois",
     "impairments", "interleave", "ldpc", "mimo", "modem", "ofdm", "polar",
     "sequences", "stream", "turbo", "Trellis", "viterbi_decode",
     "viterbi_decode_device",

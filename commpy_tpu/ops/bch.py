@@ -1,0 +1,404 @@
+r"""BCH codes: construction, systematic encoding, hard-decision decoding.
+
+Beyond-reference subsystem: CommPy's algebraic layer stops at GF(2^m)
+element algebra and cyclic-code generator polynomials
+(/root/reference/commpy/channelcoding/{gfields,algcode}.py) — it ships no
+algebraic encoder or decoder.  This module adds t-error-correcting binary
+BCH, the classic outer code (it is DVB-S2's outer code ahead of the LDPC
+inner code, and the basis of many flash/OTN ECCs).
+
+The TPU design principle is **bit-sliced GF(2^m) linear algebra** — no
+log/antilog table lookups anywhere on the device path (gathers inside
+scans lower to scalar loops on TPU):
+
+* **Encoding** — systematic parity is linear over GF(2):
+  ``parity = msg @ P mod 2`` with ``P`` the x^j-mod-g remainder table.
+  One MXU matmul (0/1 operands are exact at any precision).
+* **Syndromes** — S_j = r(alpha^j) is linear in the received bits:
+  ``synd_bits = r @ S mod 2`` with S[i, (j,b)] = bit b of alpha^{i(j+1)}.
+  One [B, n] @ [n, 2t*m] matmul.
+* **Berlekamp-Massey** — the inversionless (Burton) iteration runs as a
+  ``lax.scan`` over 2t steps.  Field elements are m-bit slices; a
+  variable*variable product is a shift-XOR convolution (outer product,
+  anti-diagonal sums, then a constant GF(2) reduction matrix) — parity
+  of f32 counts, exact.  The degree bookkeeping (L, delta, the
+  conditional B update) is `where`-masked per batch element.
+* **Chien search** — evaluating Lambda(alpha^{-i}) at all n positions is
+  blocked: within a block of D positions the evaluation is one
+  ``[B, (t+1)m] @ [(t+1)m, D*m]`` matmul; between blocks the
+  coefficients advance by the CONSTANT map mu_k <- mu_k * alpha^{-Dk}
+  (an m x m GF(2) matrix per k).  O(n/D) scan steps of MXU work instead
+  of an n-step Horner recurrence.
+
+Cross-checked against an independent log/antilog-table NumPy golden
+(tests/bch_ref.py) and classic generator-polynomial anchors
+((15,7,t=2) g=0o721, (15,5,t=3), (31,21,t=2)).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .galois import _PRIMPOLYS
+
+__all__ = [
+    "BchCode",
+    "bch_construct",
+    "bch_genpoly",
+    "bch_encode",
+    "bch_decode",
+    "make_bch_encoder",
+    "make_bch_decoder",
+]
+
+
+# ---------------------------------------------------------------------------
+# Host-side GF(2^m) tables and code construction
+# ---------------------------------------------------------------------------
+
+def _gf_tables(m):
+    """(exp, log) tables for GF(2^m) under the module primitive poly."""
+    prim = int(_PRIMPOLYS[m])
+    size = (1 << m) - 1
+    exp = np.zeros(2 * size, np.int64)
+    log = np.zeros(1 << m, np.int64)
+    x = 1
+    for i in range(size):
+        exp[i] = x
+        log[x] = i
+        x <<= 1
+        if x >> m:
+            x ^= prim
+    exp[size:] = exp[:size]
+    return exp, log
+
+
+def _poly_mul_gf2(a, b):
+    """Multiply GF(2)[x] polynomials given as coefficient int arrays."""
+    out = np.zeros(len(a) + len(b) - 1, np.int64)
+    for i, ai in enumerate(a):
+        if ai:
+            out[i:i + len(b)] ^= np.asarray(b, np.int64)
+    return out
+
+
+def bch_genpoly(m, t):
+    """Generator polynomial of the primitive t-error BCH of length 2^m-1.
+
+    LCM of the minimal polynomials of alpha^1..alpha^{2t}; returned as a
+    coefficient array, lowest degree first.
+    """
+    exp, log = _gf_tables(m)
+    size = (1 << m) - 1
+    covered = set()
+    g = np.array([1], np.int64)
+    for j in range(1, 2 * t + 1):
+        if j % size in covered:
+            continue
+        # cyclotomic coset of j
+        coset = []
+        c = j % size
+        while c not in coset:
+            coset.append(c)
+            c = (2 * c) % size
+        covered.update(coset)
+        # minimal poly = prod (x - alpha^c), computed in GF(2^m) then
+        # verified binary
+        poly = np.array([1], np.int64)  # coefficients in GF(2^m), low-first
+        for c in coset:
+            root = exp[c]
+            # poly * (x + root)
+            shifted = np.concatenate([[0], poly])
+            scaled = np.array(
+                [exp[(log[p] + log[root]) % size] if p else 0 for p in poly]
+                + [0], np.int64)
+            poly = shifted ^ scaled
+        if np.any(poly > 1):
+            raise AssertionError("minimal polynomial is not binary")
+        g = _poly_mul_gf2(g, poly)
+    return g
+
+
+@dataclass(frozen=True)
+class BchCode:
+    """A (possibly shortened) binary BCH code.
+
+    ``n``/``k`` are the transmitted lengths; ``m``/``t`` define the
+    parent primitive code of length 2^m - 1 (shortening drops leading
+    message bits, which both ends treat as zeros).
+    """
+
+    n: int
+    k: int
+    m: int
+    t: int
+    genpoly: tuple  # low-degree-first coefficients
+
+    @property
+    def n_parent(self):
+        return (1 << self.m) - 1
+
+    @property
+    def n_parity(self):
+        return len(self.genpoly) - 1
+
+    @property
+    def shortening(self):
+        return self.n_parent - self.n
+
+
+def bch_construct(m, t, shorten=0):
+    """Build the t-error-correcting BCH code of length 2^m - 1 - shorten."""
+    if not 2 <= m <= 16:
+        raise ValueError(f"need 2 <= m <= 16, got {m}")
+    g = bch_genpoly(m, t)
+    n_parent = (1 << m) - 1
+    r = len(g) - 1
+    k = n_parent - r - shorten
+    if k <= 0:
+        raise ValueError(
+            f"no message bits left: 2^{m}-1 = {n_parent}, parity {r}, "
+            f"shorten {shorten}")
+    return BchCode(n=n_parent - shorten, k=k, m=m, t=t,
+                   genpoly=tuple(int(c) for c in g))
+
+
+def _parity_table(code):
+    """[k, r] GF(2) matrix: parity = msg @ P.
+
+    Row j is the remainder of x^{n-1-j} mod g (message bit j rides
+    coefficient x^{n-1-j}; parity occupies the low-degree coefficients),
+    built with an iterate-multiply-by-x recurrence — O(n * r), no
+    per-row division.
+    """
+    g = np.asarray(code.genpoly, np.int64)
+    r = len(g) - 1
+    n_parent = code.n_parent
+    rows = np.zeros((n_parent, r), np.int64)  # x^deg mod g for all degs
+    rem = np.zeros(r, np.int64)
+    rem[0] = 1  # x^0
+    for deg in range(n_parent):
+        rows[deg] = rem
+        carry = rem[r - 1]
+        rem = np.concatenate([[0], rem[:r - 1]])
+        if carry:
+            rem ^= g[:r]
+    degs = code.n - 1 - np.arange(code.k)  # message bit j -> x^{n-1-j}
+    # parity wire position k + j carries coefficient x^{r-1-j}:
+    # emit remainder columns high-degree first
+    return rows[degs][:, ::-1]
+
+
+def _syndrome_table(code):
+    """[n, 2t*m] GF(2) matrix: syndrome bits = r @ S.
+
+    Received bit at wire position i rides coefficient x^{n-1-i};
+    S_j = r(alpha^j) for j = 1..2t.
+    """
+    exp, _ = _gf_tables(code.m)
+    size = code.n_parent
+    degs = code.n - 1 - np.arange(code.n)
+    tab = np.zeros((code.n, 2 * code.t * code.m), np.int64)
+    for j in range(1, 2 * code.t + 1):
+        vals = exp[(degs * j) % size]  # alpha^{deg * j}
+        bits = (vals[:, None] >> np.arange(code.m)[None, :]) & 1
+        tab[:, (j - 1) * code.m:j * code.m] = bits
+    return tab
+
+
+def _gf_constant_mult_matrix(const, m):
+    """[m, m] GF(2) matrix M with bits(const * x) = bits(x) @ M."""
+    prim = int(_PRIMPOLYS[m])
+    rows = []
+    for b in range(m):
+        v = const << b
+        for d in range(m + m - 1, m - 1, -1):
+            if v >> d:
+                v ^= prim << (d - m)
+        rows.append([(v >> c) & 1 for c in range(m)])
+    return np.asarray(rows, np.int64)
+
+
+def _gf_reduce_matrix(m):
+    """[2m-1, m] GF(2) matrix folding a carryless product to the field."""
+    prim = int(_PRIMPOLYS[m])
+    rows = []
+    for d in range(2 * m - 1):
+        v = 1 << d
+        for dd in range(2 * m - 2, m - 1, -1):
+            if v >> dd:
+                v ^= prim << (dd - m)
+        rows.append([(v >> c) & 1 for c in range(m)])
+    return np.asarray(rows, np.int64)
+
+
+def _chien_tables(code, block):
+    """Blocked Chien-search operators.
+
+    eval_mat [(t+1)m, block*m]: bits of Lambda(alpha^{-(i0+d)}) for d in
+    [0, block) as a linear map of the block coefficients mu_k =
+    lambda_k * alpha^{-i0 k}.  step_mat [(t+1)m, (t+1)m]: the constant
+    advance mu_k <- mu_k * alpha^{-block*k}.
+    """
+    m, t = code.m, code.t
+    size = code.n_parent
+    exp, _ = _gf_tables(m)
+    eval_mat = np.zeros(((t + 1) * m, block * m), np.int64)
+    step_mat = np.zeros(((t + 1) * m, (t + 1) * m), np.int64)
+    for k in range(t + 1):
+        for d in range(block):
+            Mm = _gf_constant_mult_matrix(int(exp[(-d * k) % size]), m)
+            eval_mat[k * m:(k + 1) * m, d * m:(d + 1) * m] = Mm
+        Ms = _gf_constant_mult_matrix(int(exp[(-block * k) % size]), m)
+        step_mat[k * m:(k + 1) * m, k * m:(k + 1) * m] = Ms
+    return eval_mat, step_mat
+
+
+# ---------------------------------------------------------------------------
+# Device codec
+# ---------------------------------------------------------------------------
+
+def _mod2(x):
+    return jnp.mod(x, 2.0)
+
+
+def _carryless(outer, m):
+    """[..., m, m] outer bit products -> [..., 2m-1] f32 coefficient
+    counts via static shift-adds (conv[a+c] += outer[a, c])."""
+    lead = outer.shape[:-2]
+    conv = jnp.zeros(lead + (2 * m - 1,), jnp.float32)
+    for a in range(m):
+        conv = conv.at[..., a:a + m].add(outer[..., a, :])
+    return conv
+
+
+def _conv_xor(a, b, m, reduce_mat):
+    """Bit-sliced GF(2^m) product of per-slot elements.
+
+    a, b: [..., m] float 0/1 bit slices.  Carryless convolution of the
+    outer product (f32 counts, parity-folded), then the constant
+    reduction matrix back to m bits.
+    """
+    outer = a[..., :, None] * b[..., None, :]  # [..., m, m]
+    return _mod2(_mod2(_carryless(outer, m)) @ reduce_mat)
+
+
+@functools.lru_cache(maxsize=32)
+def make_bch_encoder(code):
+    """jitted msg [B, k] (0/1) -> codeword [B, n] int8, systematic."""
+    P = jnp.asarray(_parity_table(code), jnp.float32)
+
+    @jax.jit
+    def encode(msg):
+        msg_f = msg.astype(jnp.float32)
+        parity = _mod2(msg_f @ P)
+        return jnp.concatenate([msg_f, parity], axis=-1).astype(jnp.int8)
+
+    return encode
+
+
+def bch_encode(code, msg):
+    """Systematic BCH encode: [..., k] -> [..., n] (message first)."""
+    return make_bch_encoder(code)(jnp.asarray(msg))
+
+
+@functools.lru_cache(maxsize=32)
+def make_bch_decoder(code, chien_block=None):
+    """jitted hard bits [B, n] -> (corrected [B, n] int8, n_err [B] int32,
+    ok [B] bool).
+
+    ``ok`` is False where decoding failed (more than t errors detected:
+    the locator degree disagrees with its root count).  Complexity: one
+    syndrome matmul + a 2t-step scan + ceil(n/D) Chien matmuls.
+    """
+    m, t, n = code.m, code.t, code.n
+    if chien_block is None:
+        chien_block = min(512, code.n_parent)
+    D = chien_block
+    S_tab = jnp.asarray(_syndrome_table(code), jnp.float32)
+    R_mat = jnp.asarray(_gf_reduce_matrix(m), jnp.float32)
+    eval_mat_np, step_mat_np = _chien_tables(code, D)
+    eval_mat = jnp.asarray(eval_mat_np, jnp.float32)
+    step_mat = jnp.asarray(step_mat_np, jnp.float32)
+    n_blocks = -(-code.n_parent // D)
+
+    @jax.jit
+    def decode(r_bits):
+        B = r_bits.shape[0]
+        r_f = r_bits.astype(jnp.float32)
+        synd = _mod2(r_f @ S_tab).reshape(B, 2 * t, m)  # S_1..S_2t
+
+        # --- inversionless Berlekamp-Massey over 2t steps ---
+        lam = jnp.zeros((B, t + 1, m), jnp.float32).at[:, 0, 0].set(1.0)
+        bpoly = jnp.zeros((B, t + 1, m), jnp.float32).at[:, 0, 0].set(1.0)
+        delta = jnp.zeros((B, m), jnp.float32).at[:, 0].set(1.0)
+        Lr = jnp.zeros(B, jnp.int32)
+        # syndromes padded so the discrepancy window S_{r-j}, j=0..t is a
+        # static-size dynamic_slice at offset r
+        synd_pad = jnp.concatenate(
+            [jnp.zeros((B, t, m), jnp.float32), synd], axis=1)
+
+        def bm_step(carry, r_idx):
+            lam, bpoly, delta, Lr = carry
+            win = lax.dynamic_slice_in_dim(synd_pad, r_idx, t + 1, axis=1)
+            win = win[:, ::-1]  # win[j] = S_{r - j} (S_0-based: r_idx - j)
+            # discrepancy d = sum_j lambda_j * S_{r-j} (bit-sliced)
+            outer = jnp.einsum("bja,bjc->bac", lam, win)  # f32 counts
+            d = _mod2(_mod2(_carryless(outer, m)) @ R_mat)  # [B, m]
+
+            # lambda' = delta*lambda + d * x*B
+            xB = jnp.concatenate(
+                [jnp.zeros((B, 1, m), jnp.float32), bpoly[:, :-1]], axis=1)
+            lam_new = _mod2(
+                _conv_xor(delta[:, None, :], lam, m, R_mat)
+                + _conv_xor(d[:, None, :], xB, m, R_mat))
+
+            d_nonzero = jnp.any(d > 0, axis=-1)
+            grow = d_nonzero & (2 * Lr <= r_idx)
+            bpoly = jnp.where(grow[:, None, None], lam, xB)
+            delta = jnp.where(grow[:, None], d, delta)
+            Lr = jnp.where(grow, r_idx + 1 - Lr, Lr)
+            return (lam_new, bpoly, delta, Lr), None
+
+        (lam, _, _, Lr), _ = lax.scan(
+            bm_step, (lam, bpoly, delta, Lr),
+            jnp.arange(2 * t, dtype=jnp.int32))
+
+        # --- blocked Chien search over the parent length ---
+        mu0 = lam.reshape(B, (t + 1) * m)
+
+        def chien_step(mu, _):
+            vals = _mod2(mu @ eval_mat).reshape(B, D, m)
+            is_root = ~jnp.any(vals > 0, axis=-1)  # Lambda(alpha^{-i}) == 0
+            mu = _mod2(mu @ step_mat)
+            return mu, is_root
+
+        _, roots = lax.scan(chien_step, mu0, None, length=n_blocks)
+        # roots[b0][:, d] flags a root at alpha^{-(b0*D+d)}, i.e. an
+        # error at coefficient DEGREE b0*D+d.
+        roots = roots.transpose(1, 0, 2).reshape(B, n_blocks * D)
+        roots = roots[:, :code.n_parent]
+        # wire position j carries coefficient x^{n-1-j}
+        degs = code.n - 1 - np.arange(code.n)
+        err_wire = roots[:, degs]  # [B, n]
+        corrected = jnp.bitwise_xor(
+            r_bits.astype(jnp.int8), err_wire.astype(jnp.int8))
+        # success: locator degree == number of roots, all of them inside
+        # the transmitted length (a root in the shortened virtual prefix
+        # means a miscorrection)
+        total_roots = jnp.sum(roots.astype(jnp.int32), axis=-1)
+        in_range = jnp.sum(err_wire.astype(jnp.int32), axis=-1)
+        ok = (total_roots == Lr) & (in_range == total_roots)
+        return corrected, in_range, ok
+
+    return decode
+
+
+def bch_decode(code, r_bits):
+    """Hard-decision decode: [B, n] -> (corrected, n_errors, ok)."""
+    return make_bch_decoder(code)(jnp.asarray(r_bits))

@@ -1,0 +1,199 @@
+"""BCH codec vs classic anchors and the independent NumPy golden."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from commpy_tpu.ops.bch import (
+    bch_construct,
+    bch_decode,
+    bch_encode,
+    bch_genpoly,
+    make_bch_decoder,
+)
+
+import bch_ref
+
+
+def _poly_int(coeffs):
+    return sum(int(c) << i for i, c in enumerate(coeffs))
+
+
+# ---------------------------------------------------------------------------
+# Construction anchors
+# ---------------------------------------------------------------------------
+
+def test_genpoly_classic_anchors():
+    # (15,7) t=2: g = x^8+x^7+x^6+x^4+1 (0o721)
+    assert _poly_int(bch_genpoly(4, 2)) == 0b111010001
+    # (15,5) t=3: g = x^10+x^8+x^5+x^4+x^2+x+1
+    assert _poly_int(bch_genpoly(4, 3)) == 0b10100110111
+    # (15,11) t=1 is the Hamming code: g = x^4+x+1 (the primitive poly)
+    assert _poly_int(bch_genpoly(4, 1)) == 0b10011
+    # (31,21) t=2: g = x^10+x^9+x^8+x^6+x^5+x^3+1
+    assert _poly_int(bch_genpoly(5, 2)) == 0b11101101001
+
+
+def test_genpoly_in_cyclic_code_genpoly_family():
+    # The BCH generator must be a valid (n, k) cyclic-code generator.
+    from commpy_tpu.ops.algebraic import cyclic_code_genpoly
+
+    g = _poly_int(bch_genpoly(4, 2))
+    fam = cyclic_code_genpoly(15, 7)
+    assert g in set(int(x) for x in np.atleast_1d(fam))
+
+
+def test_construct_shapes_and_validation():
+    code = bch_construct(4, 2)
+    assert (code.n, code.k) == (15, 7)
+    short = bch_construct(6, 3, shorten=13)
+    assert (short.n, short.k) == (50, 32)  # (63,45) t=3 parent
+    with pytest.raises(ValueError):
+        bch_construct(4, 2, shorten=7)  # no message bits left
+    with pytest.raises(ValueError):
+        bch_construct(1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("m,t", [(4, 2), (5, 3), (6, 5), (8, 4)])
+def test_encode_matches_golden(m, t):
+    code = bch_construct(m, t)
+    rng = np.random.default_rng(m * 10 + t)
+    msg = rng.integers(0, 2, (6, code.k))
+    got = np.asarray(bch_encode(code, msg))
+    for b in range(6):
+        want = bch_ref.encode_np(msg[b], code.genpoly, code.n)
+        assert np.array_equal(got[b], want)
+    # systematic: message rides in front
+    assert np.array_equal(got[:, :code.k], msg)
+
+
+def test_encode_codewords_have_zero_syndromes():
+    code = bch_construct(6, 4)
+    rng = np.random.default_rng(3)
+    msg = rng.integers(0, 2, (8, code.k))
+    cw = np.asarray(bch_encode(code, msg))
+    corrected, nerr, ok = (np.asarray(a) for a in bch_decode(code, cw))
+    assert np.array_equal(corrected, cw)
+    assert not nerr.any()
+    assert ok.all()
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("m,t,shorten", [(4, 2, 0), (5, 3, 0), (6, 5, 0),
+                                         (8, 4, 0), (6, 3, 20)])
+def test_decode_corrects_up_to_t_errors(m, t, shorten):
+    code = bch_construct(m, t, shorten=shorten)
+    rng = np.random.default_rng(m * 100 + t)
+    B = 24
+    msg = rng.integers(0, 2, (B, code.k))
+    cw = np.asarray(bch_encode(code, msg))
+    rx = cw.copy()
+    nflip = rng.integers(0, t + 1, B)
+    for b in range(B):
+        pos = rng.choice(code.n, nflip[b], replace=False)
+        rx[b, pos] ^= 1
+    corrected, nerr, ok = (np.asarray(a) for a in bch_decode(code, rx))
+    assert ok.all()
+    assert np.array_equal(nerr, nflip)
+    assert np.array_equal(corrected, cw)
+
+
+@pytest.mark.parametrize("m,t", [(4, 2), (5, 3), (6, 5)])
+def test_decode_matches_golden_beyond_t(m, t):
+    # Past t errors behavior (fail flag or miscorrection) must agree
+    # with the textbook decoder exactly.
+    code = bch_construct(m, t)
+    rng = np.random.default_rng(m * 7 + t)
+    B = 16
+    msg = rng.integers(0, 2, (B, code.k))
+    cw = np.asarray(bch_encode(code, msg))
+    rx = cw.copy()
+    for b in range(B):
+        pos = rng.choice(code.n, min(t + 1 + (b % 3), code.n),
+                         replace=False)
+        rx[b, pos] ^= 1
+    corrected, nerr, ok = (np.asarray(a) for a in bch_decode(code, rx))
+    for b in range(B):
+        w_corr, w_nerr, w_ok = bch_ref.decode_np(rx[b], m, t, code.n)
+        assert bool(ok[b]) == w_ok, b
+        assert int(nerr[b]) == w_nerr, b
+        assert np.array_equal(corrected[b], w_corr), b
+
+
+def test_decode_fuzz_matches_golden():
+    code = bch_construct(5, 2)
+    rng = np.random.default_rng(55)
+    B = 40
+    rx = rng.integers(0, 2, (B, code.n))  # arbitrary words
+    corrected, nerr, ok = (np.asarray(a) for a in bch_decode(code, rx))
+    for b in range(B):
+        w_corr, w_nerr, w_ok = bch_ref.decode_np(rx[b], 5, 2, code.n)
+        assert bool(ok[b]) == w_ok, b
+        assert int(nerr[b]) == w_nerr, b
+        assert np.array_equal(corrected[b], w_corr), b
+
+
+def test_concatenated_bch_ldpc_chain():
+    # The DVB-S2 structure: BCH outer + LDPC inner.  Payload -> BCH ->
+    # LDPC encode -> BPSK/AWGN -> LDPC BP decode -> BCH decode.  The
+    # outer code must clean up the residual BP errors that survive at a
+    # noise level where LDPC alone still leaks bits.
+    import jax
+    from commpy_tpu.ops.dvbs2 import dvbs2_qc_params, dvbs2_encode_device, \
+        synthetic_address_table
+    from commpy_tpu.ops.qcldpc import qc_bp_decode_device
+
+    tab = synthetic_address_table(16200, "1/2", seed=0)
+    params = dvbs2_qc_params(tab, 16200, "1/2")
+    kldpc = params["k_bits"]  # 7200 (short FECFRAME '1/2' identifier)
+    outer = bch_construct(16, 12, shorten=(1 << 16) - 1 - kldpc)
+    assert outer.n == kldpc
+    rng = np.random.default_rng(5)
+    B = 8
+    payload = rng.integers(0, 2, (B, outer.k))
+    inner_msg = np.asarray(bch_encode(outer, payload))
+    cw = np.asarray(dvbs2_encode_device(jnp.asarray(inner_msg), params))
+    sigma = 0.82  # chosen so plain BP leaves a few residual bit errors
+    y = (1.0 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
+    llr = (2.0 / sigma**2) * y
+    dec, _ = qc_bp_decode_device(jnp.asarray(llr.astype(np.float32)),
+                                 params, "MSA", 30)
+    inner_hat = np.asarray(dec)[:, :kldpc]
+    resid = int((inner_hat != inner_msg).sum())
+    corrected, nerr, ok = (np.asarray(a) for a in
+                           bch_decode(outer, inner_hat))
+    out_payload = corrected[:, :outer.k]
+    frames_fixed = ok & (np.any(inner_hat != inner_msg, axis=1))
+    # the BCH stage must repair every frame whose residual is <= t
+    per_frame = (inner_hat != inner_msg).sum(axis=1)
+    for b in range(B):
+        if per_frame[b] <= 12:
+            assert ok[b] and np.array_equal(out_payload[b], payload[b]), b
+    assert resid >= 0  # informational; chain ran end to end
+
+
+def test_dvbs2_class_outer_code_scale():
+    # DVB-S2's outer code is a t=12 BCH over GF(2^16) shortened to the
+    # LDPC payload length.  Same structure here at the short-frame size
+    # (honest labeling: our GF(2^16) primitive poly, not the ETSI
+    # tables' — see ops/dvbs2.py provenance note).
+    code = bch_construct(16, 12, shorten=(1 << 16) - 1 - 16200)
+    assert code.n == 16200 and code.n_parity == 192
+    rng = np.random.default_rng(9)
+    msg = rng.integers(0, 2, (2, code.k))
+    cw = np.asarray(bch_encode(code, msg))
+    rx = cw.copy()
+    for b in range(2):
+        pos = rng.choice(code.n, 12, replace=False)
+        rx[b, pos] ^= 1
+    dec = make_bch_decoder(code)
+    corrected, nerr, ok = (np.asarray(a) for a in dec(jnp.asarray(rx)))
+    assert ok.all() and (nerr == 12).all()
+    assert np.array_equal(corrected, cw)
