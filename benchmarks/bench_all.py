@@ -349,6 +349,30 @@ def main():
         report("bch_dvbs2_16200_t12", Bb * code.k / dt, "info bits/s", "")
     guarded(sec_bch)
 
+    # --- Reed-Solomon RS(255,223) t=16 (CCSDS shape; beyond reference) ---
+    def sec_rs():
+        from commpy_tpu.ops.rs import rs_construct, rs_encode, \
+            make_rs_decoder
+
+        code = rs_construct(8, 16)
+        Br = 512
+        rrng = np.random.default_rng(0)
+        msg = rrng.integers(0, 256, (Br, code.k))
+        cw = np.asarray(rs_encode(code, msg))
+        rx = cw.copy()
+        for b in range(Br):
+            pos = rrng.choice(code.n, 16, replace=False)
+            rx[b, pos] ^= rrng.integers(1, 256, 16)
+        dec = make_rs_decoder(code)
+        x0 = jnp.asarray(rx.astype(np.float32))
+
+        def body(c):
+            _, ne, _ = dec(c.astype(jnp.int32))
+            return c.at[0, 0].add(jnp.sum(ne).astype(c.dtype) * 1e-12)
+        dt = timed_chain(body, x0, rep=8)
+        report("rs_255_223_t16", Br * code.k * 8 / dt, "info bits/s", "")
+    guarded(sec_rs)
+
     # --- 16-QAM exact-LLR soft demod ---
     def sec_demod():
         const = M.qam_constellation(16).astype(np.complex64)

@@ -62,6 +62,9 @@ LABELS = {
     "bch_dvbs2_16200_t12":
         "BCH hard-decision decode, DVB-S2-class outer code (n=16200, "
         "t=12, GF(2^16)) (beyond reference)",
+    "rs_255_223_t16":
+        "Reed-Solomon RS(255,223) t=16 decode, CCSDS shape (beyond "
+        "reference)",
 }
 ORDER = list(LABELS)
 

@@ -27,6 +27,12 @@ from ..ops.bch import (  # noqa: F401
     bch_decode,
     bch_encode,
 )
+from ..ops.rs import (  # noqa: F401
+    RsCode,
+    rs_construct,
+    rs_decode,
+    rs_encode,
+)
 from ..ops.polar import (  # noqa: F401
     PolarCode,
     polar_construct,
@@ -57,6 +63,10 @@ __all__ = [
     "bch_construct",
     "bch_encode",
     "bch_decode",
+    "RsCode",
+    "rs_construct",
+    "rs_encode",
+    "rs_decode",
     "PolarCode",
     "polar_construct",
     "polar_encode",

@@ -16,6 +16,7 @@ from . import (
     modem,
     ofdm,
     polar,
+    rs,
     sequences,
     stream,
     turbo,
@@ -26,6 +27,6 @@ from .viterbi import viterbi_decode, viterbi_decode_device
 __all__ = [
     "algebraic", "bch", "channel", "convcode", "dvbs2", "filters", "fir", "galois",
     "impairments", "interleave", "ldpc", "mimo", "modem", "ofdm", "polar",
-    "sequences", "stream", "turbo", "Trellis", "viterbi_decode",
+    "rs", "sequences", "stream", "turbo", "Trellis", "viterbi_decode",
     "viterbi_decode_device",
 ]

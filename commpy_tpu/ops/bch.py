@@ -44,7 +44,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .galois import _PRIMPOLYS
+from .gf2m import (
+    bm_inversionless,
+    chien_tables,
+    gf_reduce_matrix,
+    gf_tables,
+    mod2 as _mod2,
+)
 
 __all__ = [
     "BchCode",
@@ -61,23 +67,6 @@ __all__ = [
 # Host-side GF(2^m) tables and code construction
 # ---------------------------------------------------------------------------
 
-def _gf_tables(m):
-    """(exp, log) tables for GF(2^m) under the module primitive poly."""
-    prim = int(_PRIMPOLYS[m])
-    size = (1 << m) - 1
-    exp = np.zeros(2 * size, np.int64)
-    log = np.zeros(1 << m, np.int64)
-    x = 1
-    for i in range(size):
-        exp[i] = x
-        log[x] = i
-        x <<= 1
-        if x >> m:
-            x ^= prim
-    exp[size:] = exp[:size]
-    return exp, log
-
-
 def _poly_mul_gf2(a, b):
     """Multiply GF(2)[x] polynomials given as coefficient int arrays."""
     out = np.zeros(len(a) + len(b) - 1, np.int64)
@@ -93,7 +82,7 @@ def bch_genpoly(m, t):
     LCM of the minimal polynomials of alpha^1..alpha^{2t}; returned as a
     coefficient array, lowest degree first.
     """
-    exp, log = _gf_tables(m)
+    exp, log = gf_tables(m)
     size = (1 << m) - 1
     covered = set()
     g = np.array([1], np.int64)
@@ -200,7 +189,7 @@ def _syndrome_table(code):
     Received bit at wire position i rides coefficient x^{n-1-i};
     S_j = r(alpha^j) for j = 1..2t.
     """
-    exp, _ = _gf_tables(code.m)
+    exp, _ = gf_tables(code.m)
     size = code.n_parent
     degs = code.n - 1 - np.arange(code.n)
     tab = np.zeros((code.n, 2 * code.t * code.m), np.int64)
@@ -209,83 +198,6 @@ def _syndrome_table(code):
         bits = (vals[:, None] >> np.arange(code.m)[None, :]) & 1
         tab[:, (j - 1) * code.m:j * code.m] = bits
     return tab
-
-
-def _gf_constant_mult_matrix(const, m):
-    """[m, m] GF(2) matrix M with bits(const * x) = bits(x) @ M."""
-    prim = int(_PRIMPOLYS[m])
-    rows = []
-    for b in range(m):
-        v = const << b
-        for d in range(m + m - 1, m - 1, -1):
-            if v >> d:
-                v ^= prim << (d - m)
-        rows.append([(v >> c) & 1 for c in range(m)])
-    return np.asarray(rows, np.int64)
-
-
-def _gf_reduce_matrix(m):
-    """[2m-1, m] GF(2) matrix folding a carryless product to the field."""
-    prim = int(_PRIMPOLYS[m])
-    rows = []
-    for d in range(2 * m - 1):
-        v = 1 << d
-        for dd in range(2 * m - 2, m - 1, -1):
-            if v >> dd:
-                v ^= prim << (dd - m)
-        rows.append([(v >> c) & 1 for c in range(m)])
-    return np.asarray(rows, np.int64)
-
-
-def _chien_tables(code, block):
-    """Blocked Chien-search operators.
-
-    eval_mat [(t+1)m, block*m]: bits of Lambda(alpha^{-(i0+d)}) for d in
-    [0, block) as a linear map of the block coefficients mu_k =
-    lambda_k * alpha^{-i0 k}.  step_mat [(t+1)m, (t+1)m]: the constant
-    advance mu_k <- mu_k * alpha^{-block*k}.
-    """
-    m, t = code.m, code.t
-    size = code.n_parent
-    exp, _ = _gf_tables(m)
-    eval_mat = np.zeros(((t + 1) * m, block * m), np.int64)
-    step_mat = np.zeros(((t + 1) * m, (t + 1) * m), np.int64)
-    for k in range(t + 1):
-        for d in range(block):
-            Mm = _gf_constant_mult_matrix(int(exp[(-d * k) % size]), m)
-            eval_mat[k * m:(k + 1) * m, d * m:(d + 1) * m] = Mm
-        Ms = _gf_constant_mult_matrix(int(exp[(-block * k) % size]), m)
-        step_mat[k * m:(k + 1) * m, k * m:(k + 1) * m] = Ms
-    return eval_mat, step_mat
-
-
-# ---------------------------------------------------------------------------
-# Device codec
-# ---------------------------------------------------------------------------
-
-def _mod2(x):
-    return jnp.mod(x, 2.0)
-
-
-def _carryless(outer, m):
-    """[..., m, m] outer bit products -> [..., 2m-1] f32 coefficient
-    counts via static shift-adds (conv[a+c] += outer[a, c])."""
-    lead = outer.shape[:-2]
-    conv = jnp.zeros(lead + (2 * m - 1,), jnp.float32)
-    for a in range(m):
-        conv = conv.at[..., a:a + m].add(outer[..., a, :])
-    return conv
-
-
-def _conv_xor(a, b, m, reduce_mat):
-    """Bit-sliced GF(2^m) product of per-slot elements.
-
-    a, b: [..., m] float 0/1 bit slices.  Carryless convolution of the
-    outer product (f32 counts, parity-folded), then the constant
-    reduction matrix back to m bits.
-    """
-    outer = a[..., :, None] * b[..., None, :]  # [..., m, m]
-    return _mod2(_mod2(_carryless(outer, m)) @ reduce_mat)
 
 
 @functools.lru_cache(maxsize=32)
@@ -321,8 +233,8 @@ def make_bch_decoder(code, chien_block=None):
         chien_block = min(512, code.n_parent)
     D = chien_block
     S_tab = jnp.asarray(_syndrome_table(code), jnp.float32)
-    R_mat = jnp.asarray(_gf_reduce_matrix(m), jnp.float32)
-    eval_mat_np, step_mat_np = _chien_tables(code, D)
+    R_mat = jnp.asarray(gf_reduce_matrix(m), jnp.float32)
+    eval_mat_np, step_mat_np = chien_tables(m, t, code.n_parent, D)
     eval_mat = jnp.asarray(eval_mat_np, jnp.float32)
     step_mat = jnp.asarray(step_mat_np, jnp.float32)
     n_blocks = -(-code.n_parent // D)
@@ -333,41 +245,8 @@ def make_bch_decoder(code, chien_block=None):
         r_f = r_bits.astype(jnp.float32)
         synd = _mod2(r_f @ S_tab).reshape(B, 2 * t, m)  # S_1..S_2t
 
-        # --- inversionless Berlekamp-Massey over 2t steps ---
-        lam = jnp.zeros((B, t + 1, m), jnp.float32).at[:, 0, 0].set(1.0)
-        bpoly = jnp.zeros((B, t + 1, m), jnp.float32).at[:, 0, 0].set(1.0)
-        delta = jnp.zeros((B, m), jnp.float32).at[:, 0].set(1.0)
-        Lr = jnp.zeros(B, jnp.int32)
-        # syndromes padded so the discrepancy window S_{r-j}, j=0..t is a
-        # static-size dynamic_slice at offset r
-        synd_pad = jnp.concatenate(
-            [jnp.zeros((B, t, m), jnp.float32), synd], axis=1)
-
-        def bm_step(carry, r_idx):
-            lam, bpoly, delta, Lr = carry
-            win = lax.dynamic_slice_in_dim(synd_pad, r_idx, t + 1, axis=1)
-            win = win[:, ::-1]  # win[j] = S_{r - j} (S_0-based: r_idx - j)
-            # discrepancy d = sum_j lambda_j * S_{r-j} (bit-sliced)
-            outer = jnp.einsum("bja,bjc->bac", lam, win)  # f32 counts
-            d = _mod2(_mod2(_carryless(outer, m)) @ R_mat)  # [B, m]
-
-            # lambda' = delta*lambda + d * x*B
-            xB = jnp.concatenate(
-                [jnp.zeros((B, 1, m), jnp.float32), bpoly[:, :-1]], axis=1)
-            lam_new = _mod2(
-                _conv_xor(delta[:, None, :], lam, m, R_mat)
-                + _conv_xor(d[:, None, :], xB, m, R_mat))
-
-            d_nonzero = jnp.any(d > 0, axis=-1)
-            grow = d_nonzero & (2 * Lr <= r_idx)
-            bpoly = jnp.where(grow[:, None, None], lam, xB)
-            delta = jnp.where(grow[:, None], d, delta)
-            Lr = jnp.where(grow, r_idx + 1 - Lr, Lr)
-            return (lam_new, bpoly, delta, Lr), None
-
-        (lam, _, _, Lr), _ = lax.scan(
-            bm_step, (lam, bpoly, delta, Lr),
-            jnp.arange(2 * t, dtype=jnp.int32))
+        # inversionless Berlekamp-Massey over 2t steps (shared: gf2m)
+        lam, Lr = bm_inversionless(synd, t, m, R_mat)
 
         # --- blocked Chien search over the parent length ---
         mu0 = lam.reshape(B, (t + 1) * m)

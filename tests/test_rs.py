@@ -1,0 +1,143 @@
+"""Reed-Solomon codec vs properties and the independent NumPy golden."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from commpy_tpu.ops.rs import (
+    rs_construct,
+    rs_decode,
+    rs_encode,
+    rs_genpoly,
+    make_rs_decoder,
+)
+
+import rs_ref
+from bch_ref import GfTab
+
+
+# ---------------------------------------------------------------------------
+# Construction
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("m,t,fcr", [(3, 1, 1), (4, 2, 1), (8, 8, 0),
+                                     (8, 16, 0)])
+def test_genpoly_roots_are_consecutive_powers(m, t, fcr):
+    g = rs_genpoly(m, t, fcr)
+    assert len(g) == 2 * t + 1 and g[-1] == 1  # monic, degree 2t
+    gf = GfTab(m)
+    for j in range(fcr, fcr + 2 * t):
+        assert rs_ref._poly_eval(gf, g, int(gf.exp[j])) == 0
+    # one past the run must NOT be a root (g has exactly 2t roots)
+    assert rs_ref._poly_eval(gf, g, int(gf.exp[fcr + 2 * t])) != 0
+
+
+def test_construct_shapes_and_validation():
+    code = rs_construct(8, 16)  # RS(255, 223), CCSDS shape
+    assert (code.n, code.k) == (255, 223)
+    dvbt = rs_construct(8, 8, shorten=51, fcr=0)  # RS(204,188) from (255,239)
+    assert (dvbt.n, dvbt.k) == (204, 188)
+    with pytest.raises(ValueError):
+        rs_construct(4, 8)
+    with pytest.raises(ValueError):
+        rs_construct(8, 8, fcr=2)
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("m,t,fcr,shorten", [(3, 1, 1, 0), (4, 2, 1, 0),
+                                             (8, 8, 0, 51), (8, 16, 1, 0)])
+def test_encode_matches_golden(m, t, fcr, shorten):
+    code = rs_construct(m, t, shorten=shorten, fcr=fcr)
+    rng = np.random.default_rng(m + t)
+    msg = rng.integers(0, 1 << m, (5, code.k))
+    got = np.asarray(rs_encode(code, msg))
+    for b in range(5):
+        want = rs_ref.encode_np(msg[b], code.genpoly, code.n, m)
+        assert np.array_equal(got[b], want), b
+    assert np.array_equal(got[:, :code.k], msg)  # systematic
+
+
+def test_encode_zero_syndromes():
+    code = rs_construct(6, 4)
+    rng = np.random.default_rng(3)
+    msg = rng.integers(0, 64, (6, code.k))
+    cw = np.asarray(rs_encode(code, msg))
+    corrected, nerr, ok = (np.asarray(a) for a in rs_decode(code, cw))
+    assert ok.all() and not nerr.any()
+    assert np.array_equal(corrected, cw)
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("m,t,fcr,shorten", [(4, 2, 1, 0), (5, 3, 1, 0),
+                                             (8, 8, 0, 51), (8, 16, 1, 0),
+                                             (6, 4, 0, 10)])
+def test_decode_corrects_up_to_t_symbol_errors(m, t, fcr, shorten):
+    code = rs_construct(m, t, shorten=shorten, fcr=fcr)
+    rng = np.random.default_rng(m * 100 + t)
+    B = 16
+    msg = rng.integers(0, 1 << m, (B, code.k))
+    cw = np.asarray(rs_encode(code, msg))
+    rx = cw.copy()
+    nflip = rng.integers(0, t + 1, B)
+    for b in range(B):
+        pos = rng.choice(code.n, nflip[b], replace=False)
+        rx[b, pos] ^= rng.integers(1, 1 << m, nflip[b])  # nonzero deltas
+    corrected, nerr, ok = (np.asarray(a) for a in rs_decode(code, rx))
+    assert ok.all()
+    assert np.array_equal(nerr, nflip)
+    assert np.array_equal(corrected, cw)
+
+
+@pytest.mark.parametrize("m,t,fcr", [(4, 2, 1), (5, 3, 0)])
+def test_decode_matches_golden_beyond_t(m, t, fcr):
+    code = rs_construct(m, t, fcr=fcr)
+    rng = np.random.default_rng(m * 7 + t)
+    B = 12
+    msg = rng.integers(0, 1 << m, (B, code.k))
+    cw = np.asarray(rs_encode(code, msg))
+    rx = cw.copy()
+    for b in range(B):
+        nerr = min(t + 1 + (b % 3), code.n)
+        pos = rng.choice(code.n, nerr, replace=False)
+        rx[b, pos] ^= rng.integers(1, 1 << m, nerr)
+    corrected, nerr, ok = (np.asarray(a) for a in rs_decode(code, rx))
+    for b in range(B):
+        w_corr, w_nerr, w_ok = rs_ref.decode_np(rx[b], m, t, code.n, fcr)
+        assert bool(ok[b]) == w_ok, b
+        if w_ok:
+            assert int(nerr[b]) == w_nerr and \
+                np.array_equal(corrected[b], w_corr), b
+        else:
+            assert np.array_equal(corrected[b], rx[b]), b
+
+
+def test_decode_fuzz_matches_golden():
+    code = rs_construct(4, 2)
+    rng = np.random.default_rng(55)
+    B = 40
+    rx = rng.integers(0, 16, (B, code.n))
+    corrected, nerr, ok = (np.asarray(a) for a in rs_decode(code, rx))
+    for b in range(B):
+        w_corr, w_nerr, w_ok = rs_ref.decode_np(rx[b], 4, 2, code.n)
+        assert bool(ok[b]) == w_ok, b
+        if w_ok:
+            assert np.array_equal(corrected[b], w_corr), b
+
+
+def test_dvbt_rs204_burst():
+    # DVB-T outer code: RS(204,188) t=8 fcr=0 — correct an 8-symbol burst.
+    code = rs_construct(8, 8, shorten=51, fcr=0)
+    rng = np.random.default_rng(7)
+    msg = rng.integers(0, 256, (4, 188))
+    cw = np.asarray(rs_encode(code, msg))
+    rx = cw.copy()
+    rx[:, 100:108] ^= rng.integers(1, 256, (4, 8))
+    corrected, nerr, ok = (np.asarray(a) for a in rs_decode(code, rx))
+    assert ok.all() and (nerr == 8).all()
+    assert np.array_equal(corrected, cw)
