@@ -32,6 +32,7 @@ from ..ops.rs import (  # noqa: F401
     rs_construct,
     rs_decode,
     rs_encode,
+    rs_errata_decode,
 )
 from ..ops.polar import (  # noqa: F401
     PolarCode,
@@ -67,6 +68,7 @@ __all__ = [
     "rs_construct",
     "rs_encode",
     "rs_decode",
+    "rs_errata_decode",
     "PolarCode",
     "polar_construct",
     "polar_encode",

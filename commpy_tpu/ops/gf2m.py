@@ -164,24 +164,43 @@ def chien_tables(m, deg, size, block, exps=None):
     return eval_mat, step_mat
 
 
-def bm_inversionless(synd, t, m, reduce_mat):
+def bm_inversionless(synd, t, m, reduce_mat, nslots=None, init=None,
+                     start=None, nf=None):
     """Inversionless (Burton) Berlekamp-Massey on bit-sliced syndromes.
 
-    synd: [B, 2t, m] float 0/1 (S_1..S_2t).  Returns the error-locator
-    bits lam [B, t+1, m] (lam_0 = delta^{2t-ish} scaled — roots are
-    unchanged by the overall scale) and the locator degree L [B].
+    synd: [B, 2t, m] float 0/1 (S_1..S_2t).  Returns the locator bits
+    lam [B, nslots, m] (overall scale is immaterial — roots are
+    unchanged) and the locator degree L [B].
+
+    The errata (errors-and-erasures) configuration initializes lam and
+    the helper polynomial to the erasure locator Gamma with L = f and
+    masks out iterations r < f per batch element (``init=(gamma, f)``,
+    ``start=f``, ``nf=f``; the growth condition becomes
+    2L <= r + f).  ``nslots`` widens the polynomial buffers (errata
+    locators reach degree 2t).
     """
     B = synd.shape[0]
-    lam = jnp.zeros((B, t + 1, m), jnp.float32).at[:, 0, 0].set(1.0)
-    bpoly = jnp.zeros((B, t + 1, m), jnp.float32).at[:, 0, 0].set(1.0)
+    ns = (t + 1) if nslots is None else nslots
+    if init is None:
+        lam = jnp.zeros((B, ns, m), jnp.float32).at[:, 0, 0].set(1.0)
+        bpoly = jnp.zeros((B, ns, m), jnp.float32).at[:, 0, 0].set(1.0)
+        Lr = jnp.zeros(B, jnp.int32)
+    else:
+        lam, Lr = init
+        bpoly = lam
     delta = jnp.zeros((B, m), jnp.float32).at[:, 0].set(1.0)
-    Lr = jnp.zeros(B, jnp.int32)
+    if start is None:
+        start = jnp.zeros(B, jnp.int32)
+    if nf is None:
+        nf = jnp.zeros(B, jnp.int32)
+    # pad so the discrepancy window S_{r-j}, j = 0..ns-1 is a
+    # static-size dynamic_slice at offset r
     synd_pad = jnp.concatenate(
-        [jnp.zeros((B, t, m), jnp.float32), synd], axis=1)
+        [jnp.zeros((B, ns - 1, m), jnp.float32), synd], axis=1)
 
     def bm_step(carry, r_idx):
         lam, bpoly, delta, Lr = carry
-        win = lax.dynamic_slice_in_dim(synd_pad, r_idx, t + 1, axis=1)
+        win = lax.dynamic_slice_in_dim(synd_pad, r_idx, ns, axis=1)
         win = win[:, ::-1]  # win[j] = S_{r - j} (0-based syndromes)
         outer = jnp.einsum("bja,bjc->bac", lam, win)  # f32 counts
         d = mod2(mod2(carryless(outer, m)) @ reduce_mat)  # [B, m]
@@ -191,12 +210,16 @@ def bm_inversionless(synd, t, m, reduce_mat):
         lam_new = mod2(conv_xor(delta[:, None, :], lam, m, reduce_mat)
                        + conv_xor(d[:, None, :], xB, m, reduce_mat))
 
+        active = r_idx >= start
         d_nonzero = jnp.any(d > 0, axis=-1)
-        grow = d_nonzero & (2 * Lr <= r_idx)
-        bpoly = jnp.where(grow[:, None, None], lam, xB)
+        grow = active & d_nonzero & (2 * Lr <= r_idx + nf)
+        bpoly_new = jnp.where(grow[:, None, None], lam, xB)
+        bpoly = jnp.where(active[:, None, None], bpoly_new, bpoly)
+        lam = jnp.where(active[:, None, None], lam_new, lam)
         delta = jnp.where(grow[:, None], d, delta)
-        Lr = jnp.where(grow, r_idx + 1 - Lr, Lr)
-        return (lam_new, bpoly, delta, Lr), None
+        # errata degree bookkeeping: L <- r + 1 + f - L (f = 0 plain)
+        Lr = jnp.where(grow, r_idx + 1 + nf - Lr, Lr)
+        return (lam, bpoly, delta, Lr), None
 
     (lam, _, _, Lr), _ = lax.scan(
         bm_step, (lam, bpoly, delta, Lr),

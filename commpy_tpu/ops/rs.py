@@ -49,8 +49,10 @@ __all__ = [
     "rs_genpoly",
     "rs_encode",
     "rs_decode",
+    "rs_errata_decode",
     "make_rs_encoder",
     "make_rs_decoder",
+    "make_rs_errata_decoder",
 ]
 
 
@@ -315,3 +317,130 @@ def rs_decode(code, r_syms):
     """Hard-decision decode: [B, n] symbol ints -> (corrected, n_errors,
     ok).  On failure (ok=False) the received word is returned as is."""
     return make_rs_decoder(code)(jnp.asarray(r_syms))
+
+
+@functools.lru_cache(maxsize=32)
+def make_rs_errata_decoder(code, chien_block=None):
+    """jitted (r_syms [B, n], erasure_mask [B, n]) -> (corrected,
+    n_errata, ok): errors-AND-erasures decoding.
+
+    Corrects e errors plus f flagged erasures whenever 2e + f <= 2t
+    (f <= 2t).  The erasure locator Gamma = prod (1 - X_i x) builds in
+    an n-step scan of per-position constant-multiply matrices;
+    Berlekamp-Massey starts from (Gamma, L=f) with its first f
+    iterations masked per batch element (growth condition
+    2L <= r + f), yielding the errata locator Psi = Lambda * Gamma
+    directly; Chien/Forney run at degree 2t.  With an empty mask this
+    reduces exactly to :func:`make_rs_decoder` (tested).
+    """
+    m, t = code.m, code.t
+    if chien_block is None:
+        chien_block = min(512, code.n_parent)
+    D = chien_block
+    size = code.n_parent
+    exp, _ = gf_tables(m)
+    S_tab = jnp.asarray(_syndrome_table_bits(code), jnp.float32)
+    R_mat = jnp.asarray(gf_reduce_matrix(m), jnp.float32)
+    SQ_mat = jnp.asarray(gf_square_matrix(m), jnp.float32)
+    ns = 2 * t + 1  # errata locator reaches degree 2t
+    lam_eval_np, lam_step_np = chien_tables(m, 2 * t, size, D)
+    om_exps = [u - (1 - code.fcr) for u in range(2 * t)]
+    om_eval_np, om_step_np = chien_tables(m, 2 * t - 1, size, D,
+                                          exps=om_exps)
+    dv_eval_np, dv_step_np = chien_tables(m, 2 * t - 1, size, D)
+    lam_eval = jnp.asarray(lam_eval_np, jnp.float32)
+    lam_step = jnp.asarray(lam_step_np, jnp.float32)
+    om_eval = jnp.asarray(om_eval_np, jnp.float32)
+    om_step = jnp.asarray(om_step_np, jnp.float32)
+    dv_eval = jnp.asarray(dv_eval_np, jnp.float32)
+    dv_step = jnp.asarray(dv_step_np, jnp.float32)
+    n_blocks = -(-size // D)
+    # per-position X_p = alpha^{deg_p} constant-multiply matrices
+    degs_np = code.n - 1 - np.arange(code.n)
+    Mx_np = np.stack([
+        gf_constant_mult_matrix(int(exp[int(d) % size]), m)
+        for d in degs_np])  # [n, m, m]
+    Mx = jnp.asarray(Mx_np, jnp.float32)
+
+    @jax.jit
+    def decode(r_syms, erasure_mask):
+        r_syms = jnp.asarray(r_syms)
+        B = r_syms.shape[0]
+        mask = jnp.asarray(erasure_mask).astype(jnp.float32)  # [B, n]
+        r_bits = _sym_to_bits(r_syms, m)
+        flat = r_bits.reshape(B, code.n * m)
+        synd = mod2(flat @ S_tab).reshape(B, 2 * t, m)
+
+        # Gamma = prod over erased p of (1 + X_p x), degree capped at 2t
+        gamma0 = jnp.zeros((B, ns, m), jnp.float32).at[:, 0, 0].set(1.0)
+
+        def gamma_step(gamma, x):
+            Mp, mk = x  # [m, m], [B]
+            prod = mod2(gamma @ Mp)  # [B, ns, m]
+            shifted = jnp.concatenate(
+                [jnp.zeros((B, 1, m), jnp.float32), prod[:, :-1]], axis=1)
+            return mod2(gamma + mk[:, None, None] * shifted), None
+
+        gamma, _ = lax.scan(gamma_step, gamma0, (Mx, mask.T))
+        f = jnp.sum(mask, axis=-1).astype(jnp.int32)  # [B]
+
+        lam, Lr = bm_inversionless(synd, t, m, R_mat, nslots=ns,
+                                   init=(gamma, f), start=f, nf=f)
+
+        # Omega = S(x) * Psi(x) mod x^{2t}
+        om = jnp.zeros((B, 2 * t, m), jnp.float32)
+        for j in range(2 * t):
+            prod = conv_xor(lam[:, j:j + 1, :], synd[:, :2 * t - j, :],
+                            m, R_mat)
+            om = om.at[:, j:].add(prod)
+        om = mod2(om)
+        # Psi' (char-2 formal derivative): d_k = psi_{k+1} for even k
+        dmask = np.zeros(2 * t, np.float32)
+        dmask[0::2] = 1.0
+        dv = lam[:, 1:, :] * jnp.asarray(dmask)[None, :, None]
+
+        mu_l = lam.reshape(B, ns * m)
+        mu_o = om.reshape(B, 2 * t * m)
+        mu_d = dv.reshape(B, 2 * t * m)
+
+        def chien_step(carry, _):
+            mu_l, mu_o, mu_d = carry
+            lv = mod2(mu_l @ lam_eval).reshape(B, D, m)
+            ov = mod2(mu_o @ om_eval).reshape(B, D, m)
+            dvv = mod2(mu_d @ dv_eval).reshape(B, D, m)
+            is_root = ~jnp.any(lv > 0, axis=-1)
+            inv_d = gf_inverse_bits(dvv, m, SQ_mat, R_mat)
+            mag = conv_xor(ov, inv_d, m, R_mat)
+            mag = mag * is_root[..., None]
+            mu_l = mod2(mu_l @ lam_step)
+            mu_o = mod2(mu_o @ om_step)
+            mu_d = mod2(mu_d @ dv_step)
+            return (mu_l, mu_o, mu_d), (is_root, mag)
+
+        _, (roots, mags) = lax.scan(
+            chien_step, (mu_l, mu_o, mu_d), None, length=n_blocks)
+        roots = roots.transpose(1, 0, 2).reshape(B, n_blocks * D)[:, :size]
+        mags = mags.transpose(1, 0, 2, 3).reshape(
+            B, n_blocks * D, m)[:, :size]
+
+        degs = code.n - 1 - np.arange(code.n)
+        err_wire = roots[:, degs]
+        err_mag_bits = mags[:, degs]
+        corrected_bits = mod2(r_bits + err_mag_bits)
+        corrected = _bits_to_sym(corrected_bits, m)
+
+        total_roots = jnp.sum(roots.astype(jnp.int32), axis=-1)
+        in_range = jnp.sum(err_wire.astype(jnp.int32), axis=-1)
+        ok = (total_roots == Lr) & (in_range == total_roots) & (f <= 2 * t)
+        corrected = jnp.where(ok[:, None], corrected,
+                              r_syms.astype(jnp.int32))
+        return corrected, in_range, ok
+
+    return decode
+
+
+def rs_errata_decode(code, r_syms, erasure_mask):
+    """Errors-and-erasures decode: corrects e errors + f erasures while
+    2e + f <= 2t.  Returns (corrected, n_errata, ok)."""
+    return make_rs_errata_decoder(code)(jnp.asarray(r_syms),
+                                        jnp.asarray(erasure_mask))

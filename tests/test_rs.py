@@ -130,6 +130,76 @@ def test_decode_fuzz_matches_golden():
             assert np.array_equal(corrected[b], w_corr), b
 
 
+def test_errata_all_combos_within_capability():
+    # Errors-and-erasures: every (e, f) with 2e + f <= 2t corrects.
+    from commpy_tpu.ops.rs import rs_errata_decode
+
+    code = rs_construct(4, 2)  # RS(15,11) t=2
+    rng = np.random.default_rng(1)
+    cases = [(e, f) for e in range(3) for f in range(5) if 2 * e + f <= 4]
+    for e, f in cases:
+        for _ in range(15):
+            msg = rng.integers(0, 16, (1, code.k))
+            cw = np.asarray(rs_encode(code, msg))
+            rx = cw.copy()
+            mask = np.zeros((1, code.n), bool)
+            pos = rng.choice(code.n, e + f, replace=False)
+            rx[0, pos[:e]] ^= rng.integers(1, 16, e)
+            mask[0, pos[e:]] = True
+            rx[0, pos[e:]] = rng.integers(0, 16, f)  # junk incl. correct
+            c, n, ok = (np.asarray(a) for a in
+                        rs_errata_decode(code, rx, mask))
+            assert ok[0] and np.array_equal(c, cw), (e, f)
+
+
+def test_errata_empty_mask_equals_plain_decode():
+    from commpy_tpu.ops.rs import rs_errata_decode
+
+    code = rs_construct(5, 3)
+    rng = np.random.default_rng(8)
+    B = 20
+    msg = rng.integers(0, 32, (B, code.k))
+    cw = np.asarray(rs_encode(code, msg))
+    rx = cw.copy()
+    for b in range(B):
+        ne = b % 5  # incl. beyond-t (t=3): both paths must agree
+        pos = rng.choice(code.n, ne, replace=False)
+        rx[b, pos] ^= rng.integers(1, 32, ne)
+    mask = np.zeros((B, code.n), bool)
+    c1, n1, o1 = (np.asarray(a) for a in rs_errata_decode(code, rx, mask))
+    c2, n2, o2 = (np.asarray(a) for a in rs_decode(code, rx))
+    assert np.array_equal(c1, c2) and np.array_equal(n1, n2)
+    assert np.array_equal(o1, o2)
+
+
+def test_errata_ccsds_boundary():
+    # RS(255,223): e=8 errors + f=16 erasures hits 2e+f = 2t exactly.
+    from commpy_tpu.ops.rs import rs_errata_decode
+
+    code = rs_construct(8, 16)
+    rng = np.random.default_rng(12)
+    msg = rng.integers(0, 256, (4, code.k))
+    cw = np.asarray(rs_encode(code, msg))
+    rx = cw.copy()
+    mask = np.zeros((4, code.n), bool)
+    for b in range(4):
+        pos = rng.choice(code.n, 24, replace=False)
+        rx[b, pos[:8]] ^= rng.integers(1, 256, 8)
+        mask[b, pos[8:]] = True
+        rx[b, pos[8:]] = rng.integers(0, 256, 16)
+    c, n, ok = (np.asarray(a) for a in rs_errata_decode(code, rx, mask))
+    assert ok.all()
+    assert np.array_equal(c, cw)
+    # one error beyond the boundary must not decode cleanly
+    rx2 = rx.copy()
+    extra = [p for p in range(code.n) if not mask[0, p]][0]
+    rx2[0, extra] ^= 1
+    if extra in list(np.where(rx[0] != cw[0])[0]):  # pragma: no cover
+        rx2[0, extra] ^= 2
+    c2, n2, ok2 = (np.asarray(a) for a in rs_errata_decode(code, rx2, mask))
+    assert not (ok2[0] and np.array_equal(c2[0], cw[0]))
+
+
 def test_dvbt_rs204_burst():
     # DVB-T outer code: RS(204,188) t=8 fcr=0 — correct an 8-symbol burst.
     code = rs_construct(8, 8, shorten=51, fcr=0)
