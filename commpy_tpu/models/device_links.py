@@ -351,6 +351,113 @@ def make_polar_awgn_link(
                        "decoder": decoder})
 
 
+def make_bch_awgn_link(
+    *,
+    code,
+    modulation_m: int = 2,
+    use_psk: bool = True,
+    name: str = "bch-awgn",
+) -> DeviceLink:
+    """Hard-decision BCH link over complex AWGN (beyond the reference).
+
+    bits -> systematic BCH -> PSK/QAM -> AWGN -> min-distance demod ->
+    bit-sliced BCH decode -> payload bit errors.
+    """
+    from ..ops.bch import make_bch_decoder, make_bch_encoder
+
+    const_np = (
+        M.psk_constellation(modulation_m)
+        if use_psk
+        else M.qam_constellation(modulation_m)
+    )
+    Es = float(np.mean(np.abs(const_np) ** 2))
+    const = const_np.astype(np.complex64)
+    bps = int(np.log2(modulation_m))
+    if code.n % bps:
+        raise ValueError(f"n={code.n} must fill whole {bps}-bit symbols")
+    rate = code.k / code.n
+    encode = make_bch_encoder(code)
+    decode = make_bch_decoder(code)
+
+    def link_step(keys, noise_std):
+        msg = _gen_bits(keys, code.k)
+        cw = encode(msg)
+        symbols = M.modulate(cw, const, bps)
+        y = symbols + _frame_crandn(keys, symbols.shape[1:], 1) * (
+            noise_std * 0.5
+        )
+        hard = M.demodulate_hard(y, const, bps)
+        corrected, _, _ = decode(hard)
+        return jnp.sum(jnp.bitwise_xor(
+            corrected[:, :code.k].astype(msg.dtype), msg).astype(jnp.int32))
+
+    def noise_std_fn(snr_db):
+        return snr_to_noise_std(snr_db, code_rate=rate, Es=Es)
+
+    return DeviceLink(link_step, code.k, noise_std_fn, name,
+                      {"rate": rate, "Es": Es, "bps": bps})
+
+
+def make_rs_awgn_link(
+    *,
+    code,
+    modulation_m: int = None,
+    name: str = "rs-awgn",
+) -> DeviceLink:
+    """Hard-decision Reed-Solomon link over complex AWGN.
+
+    One QAM symbol per RS symbol by default (modulation order 2^m, the
+    classic matched mapping, e.g. 256-QAM for GF(2^8)): symbol ints ->
+    RS encode -> QAM -> AWGN -> min-distance demod -> RS decode ->
+    message bit errors.
+    """
+    from ..ops.rs import make_rs_decoder, make_rs_encoder
+
+    if modulation_m is None:
+        modulation_m = 1 << code.m
+    const_np = M.qam_constellation(modulation_m)
+    Es = float(np.mean(np.abs(const_np) ** 2))
+    const = const_np.astype(np.complex64)
+    bps = int(np.log2(modulation_m))
+    if (code.n * code.m) % bps:
+        raise ValueError(
+            f"n*m={code.n * code.m} coded bits must fill whole "
+            f"{bps}-bit symbols")
+    rate = code.k / code.n
+    encode = make_rs_encoder(code)
+    decode = make_rs_decoder(code)
+
+    def link_step(keys, noise_std):
+        msg_bits = _gen_bits(keys, code.k * code.m)  # [F, k*m]
+        msg = jnp.sum(
+            msg_bits.reshape(-1, code.k, code.m).astype(jnp.int32)
+            * (1 << jnp.arange(code.m, dtype=jnp.int32)), axis=-1)
+        cw = encode(msg)  # [F, n] ints
+        # map RS symbol bits onto modulation symbols
+        bits = ((cw[..., None].astype(jnp.int32) >>
+                 jnp.arange(code.m, dtype=jnp.int32)) & 1)
+        bits = bits.reshape(bits.shape[0], -1).astype(jnp.int8)
+        symbols = M.modulate(bits, const, bps)
+        y = symbols + _frame_crandn(keys, symbols.shape[1:], 1) * (
+            noise_std * 0.5
+        )
+        hard = M.demodulate_hard(y, const, bps).astype(jnp.int32)
+        rx = jnp.sum(
+            hard.reshape(hard.shape[0], code.n, code.m)
+            * (1 << jnp.arange(code.m, dtype=jnp.int32)), axis=-1)
+        corrected, _, _ = decode(rx)
+        err_syms = jnp.bitwise_xor(corrected[:, :code.k], msg)
+        err_bits = ((err_syms[..., None] >>
+                     jnp.arange(code.m, dtype=jnp.int32)) & 1)
+        return jnp.sum(err_bits.astype(jnp.int32))
+
+    def noise_std_fn(snr_db):
+        return snr_to_noise_std(snr_db, code_rate=rate, Es=Es)
+
+    return DeviceLink(link_step, code.k * code.m, noise_std_fn, name,
+                      {"rate": rate, "Es": Es, "bps": bps})
+
+
 # --------------------------------------------------------------------------
 # QC-LDPC (802.11n-class) + QAM/PSK over AWGN
 # --------------------------------------------------------------------------

@@ -179,6 +179,17 @@ def test_concatenated_bch_ldpc_chain():
     assert resid >= 0  # informational; chain ran end to end
 
 
+def test_bch_awgn_link_high_vs_low_snr():
+    import jax
+    from commpy_tpu.models import make_bch_awgn_link
+
+    code = bch_construct(6, 3, shorten=13)
+    link = make_bch_awgn_link(code=code, modulation_m=2)
+    keys = jax.random.split(jax.random.PRNGKey(0), 16)
+    assert int(link.link_step(keys, link.noise_std_fn(12.0))) == 0
+    assert int(link.link_step(keys, link.noise_std_fn(0.0))) > 0
+
+
 def test_dvbs2_class_outer_code_scale():
     # DVB-S2's outer code is a t=12 BCH over GF(2^16) shortened to the
     # LDPC payload length.  Same structure here at the short-frame size

@@ -200,6 +200,17 @@ def test_errata_ccsds_boundary():
     assert not (ok2[0] and np.array_equal(c2[0], cw[0]))
 
 
+def test_rs_awgn_link_high_vs_low_snr():
+    import jax
+    from commpy_tpu.models import make_rs_awgn_link
+
+    code = rs_construct(8, 8, shorten=51, fcr=0)  # RS(204,188), 256-QAM
+    link = make_rs_awgn_link(code=code)
+    keys = jax.random.split(jax.random.PRNGKey(0), 16)
+    assert int(link.link_step(keys, link.noise_std_fn(40.0))) == 0
+    assert int(link.link_step(keys, link.noise_std_fn(15.0))) > 0
+
+
 def test_dvbt_rs204_burst():
     # DVB-T outer code: RS(204,188) t=8 fcr=0 — correct an 8-symbol burst.
     code = rs_construct(8, 8, shorten=51, fcr=0)
