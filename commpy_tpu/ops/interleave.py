@@ -86,6 +86,8 @@ def conv_interleaver_delay(I: int, M: int) -> int:
 
 
 def _conv_indices(n: int, I: int, M: int, deinter: bool):
+    if I < 1 or M < 0:
+        raise ValueError(f"need I >= 1 branches and M >= 0, got ({I}, {M})")
     i = np.arange(n)
     branch = i % I
     delay = (I - 1 - branch if deinter else branch) * M * I

@@ -331,7 +331,9 @@ def make_rs_errata_decoder(code, chien_block=None):
     iterations masked per batch element (growth condition
     2L <= r + f), yielding the errata locator Psi = Lambda * Gamma
     directly; Chien/Forney run at degree 2t.  With an empty mask this
-    reduces exactly to :func:`make_rs_decoder` (tested).
+    reduces exactly to :func:`make_rs_decoder` (tested); the plain
+    decoder is kept separate so the errors-only path never pays the
+    n-step Gamma scan or the doubled locator degree.
     """
     m, t = code.m, code.t
     if chien_block is None:

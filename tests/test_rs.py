@@ -190,12 +190,12 @@ def test_errata_ccsds_boundary():
     c, n, ok = (np.asarray(a) for a in rs_errata_decode(code, rx, mask))
     assert ok.all()
     assert np.array_equal(c, cw)
-    # one error beyond the boundary must not decode cleanly
+    # one EXTRA error beyond the boundary must not decode cleanly:
+    # corrupt a position that is neither erased nor already in error
     rx2 = rx.copy()
-    extra = [p for p in range(code.n) if not mask[0, p]][0]
+    touched = mask[0] | (rx[0] != cw[0])
+    extra = int(np.flatnonzero(~touched)[0])
     rx2[0, extra] ^= 1
-    if extra in list(np.where(rx[0] != cw[0])[0]):  # pragma: no cover
-        rx2[0, extra] ^= 2
     c2, n2, ok2 = (np.asarray(a) for a in rs_errata_decode(code, rx2, mask))
     assert not (ok2[0] and np.array_equal(c2[0], cw[0]))
 
