@@ -6,6 +6,7 @@ from . import (
     channel,
     convcode,
     dvbs2,
+    equalize,
     filters,
     fir,
     galois,
@@ -25,7 +26,8 @@ from .trellis import Trellis
 from .viterbi import viterbi_decode, viterbi_decode_device
 
 __all__ = [
-    "algebraic", "bch", "channel", "convcode", "dvbs2", "filters", "fir", "galois",
+    "algebraic", "bch", "channel", "convcode", "dvbs2", "equalize",
+    "filters", "fir", "galois",
     "impairments", "interleave", "ldpc", "mimo", "modem", "ofdm", "polar",
     "rs", "sequences", "stream", "turbo", "Trellis", "viterbi_decode",
     "viterbi_decode_device",
