@@ -5,6 +5,7 @@ from .device_links import (
     DeviceLink,
     make_bch_awgn_link,
     make_conv_awgn_link,
+    make_isi_conv_link,
     make_kbest_mimo_link,
     make_ldpc_rayleigh_link,
     make_ofdm_mimo_conv_link,
@@ -20,6 +21,7 @@ __all__ = [
     "DeviceLink",
     "make_bch_awgn_link",
     "make_conv_awgn_link",
+    "make_isi_conv_link",
     "make_kbest_mimo_link",
     "make_ldpc_rayleigh_link",
     "make_ofdm_mimo_conv_link",

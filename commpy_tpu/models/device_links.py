@@ -351,6 +351,75 @@ def make_polar_awgn_link(
                        "decoder": decoder})
 
 
+def make_isi_conv_link(
+    *,
+    trellis: Trellis,
+    channel_taps,
+    n_eq_taps: int = 21,
+    modulation_m: int = 4,
+    frame_bits: int = 1000,
+    tb_depth: Optional[int] = None,
+    name: str = "isi-conv-awgn",
+) -> DeviceLink:
+    """Conv-coded PSK link over a static frequency-selective (ISI)
+    channel with MMSE linear equalization (beyond the reference).
+
+    bits -> conv encode -> PSK -> channel convolution + AWGN -> MMSE
+    FIR equalizer (taps designed per noise level inside the jitted
+    step; the Wiener MSE supplies the post-equalizer noise variance for
+    exact-LLR demapping) -> soft Viterbi.
+    """
+    from ..ops.equalize import (_conv_matrix, equalize, equalizer_delay,
+                                mmse_fir_taps)
+    from ..ops.fir import fir_filter
+
+    h_np = np.asarray(channel_taps, np.complex64)
+    h_energy = float(np.sum(np.abs(h_np) ** 2))
+    const_np = M.psk_constellation(modulation_m)
+    Es = float(np.mean(np.abs(const_np) ** 2))
+    const = const_np.astype(np.complex64)
+    bps = int(np.log2(modulation_m))
+    k, n = trellis.k, trellis.n
+    n_coded = frame_bits * n // k
+    assert n_coded % bps == 0, "frame size must fill whole symbols"
+    rate = k / n
+    if tb_depth is None:
+        tb_depth = min(5 * trellis.total_memory, frame_bits)
+    delay = equalizer_delay(n_eq_taps, len(h_np))
+
+    def link_step(keys, noise_std):
+        bits = _gen_bits(keys, frame_bits)
+        coded, _ = encode_scan(bits, trellis)
+        symbols = M.modulate(coded, const, bps)  # [F, n_sym]
+        rx = fir_filter(symbols, jnp.asarray(h_np),
+                        mode="full")[..., :symbols.shape[-1]]
+        y = rx + _frame_crandn(keys, rx.shape[1:], 1) * (noise_std * 0.5)
+        # MMSE design at this noise level (symbols are unit power for
+        # PSK; noise_var is the complex variance)
+        noise_var = noise_std**2
+        w = mmse_fir_taps(jnp.asarray(h_np), noise_var, n_eq_taps)
+        z = equalize(y, w, delay)
+        # post-equalizer error variance = Wiener MSE (residual ISI +
+        # enhanced noise), used as the demapper's noise variance:
+        # mse = 1 - p^H u = 1 - Re(sum(p * w)) with u = conj(w)
+        Hm = _conv_matrix(jnp.asarray(h_np), n_eq_taps)
+        pvec = Hm[:, delay]
+        mse = 1.0 - jnp.real(jnp.sum(pvec * w))
+        mse = jnp.maximum(mse, noise_var * 1e-2)
+        llr = M.demodulate_soft(z, const, bps, mse)
+        dec = viterbi_decode_device(llr, trellis, tb_depth, "soft",
+                                    L=frame_bits)
+        return jnp.sum(jnp.bitwise_xor(dec, bits).astype(jnp.int32))
+
+    def noise_std_fn(snr_db):
+        # account the channel gain into Es
+        return snr_to_noise_std(snr_db, code_rate=rate, Es=Es * h_energy)
+
+    return DeviceLink(link_step, frame_bits, noise_std_fn, name,
+                      {"rate": rate, "Es": Es, "bps": bps,
+                       "channel_taps": h_np, "n_eq_taps": n_eq_taps})
+
+
 def make_bch_awgn_link(
     *,
     code,

@@ -97,6 +97,26 @@ def test_batched_channel_tap_design():
         np.testing.assert_allclose(w[b], wb, rtol=2e-4, atol=2e-5)
 
 
+def test_isi_conv_link_end_to_end():
+    # Conv-coded QPSK over a 3-tap ISI channel: the MMSE front end is
+    # what makes the link work (measured at 8 dB: 26 vs 3855 bit errors
+    # with a 1-tap receiver).
+    import jax
+    from commpy_tpu.models import make_isi_conv_link
+    from commpy_tpu.ops.trellis import Trellis
+
+    tr = Trellis(np.array([2]), np.array([[5, 7]]))
+    link = make_isi_conv_link(trellis=tr, channel_taps=H3, frame_bits=500)
+    keys = jax.random.split(jax.random.PRNGKey(0), 16)
+    assert int(link.link_step(keys, link.noise_std_fn(25.0))) == 0
+    assert int(link.link_step(keys, link.noise_std_fn(2.0))) > 0
+    one_tap = make_isi_conv_link(trellis=tr, channel_taps=H3,
+                                 frame_bits=500, n_eq_taps=1)
+    e_eq = int(link.link_step(keys, link.noise_std_fn(8.0)))
+    e_no = int(one_tap.link_step(keys, one_tap.noise_std_fn(8.0)))
+    assert e_eq * 10 < e_no
+
+
 def test_delay_validation():
     with pytest.raises(ValueError):
         mmse_fir_taps(H3, 0.1, 9, delay=20)
