@@ -289,9 +289,9 @@ def main():
     guarded(sec_qcldpc_dvbs2)
 
     # --- Polar codes (beyond reference: CommPy has no polar codec) ---
-    # SC: lax.scan over leaves, switch over ntz depth classes, [N, B]
-    # state with frames on lanes.  SCL-8+CRC11: path axis on sublanes,
-    # one-hot dot_general prune (ops/polar.py).
+    # SC: blocked lax.scan over 2^k-leaf subtrees on value-major flat
+    # state.  SCL-8+CRC11: path axis on sublanes, deferred per-block
+    # path permutation as elementwise multiply-reduce (ops/polar.py).
     def sec_polar():
         from commpy_tpu.ops.polar import (
             make_polar_sc_decoder, make_polar_scl_decoder, polar_construct,

@@ -480,7 +480,8 @@ def make_rs_awgn_link(
     RS encode -> QAM -> AWGN -> min-distance demod -> RS decode ->
     message bit errors.
     """
-    from ..ops.rs import make_rs_decoder, make_rs_encoder
+    from ..ops.rs import (_bits_to_sym, _sym_to_bits, make_rs_decoder,
+                          make_rs_encoder)
 
     if modulation_m is None:
         modulation_m = 1 << code.m
@@ -498,26 +499,24 @@ def make_rs_awgn_link(
 
     def link_step(keys, noise_std):
         msg_bits = _gen_bits(keys, code.k * code.m)  # [F, k*m]
-        msg = jnp.sum(
-            msg_bits.reshape(-1, code.k, code.m).astype(jnp.int32)
-            * (1 << jnp.arange(code.m, dtype=jnp.int32)), axis=-1)
+        msg = _bits_to_sym(
+            msg_bits.reshape(-1, code.k, code.m).astype(jnp.float32),
+            code.m)
         cw = encode(msg)  # [F, n] ints
-        # map RS symbol bits onto modulation symbols
-        bits = ((cw[..., None].astype(jnp.int32) >>
-                 jnp.arange(code.m, dtype=jnp.int32)) & 1)
+        # map RS symbol bits onto modulation symbols (shared bit order
+        # with the codec: ops/rs.py _sym_to_bits/_bits_to_sym)
+        bits = _sym_to_bits(cw, code.m)
         bits = bits.reshape(bits.shape[0], -1).astype(jnp.int8)
         symbols = M.modulate(bits, const, bps)
         y = symbols + _frame_crandn(keys, symbols.shape[1:], 1) * (
             noise_std * 0.5
         )
-        hard = M.demodulate_hard(y, const, bps).astype(jnp.int32)
-        rx = jnp.sum(
-            hard.reshape(hard.shape[0], code.n, code.m)
-            * (1 << jnp.arange(code.m, dtype=jnp.int32)), axis=-1)
+        hard = M.demodulate_hard(y, const, bps).astype(jnp.float32)
+        rx = _bits_to_sym(hard.reshape(hard.shape[0], code.n, code.m),
+                          code.m)
         corrected, _, _ = decode(rx)
         err_syms = jnp.bitwise_xor(corrected[:, :code.k], msg)
-        err_bits = ((err_syms[..., None] >>
-                     jnp.arange(code.m, dtype=jnp.int32)) & 1)
+        err_bits = _sym_to_bits(err_syms, code.m)
         return jnp.sum(err_bits.astype(jnp.int32))
 
     def noise_std_fn(snr_db):

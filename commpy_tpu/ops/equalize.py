@@ -104,4 +104,8 @@ def equalize(y, w, delay, n_out=None):
             "per-batch tap sets: vmap equalize over the leading axes")
     z = fir_filter(y, w, mode="full")
     n_out = y.shape[-1] if n_out is None else n_out
+    short = delay + n_out - z.shape[-1]
+    if short > 0:  # few-tap equalizers: keep the output length exact
+        z = jnp.concatenate(
+            [z, jnp.zeros(z.shape[:-1] + (short,), z.dtype)], axis=-1)
     return z[..., delay:delay + n_out]

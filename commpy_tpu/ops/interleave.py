@@ -74,8 +74,9 @@ def block_interleaver(rows: int, cols: int) -> np.ndarray:
     """Permutation writing row-wise and reading column-wise.
 
     Use with :func:`interleave` / :func:`deinterleave`; a burst of b
-    consecutive symbols lands at least ``rows`` apart after
-    deinterleaving (for b <= cols).
+    consecutive interleaved symbols lands at least ``cols`` apart after
+    deinterleaving (for b <= rows) — size ``rows`` to the burst length
+    and ``cols`` to the required separation.
     """
     return np.arange(rows * cols).reshape(rows, cols).T.reshape(-1)
 

@@ -177,6 +177,25 @@ def _separable_qam_plan(const_np, bps):
     return plan
 
 
+def _resolve_separable(constellation, bits_per_symbol, method,
+                       auto_min_order=64):
+    """Shared method dispatch for the soft demappers: the separable plan
+    to use, or None for the joint path.  Rejects unknown methods."""
+    if method not in ("auto", "separable", "joint"):
+        raise ValueError(
+            f"method must be 'auto', 'separable', or 'joint', got "
+            f"{method!r}")
+    if method == "joint":
+        return None
+    try:
+        const_np = np.asarray(constellation)
+    except Exception:  # traced inside jit/vmap: no concrete values
+        return None
+    if method == "auto" and len(const_np) < auto_min_order:
+        return None
+    return _separable_qam_plan(const_np, bits_per_symbol)
+
+
 def _demodulate_soft_separable(symbols, plan, noise_var,
                                reduce=jax.nn.logsumexp):
     """Per-axis LLRs for a separable plan.  ``reduce``: logsumexp gives
@@ -223,16 +242,9 @@ def demodulate_soft(symbols, constellation, bits_per_symbol: int, noise_var,
     form at any order; ``method='joint'`` forces the generic path (any
     labelling, traced constellations).
     """
-    if method in ("auto", "separable"):
-        try:
-            const_np = np.asarray(constellation)
-        except Exception:  # traced inside jit/vmap: no concrete values
-            const_np = None
-        if const_np is not None and \
-                (method == "separable" or len(const_np) >= 64):
-            plan = _separable_qam_plan(const_np, bits_per_symbol)
-            if plan is not None:
-                return _demodulate_soft_separable(symbols, plan, noise_var)
+    plan = _resolve_separable(constellation, bits_per_symbol, method)
+    if plan is not None:
+        return _demodulate_soft_separable(symbols, plan, noise_var)
     m = len(constellation)
     masks = jnp.asarray(
         constellation_bit_masks(m, bits_per_symbol)
@@ -258,17 +270,10 @@ def demodulate_maxlog(symbols, constellation, bits_per_symbol: int, noise_var,
     product-grid constellations of order >= 64 take per-axis maxes
     (exact for max-log as well — the other axis' max cancels).
     """
-    if method in ("auto", "separable"):
-        try:
-            const_np = np.asarray(constellation)
-        except Exception:
-            const_np = None
-        if const_np is not None and \
-                (method == "separable" or len(const_np) >= 64):
-            plan = _separable_qam_plan(const_np, bits_per_symbol)
-            if plan is not None:
-                return _demodulate_soft_separable(symbols, plan, noise_var,
-                                                  reduce=jnp.max)
+    plan = _resolve_separable(constellation, bits_per_symbol, method)
+    if plan is not None:
+        return _demodulate_soft_separable(symbols, plan, noise_var,
+                                          reduce=jnp.max)
     m = len(constellation)
     masks = jnp.asarray(constellation_bit_masks(m, bits_per_symbol))
     noise_var = jnp.asarray(noise_var)

@@ -20,12 +20,14 @@ pseudocode:
 
 * **SCL decoder** — list decoding adds a path axis on *sublanes*
   (state ``[N, P, B]``; ``(P, B)`` maps onto the (8, 128) f32 tile, so
-  even 1-row levels occupy one full tile).  The per-info-bit path prune is
-  a batched one-hot ``dot_general`` over the path axis (gathers inside
-  ``scan`` lower to scalar loops on TPU), run at ``precision=HIGHEST`` so
-  the f32 LLR state is never silently rounded to bf16 by the MXU.
-  Path-metric candidates are ranked with ``lax.top_k`` (ties to the lower
-  candidate index, matching the NumPy golden's stable sort).
+  even 1-row levels occupy one full tile).  The per-info-bit path prune
+  permutes only local block state via an elementwise broadcast-
+  multiply-reduce over the tiny P axis (exact f32; gathers inside
+  ``scan`` lower to scalar loops on TPU, and a batched matmul would pay
+  two full-state transposes per prune); the composed permutation hits
+  the big carried buffers once per block.  Path-metric candidates are
+  ranked with ``lax.top_k`` (ties to the lower candidate index,
+  matching the NumPy golden's stable sort).
 
 * **Construction** — Bhattacharyya (log-domain, so z^2 chains never
   underflow into ties) and Gaussian-approximation density evolution, both
@@ -83,7 +85,8 @@ _CRC_FAIL = 1e20  # additive penalty for CRC-failing paths at selection
 CRC_POLYNOMIALS = {
     "crc6": (1, 1, 0, 0, 0, 0, 1),                    # x^6+x^5+1
     "crc11": (1, 1, 1, 0, 0, 0, 1, 0, 0, 0, 0, 1),    # x^11+x^10+x^9+x^5+1
-    "crc16": (1, 0, 0, 0, 1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 1),  # CCITT
+    # CCITT: x^16 + x^12 + x^5 + 1
+    "crc16": (1, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1),
 }
 
 
@@ -618,7 +621,7 @@ def _sc_subtree(alpha, frz, rule, W, unit=1):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=64)
-def make_polar_sc_decoder(code, rule="minsum", full=False, block_exp=9,
+def make_polar_sc_decoder(code, rule="minsum", full=False, block_exp=None,
                           dtype="f32"):
     """jitted llr [B, N] -> payload [B, K] int8 (or all N u-decisions if
     ``full``, frozen positions forced to 0 — the golden-comparison surface).
@@ -640,8 +643,16 @@ def make_polar_sc_decoder(code, rule="minsum", full=False, block_exp=9,
     (1.71 vs 1.82 Gbit/s same-process — the halved traffic is offset by
     the 16-row bf16 tile at the small levels), so f32 stays the default;
     the option exists for memory-constrained or other-shape use.
+
+    ``block_exp=None`` resolves to 2^9 subtrees on real TPU backends and
+    2^6 elsewhere: the CPU path trades a little scan overhead for much
+    smaller compile units (XLA:CPU has shown intermittent compiler
+    crashes on the 512-leaf unrolled graphs; decode results are
+    bit-identical at any block size).
     """
     N, n = code.N, code.n
+    if block_exp is None:
+        block_exp = 9 if jax.default_backend() in ("tpu", "axon") else 6
     bk = min(block_exp, n)
     W, nb = 1 << bk, N >> bk
     frozen_np = code.frozen_mask

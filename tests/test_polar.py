@@ -464,6 +464,19 @@ def test_acceptance_ca_scl_waterfall_n512():
 # CRC tables
 # ---------------------------------------------------------------------------
 
+def test_crc16_ccitt_external_anchor():
+    # CRC-16/XMODEM (poly 0x1021, init 0, no reflection — our exact
+    # convention): check value of ASCII "123456789" is 0x31C3.
+    from commpy_tpu.ops.polar import _crc_remainder
+
+    bits = []
+    for ch in b"123456789":
+        bits.extend((ch >> (7 - i)) & 1 for i in range(8))
+    rem = _crc_remainder(bits, CRC_POLYNOMIALS["crc16"])
+    value = int("".join(str(int(b)) for b in rem), 2)
+    assert value == 0x31C3, hex(value)
+
+
 @pytest.mark.parametrize("name", sorted(CRC_POLYNOMIALS))
 def test_crc_table_matches_long_division(name):
     crc = CrcSpec.named(name)
