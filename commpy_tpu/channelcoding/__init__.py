@@ -24,6 +24,7 @@ from ..ops.algebraic import cyclic_code_genpoly
 from ..ops.bch import (  # noqa: F401
     BchCode,
     bch_construct,
+    bch_chase_decode,
     bch_decode,
     bch_encode,
 )
@@ -65,6 +66,7 @@ __all__ = [
     "bch_construct",
     "bch_encode",
     "bch_decode",
+    "bch_chase_decode",
     "RsCode",
     "rs_construct",
     "rs_encode",
