@@ -28,6 +28,7 @@ from ..ops.bch import (  # noqa: F401
     bch_decode,
     bch_encode,
 )
+from ..ops.tpc import tpc_decode, tpc_encode  # noqa: F401
 from ..ops.rs import (  # noqa: F401
     RsCode,
     rs_construct,
@@ -73,6 +74,8 @@ __all__ = [
     "rs_decode",
     "rs_errata_decode",
     "rs_gmd_decode",
+    "tpc_encode",
+    "tpc_decode",
     "PolarCode",
     "polar_construct",
     "polar_encode",

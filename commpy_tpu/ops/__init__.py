@@ -20,6 +20,7 @@ from . import (
     rs,
     sequences,
     stream,
+    tpc,
     turbo,
 )
 from .trellis import Trellis
@@ -29,6 +30,6 @@ __all__ = [
     "algebraic", "bch", "channel", "convcode", "dvbs2", "equalize",
     "filters", "fir", "galois",
     "impairments", "interleave", "ldpc", "mimo", "modem", "ofdm", "polar",
-    "rs", "sequences", "stream", "turbo", "Trellis", "viterbi_decode",
+    "rs", "sequences", "stream", "tpc", "turbo", "Trellis", "viterbi_decode",
     "viterbi_decode_device",
 ]

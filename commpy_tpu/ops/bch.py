@@ -355,3 +355,69 @@ def bch_chase_decode(code, hard_bits, reliability, p=4):
     trustworthy (e.g. |LLR|).  Returns (corrected, n_errors, ok)."""
     return make_bch_chase_decoder(code, p=p)(jnp.asarray(hard_bits),
                                              jnp.asarray(reliability))
+
+
+@functools.lru_cache(maxsize=32)
+def make_bch_chase_soft(code, p=4, beta=0.5, chien_block=None):
+    """jitted llr [B, n] -> (soft_out [B, n], hard [B, n] int8):
+    soft-output Chase (the Pyndiah SISO element of turbo product codes).
+
+    Input LLRs: positive => bit 0 (the FEC convention).  For each bit,
+    the soft output is (m_competitor - m_best)/2 signed by the best
+    candidate's decision, where m are soft discrepancies of the Chase
+    candidate list and the competitor is the best candidate DISAGREEING
+    at that bit; when no competitor exists the output falls back to
+    Pyndiah's +/- (beta + |llr|) saturation.
+    """
+    hard_dec = make_bch_decoder(code, chien_block=chien_block)
+    n_pat = 1 << p
+    pat_np = ((np.arange(n_pat)[:, None] >> np.arange(p)[None, :]) & 1
+              ).astype(np.float32)
+
+    @jax.jit
+    def decode(llr):
+        llr = jnp.asarray(llr, jnp.float32)
+        B, n = llr.shape
+        r_bits = (llr < 0).astype(jnp.int8)
+        rel = jnp.abs(llr)
+        order = jnp.argsort(rel, axis=-1)
+        rank = jnp.argsort(order, axis=-1)
+        in_lru = rank < p
+        rank_c = jnp.clip(rank, 0, p - 1)
+        flip = jnp.asarray(pat_np)[:, rank_c] * in_lru[None].astype(
+            jnp.float32)
+        flip = jnp.swapaxes(flip, 0, 1)  # [B, 2^p, n]
+        rx = jnp.bitwise_xor(
+            jnp.broadcast_to(r_bits[:, None, :], (B, n_pat, n)
+                             ).astype(jnp.int8),
+            flip.astype(jnp.int8))
+        corr, _, ok = hard_dec(rx.reshape(B * n_pat, n))
+        corr = corr.reshape(B, n_pat, n)
+        ok = ok.reshape(B, n_pat)
+        changed = (corr != r_bits[:, None, :]).astype(jnp.float32)
+        score = jnp.sum(changed * rel[:, None, :], axis=-1)
+        score = jnp.where(ok, score, jnp.inf)  # [B, 2^p]
+        best = jnp.argmin(score, axis=-1)
+        selq = (best[:, None] == jnp.arange(n_pat)[None, :]
+                ).astype(jnp.float32)
+        m_best = jnp.min(score, axis=-1)  # [B]
+        d_best = jnp.sum(corr.astype(jnp.float32) * selq[..., None],
+                         axis=1)  # [B, n] best candidate's bits
+        # best metric among candidates disagreeing with d_best at bit i
+        agree = (corr.astype(jnp.float32) == d_best[:, None, :])
+        comp_score = jnp.where(agree, jnp.inf, score[..., None])
+        m_comp = jnp.min(comp_score, axis=1)  # [B, n]
+        has_comp = jnp.isfinite(m_comp)
+        sign = 1.0 - 2.0 * d_best  # +1 for bit 0 (positive-LLR side)
+        soft = jnp.where(
+            has_comp,
+            0.5 * (m_comp - m_best[:, None]) * sign,
+            (beta + rel) * sign)
+        any_ok = jnp.any(ok, axis=-1)
+        # no candidate at all: pass the channel belief through
+        soft = jnp.where(any_ok[:, None], soft, llr)
+        hard_out = jnp.where(any_ok[:, None], d_best.astype(jnp.int8),
+                             r_bits)
+        return soft, hard_out
+
+    return decode
