@@ -181,42 +181,73 @@ def bm_inversionless(synd, t, m, reduce_mat, nslots=None, init=None,
     """
     B = synd.shape[0]
     ns = (t + 1) if nslots is None else nslots
+    # Internal layout is LANES-MAJOR: the batch rides the 128-lane axis
+    # ([slots, m, B] state) so the per-step tensors stay fully packed.
+    # The natural [B, slots, m] layout puts (slots, m) — e.g. (3, 5) for
+    # a t=2 GF(32) code — on the (8, 128) tile: ~65x padding, measured
+    # 6.4 ms/call at the turbo-product batch (B=31744) vs sub-ms here.
     if init is None:
-        lam = jnp.zeros((B, ns, m), jnp.float32).at[:, 0, 0].set(1.0)
-        bpoly = jnp.zeros((B, ns, m), jnp.float32).at[:, 0, 0].set(1.0)
+        lam = jnp.zeros((ns, m, B), jnp.float32).at[0, 0, :].set(1.0)
         Lr = jnp.zeros(B, jnp.int32)
     else:
-        lam, Lr = init
-        bpoly = lam
-    delta = jnp.zeros((B, m), jnp.float32).at[:, 0].set(1.0)
+        lam0, Lr = init
+        lam = jnp.transpose(lam0, (1, 2, 0))
+    bpoly = lam
+    delta = jnp.zeros((m, B), jnp.float32).at[0, :].set(1.0)
     if start is None:
         start = jnp.zeros(B, jnp.int32)
     if nf is None:
         nf = jnp.zeros(B, jnp.int32)
+    # The reduction matrix is a fixed binary pattern of the field: use
+    # it STATICALLY (per-column row lists) so the fold is a handful of
+    # fused adds — an einsum against it lowers to batched tiny matmuls
+    # that cost ~1.3 ms alone at turbo-product batch shapes.
+    red_np = np.asarray(gf_reduce_matrix(m))
+    red_rows = [np.flatnonzero(red_np[:, c]).tolist() for c in range(m)]
     # pad so the discrepancy window S_{r-j}, j = 0..ns-1 is a
     # static-size dynamic_slice at offset r
+    synd_l = jnp.transpose(synd, (1, 2, 0))  # [2t, m, B]
     synd_pad = jnp.concatenate(
-        [jnp.zeros((B, ns - 1, m), jnp.float32), synd], axis=1)
+        [jnp.zeros((ns - 1, m, B), jnp.float32), synd_l], axis=0)
+
+    def cl_rows(outer):
+        """[..., m(a), m(c), B] products -> [..., 2m-1, B] counts."""
+        lead = outer.shape[:-3]
+        conv = jnp.zeros(lead + (2 * m - 1, B), jnp.float32)
+        for a in range(m):
+            conv = conv.at[..., a:a + m, :].add(outer[..., a, :, :])
+        return conv
+
+    def fold(conv_bits):
+        """[..., 2m-1, B] bit rows -> [..., m, B] via the static
+        reduction pattern (sums of <= m rows, then parity)."""
+        cols = [mod2(sum(conv_bits[..., u, :] for u in rows))
+                for rows in red_rows]
+        return jnp.stack(cols, axis=-2)
 
     def bm_step(carry, r_idx):
         lam, bpoly, delta, Lr = carry
-        win = lax.dynamic_slice_in_dim(synd_pad, r_idx, ns, axis=1)
-        win = win[:, ::-1]  # win[j] = S_{r - j} (0-based syndromes)
-        outer = jnp.einsum("bja,bjc->bac", lam, win)  # f32 counts
-        d = mod2(mod2(carryless(outer, m)) @ reduce_mat)  # [B, m]
+        win = lax.dynamic_slice_in_dim(synd_pad, r_idx, ns, axis=0)
+        win = win[::-1]  # win[j] = S_{r - j} (0-based syndromes)
+        outer = sum(lam[j][:, None, :] * win[j][None, :, :]
+                    for j in range(ns))  # [m, m, B] f32 counts
+        d = fold(mod2(cl_rows(outer)))  # [m, B]
 
         xB = jnp.concatenate(
-            [jnp.zeros((B, 1, m), jnp.float32), bpoly[:, :-1]], axis=1)
-        lam_new = mod2(conv_xor(delta[:, None, :], lam, m, reduce_mat)
-                       + conv_xor(d[:, None, :], xB, m, reduce_mat))
+            [jnp.zeros((1, m, B), jnp.float32), bpoly[:-1]], axis=0)
+        # delta * lam and d * xB, slotwise bit-sliced products
+        o1 = delta[None, :, None, :] * lam[:, None, :, :]  # [ns,a,c,B]
+        o2 = d[None, :, None, :] * xB[:, None, :, :]
+        conv = mod2(cl_rows(o1)) + mod2(cl_rows(o2))  # [ns, 2m-1, B]
+        lam_new = fold(mod2(conv))
 
         active = r_idx >= start
-        d_nonzero = jnp.any(d > 0, axis=-1)
+        d_nonzero = jnp.any(d > 0, axis=0)
         grow = active & d_nonzero & (2 * Lr <= r_idx + nf)
-        bpoly_new = jnp.where(grow[:, None, None], lam, xB)
-        bpoly = jnp.where(active[:, None, None], bpoly_new, bpoly)
-        lam = jnp.where(active[:, None, None], lam_new, lam)
-        delta = jnp.where(grow[:, None], d, delta)
+        bpoly_new = jnp.where(grow[None, None, :], lam, xB)
+        bpoly = jnp.where(active[None, None, :], bpoly_new, bpoly)
+        lam = jnp.where(active[None, None, :], lam_new, lam)
+        delta = jnp.where(grow[None, :], d, delta)
         # errata degree bookkeeping: L <- r + 1 + f - L (f = 0 plain)
         Lr = jnp.where(grow, r_idx + 1 + nf - Lr, Lr)
         return (lam, bpoly, delta, Lr), None
@@ -224,4 +255,4 @@ def bm_inversionless(synd, t, m, reduce_mat, nslots=None, init=None,
     (lam, _, _, Lr), _ = lax.scan(
         bm_step, (lam, bpoly, delta, Lr),
         jnp.arange(2 * t, dtype=jnp.int32))
-    return lam, Lr
+    return jnp.transpose(lam, (2, 0, 1)), Lr

@@ -8,13 +8,7 @@ import os
 import sys
 
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    # Serialize XLA:CPU LLVM codegen: the parallel split path has
-    # segfaulted intermittently during full-suite runs on this image
-    # (4 crashes at 4 different tests, all inside
-    # backend_compile_and_load; see ROADMAP "Environment quirks").
-    + " --xla_cpu_parallel_codegen_split_count=1"
-    + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
 import jax
