@@ -355,7 +355,7 @@ def main():
             make_rs_decoder
 
         code = rs_construct(8, 16)
-        Br = 512
+        Br = 2048  # throughput batch: BM is op-count-bound, amortizes
         rrng = np.random.default_rng(0)
         msg = rrng.integers(0, 256, (Br, code.k))
         cw = np.asarray(rs_encode(code, msg))
