@@ -12,15 +12,16 @@ overall=0
 for f in tests/test_*.py; do
   out=$(timeout 1800 python -m pytest "$f" -q -m "not slow" -p no:cacheprovider 2>&1)
   rc=$?
-  line=$(echo "$out" | grep -E "passed|no tests ran" | tail -1)
-  if [ $rc -gt 1 ]; then  # crash/timeout (not a test failure): retry once
+  line=$(echo "$out" | grep -E "passed|deselected|no tests ran" | tail -1)
+  # rc 5 = nothing collected (a file whose tests are all slow-marked)
+  if [ $rc -gt 1 ] && [ $rc -ne 5 ]; then  # crash/timeout: retry once
     echo "$f: rc=$rc (${line:-crash}) — retrying"
     out=$(timeout 1800 python -m pytest "$f" -q -m "not slow" -p no:cacheprovider 2>&1)
     rc=$?
-    line=$(echo "$out" | grep -E "passed|no tests ran" | tail -1)
+    line=$(echo "$out" | grep -E "passed|deselected|no tests ran" | tail -1)
   fi
   echo "$f: rc=$rc ${line}"
-  if [ $rc -ne 0 ] && ! echo "$line" | grep -q "no tests ran"; then
+  if [ $rc -ne 0 ] && [ $rc -ne 5 ]; then
     overall=1
   fi
 done
