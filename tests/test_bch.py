@@ -233,6 +233,24 @@ def test_bch_awgn_link_high_vs_low_snr():
     keys = jax.random.split(jax.random.PRNGKey(0), 16)
     assert int(link.link_step(keys, link.noise_std_fn(12.0))) == 0
     assert int(link.link_step(keys, link.noise_std_fn(0.0))) > 0
+    with pytest.raises(ValueError):
+        make_bch_awgn_link(code=code, decoder="nope")
+
+
+def test_bch_chase_link_beats_hard_link():
+    # Measured at (31,21) 4 dB: hard BER 1.1e-2 vs Chase 1.5e-3 (~7x,
+    # the classic ~1.5-2 dB Chase-2 soft gain), error-free at 5 dB
+    # where hard still fails.
+    import jax
+    from commpy_tpu.models import make_bch_awgn_link
+
+    code = bch_construct(5, 2)
+    hard = make_bch_awgn_link(code=code, decoder="hard")
+    chase = make_bch_awgn_link(code=code, decoder="chase")
+    keys = jax.random.split(jax.random.PRNGKey(0), 400)
+    eh = int(hard.link_step(keys, hard.noise_std_fn(4.0)))
+    ec = int(chase.link_step(keys, chase.noise_std_fn(4.0)))
+    assert eh > 3 * ec > 0
 
 
 def test_dvbs2_class_outer_code_scale():
