@@ -351,6 +351,67 @@ def make_polar_awgn_link(
                        "decoder": decoder})
 
 
+def make_dvbs2_concat_link(
+    *,
+    qc_params: dict,
+    t_bch: int = 12,
+    modulation_m: int = 4,
+    n_iterations: int = 30,
+    name: str = "dvbs2-concat",
+) -> DeviceLink:
+    """The DVB-S2 concatenated structure: BCH outer + LDPC inner.
+
+    payload -> shortened GF(2^16) t-error BCH -> accumulator LDPC ->
+    PSK -> AWGN -> QC BP decode -> bit-sliced BCH decode -> payload bit
+    errors.  The outer code removes the LDPC error floor / residual BP
+    errors near the waterfall (EN 302 307-1 structure; honest labeling:
+    synthetic "-class" LDPC tables and our GF(2^16) primitive poly, see
+    ops/dvbs2.py provenance note).
+    """
+    from ..ops.bch import bch_construct, make_bch_decoder, make_bch_encoder
+    from ..ops.dvbs2 import dvbs2_decode_device, dvbs2_encode_device
+
+    kldpc = qc_params["k_bits"]
+    outer = bch_construct(16, t_bch, shorten=(1 << 16) - 1 - kldpc)
+    assert outer.n == kldpc
+    const_np = M.psk_constellation(modulation_m)
+    Es = float(np.mean(np.abs(const_np) ** 2))
+    const = const_np.astype(np.complex64)
+    bps = int(np.log2(modulation_m))
+    n_ldpc = qc_params["n_vnodes"]
+    if n_ldpc % bps:
+        raise ValueError(f"n={n_ldpc} must fill whole {bps}-bit symbols")
+    rate = outer.k / n_ldpc
+    enc_bch = make_bch_encoder(outer)
+    dec_bch = make_bch_decoder(outer)
+
+    def link_step(keys, noise_std):
+        payload = _gen_bits(keys, outer.k)
+        inner_msg = enc_bch(payload)
+        cw = dvbs2_encode_device(inner_msg.astype(jnp.float32), qc_params)
+        symbols = M.modulate(cw.astype(jnp.int8), const, bps)
+        y = symbols + _frame_crandn(keys, symbols.shape[1:], 1) * (
+            noise_std * 0.5
+        )
+        # LDPC convention: positive LLR => bit 0; dvbs2_decode_device
+        # handles the standard-order <-> QC-domain parity permutation
+        # and the accumulator-wrap edge masks
+        llr = -M.demodulate_soft(y, const, bps, noise_std**2)
+        dec, _ = dvbs2_decode_device(llr, qc_params, "MSA", n_iterations,
+                                     msa_scale=0.75)
+        corrected, _, _ = dec_bch(dec[:, :kldpc].astype(jnp.int8))
+        return jnp.sum(jnp.bitwise_xor(
+            corrected[:, :outer.k].astype(payload.dtype), payload
+        ).astype(jnp.int32))
+
+    def noise_std_fn(snr_db):
+        return snr_to_noise_std(snr_db, code_rate=rate, Es=Es)
+
+    return DeviceLink(link_step, outer.k, noise_std_fn, name,
+                      {"rate": rate, "Es": Es, "bps": bps,
+                       "t_bch": t_bch})
+
+
 def make_isi_conv_link(
     *,
     trellis: Trellis,

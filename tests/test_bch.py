@@ -142,13 +142,18 @@ def test_decode_fuzz_matches_golden():
 
 def test_concatenated_bch_ldpc_chain():
     # The DVB-S2 structure: BCH outer + LDPC inner.  Payload -> BCH ->
-    # LDPC encode -> BPSK/AWGN -> LDPC BP decode -> BCH decode.  The
-    # outer code must clean up the residual BP errors that survive at a
-    # noise level where LDPC alone still leaks bits.
-    import jax
-    from commpy_tpu.ops.dvbs2 import dvbs2_qc_params, dvbs2_encode_device, \
-        synthetic_address_table
-    from commpy_tpu.ops.qcldpc import qc_bp_decode_device
+    # LDPC encode -> BPSK/AWGN -> LDPC BP decode (dvbs2_decode_device:
+    # the QC-domain parity permutation + accumulator-wrap masks — plain
+    # qc_bp_decode_device on standard-order LLRs decodes garbage) ->
+    # BCH decode.  Asserted NON-vacuously: BP residuals must stay
+    # within the outer budget (<= t) and every frame must come back ok
+    # with the exact payload.  (Near this sigma BP exhibits stuck
+    # single-bit residuals on some noise draws — the trapping-set
+    # behavior the outer BCH exists to clean.)
+    from commpy_tpu.ops.dvbs2 import (dvbs2_decode_device,
+                                      dvbs2_encode_device,
+                                      dvbs2_qc_params,
+                                      synthetic_address_table)
 
     tab = synthetic_address_table(16200, "1/2", seed=0)
     params = dvbs2_qc_params(tab, 16200, "1/2")
@@ -160,23 +165,19 @@ def test_concatenated_bch_ldpc_chain():
     payload = rng.integers(0, 2, (B, outer.k))
     inner_msg = np.asarray(bch_encode(outer, payload))
     cw = np.asarray(dvbs2_encode_device(jnp.asarray(inner_msg), params))
-    sigma = 0.82  # chosen so plain BP leaves a few residual bit errors
+    sigma = 0.88  # near the cliff: BP converges but can leak a few bits
     y = (1.0 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
     llr = (2.0 / sigma**2) * y
-    dec, _ = qc_bp_decode_device(jnp.asarray(llr.astype(np.float32)),
-                                 params, "MSA", 30)
+    dec, _ = dvbs2_decode_device(jnp.asarray(llr.astype(np.float32)),
+                                 params, "MSA", 30, msa_scale=0.75)
     inner_hat = np.asarray(dec)[:, :kldpc]
-    resid = int((inner_hat != inner_msg).sum())
+    per_frame = (inner_hat != inner_msg).sum(axis=1)
+    assert per_frame.max() <= 12, per_frame  # within the BCH budget
     corrected, nerr, ok = (np.asarray(a) for a in
                            bch_decode(outer, inner_hat))
-    out_payload = corrected[:, :outer.k]
-    frames_fixed = ok & (np.any(inner_hat != inner_msg, axis=1))
-    # the BCH stage must repair every frame whose residual is <= t
-    per_frame = (inner_hat != inner_msg).sum(axis=1)
-    for b in range(B):
-        if per_frame[b] <= 12:
-            assert ok[b] and np.array_equal(out_payload[b], payload[b]), b
-    assert resid >= 0  # informational; chain ran end to end
+    assert ok.all()
+    assert np.array_equal(corrected[:, :outer.k], payload)
+    assert np.array_equal(nerr, per_frame)
 
 
 def test_chase_soft_decoding_beats_hard_beyond_t():
@@ -222,6 +223,23 @@ def test_chase_uniform_reliability_matches_hard_within_t():
     c, n, ok = (np.asarray(a) for a in bch_chase_decode(code, rx, rel))
     assert ok.all()
     assert np.array_equal(c, cw)
+
+
+def test_dvbs2_concat_link_waterfall():
+    # Full DVB-S2-structure link model: BCH outer + accumulator LDPC
+    # inner over QPSK/AWGN.  Sharp cliff measured: BER 0.108 at snr 4.0
+    # -> 0 at snr 4.5+ (8 frames).
+    import jax
+    from commpy_tpu.models import make_dvbs2_concat_link
+    from commpy_tpu.ops.dvbs2 import dvbs2_qc_params, \
+        synthetic_address_table
+
+    tab = synthetic_address_table(16200, "1/2", seed=0)
+    params = dvbs2_qc_params(tab, 16200, "1/2")
+    link = make_dvbs2_concat_link(qc_params=params)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    assert int(link.link_step(keys, link.noise_std_fn(5.0))) == 0
+    assert int(link.link_step(keys, link.noise_std_fn(1.0))) > 0
 
 
 def test_bch_awgn_link_high_vs_low_snr():
