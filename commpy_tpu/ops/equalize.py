@@ -30,7 +30,8 @@ import numpy as np
 
 from .fir import fir_filter
 
-__all__ = ["mmse_fir_taps", "zf_fir_taps", "equalize", "equalizer_delay"]
+__all__ = ["mmse_fir_taps", "zf_fir_taps", "equalize", "equalizer_delay",
+           "lms_equalize"]
 
 
 def equalizer_delay(n_taps, channel_len):
@@ -109,3 +110,65 @@ def equalize(y, w, delay, n_out=None):
         z = jnp.concatenate(
             [z, jnp.zeros(z.shape[:-1] + (short,), z.dtype)], axis=-1)
     return z[..., delay:delay + n_out]
+
+
+def lms_equalize(y, train, n_taps, mu, delay, block=32):
+    """Adaptive block-LMS equalization with training symbols.
+
+    y [..., n] received samples; train [..., n] known transmitted
+    symbols (training-directed: the desired output at sample i is
+    ``train[i - delay]``); ``mu`` step size; ``block`` samples per tap
+    update (the whole block is filtered with the current taps, then one
+    accumulated-gradient update ``w += mu * sum(conj(x_vec) * e)``, the
+    TPU-friendly form — per-sample LMS would be an n-step scalar scan).
+
+    Returns ``(z, w, mse)``: the equalized stream [..., n], the final
+    taps [..., n_taps], and the per-block mean-square error trajectory
+    [n_blocks] (averaged over the batch) — converges toward the Wiener
+    MSE of :func:`mmse_fir_taps` on a stationary channel and re-adapts
+    after channel changes (see tests).
+    """
+    import jax
+    from jax import lax
+
+    y = jnp.asarray(y, jnp.complex64)
+    train = jnp.asarray(train, jnp.complex64)
+    lead = y.shape[:-1]
+    n = y.shape[-1]
+    nb = n // block
+    n_use = nb * block
+    # windows[..., i, k] = y[i - k] (zeros before the stream start)
+    ypad = jnp.concatenate(
+        [jnp.zeros(lead + (n_taps - 1,), y.dtype), y], axis=-1)
+    windows = jnp.stack(
+        [ypad[..., n_taps - 1 - k:n_taps - 1 - k + n_use]
+         for k in range(n_taps)], axis=-1)  # [..., n_use, n_taps]
+    # desired output at sample i is train[i - delay]
+    tpad = jnp.concatenate(
+        [jnp.zeros(lead + (delay,), train.dtype), train], axis=-1)
+    desired = tpad[..., :n_use]
+    Xb = windows.reshape(lead + (nb, block, n_taps))
+    Db = desired.reshape(lead + (nb, block))
+    # scan over blocks: move the block axis first
+    perm = (len(lead),) + tuple(range(len(lead))) + (len(lead) + 1,
+                                                     len(lead) + 2)
+    Xs = jnp.transpose(Xb, perm)  # [nb, ..., block, n_taps]
+    Ds = jnp.transpose(Db, perm[:-1])  # [nb, ..., block]
+
+    def step(w, xd):
+        X, d = xd
+        z = jnp.sum(X * w[..., None, :], axis=-1)  # [..., block]
+        e = d - z
+        grad = jnp.sum(jnp.conj(X) * e[..., None], axis=-2)
+        w = w + mu * grad
+        mse = jnp.mean(jnp.abs(e) ** 2)
+        return w, (z, mse)
+
+    w0 = jnp.zeros(lead + (n_taps,), y.dtype)
+    w, (zs, mse) = lax.scan(step, w0, (Xs, Ds))
+    # reassemble the equalized stream [..., n_use] (+ tail passthrough)
+    inv = tuple(range(1, len(lead) + 1)) + (0, len(lead) + 1)
+    z = jnp.transpose(zs, inv).reshape(lead + (n_use,))
+    if n_use < n:
+        z = jnp.concatenate([z, y[..., n_use:]], axis=-1)
+    return z, w, mse
