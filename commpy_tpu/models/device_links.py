@@ -548,18 +548,26 @@ def make_rs_awgn_link(
     *,
     code,
     modulation_m: int = None,
+    decoder: str = "hard",
     name: str = "rs-awgn",
 ) -> DeviceLink:
-    """Hard-decision Reed-Solomon link over complex AWGN.
+    """Reed-Solomon link over complex AWGN.
 
     One QAM symbol per RS symbol by default (modulation order 2^m, the
     classic matched mapping, e.g. 256-QAM for GF(2^8)): symbol ints ->
-    RS encode -> QAM -> AWGN -> min-distance demod -> RS decode ->
-    message bit errors.
+    RS encode -> QAM -> AWGN -> demod -> RS decode -> message bit
+    errors.  ``decoder='gmd'`` uses the per-symbol reliability (the
+    minimum |LLR| over the symbol's bits) to drive GMD soft decoding —
+    note GMD is designed for INFORMATIVE reliabilities (burst flags,
+    fading nulls); on plain AWGN the |LLR| spread is weakly informative
+    and 'hard' measures better (see rs_gmd_decode's docstring).
     """
     from ..ops.rs import (_bits_to_sym, _sym_to_bits, make_rs_decoder,
-                          make_rs_encoder)
+                          make_rs_encoder, make_rs_gmd_decoder)
 
+    if decoder not in ("hard", "gmd"):
+        raise ValueError(f"decoder must be 'hard' or 'gmd', got "
+                         f"{decoder!r}")
     if modulation_m is None:
         modulation_m = 1 << code.m
     const_np = M.qam_constellation(modulation_m)
@@ -573,6 +581,8 @@ def make_rs_awgn_link(
     rate = code.k / code.n
     encode = make_rs_encoder(code)
     decode = make_rs_decoder(code)
+    if decoder == "gmd":
+        gmd = make_rs_gmd_decoder(code)
 
     def link_step(keys, noise_std):
         msg_bits = _gen_bits(keys, code.k * code.m)  # [F, k*m]
@@ -588,10 +598,19 @@ def make_rs_awgn_link(
         y = symbols + _frame_crandn(keys, symbols.shape[1:], 1) * (
             noise_std * 0.5
         )
-        hard = M.demodulate_hard(y, const, bps).astype(jnp.float32)
-        rx = _bits_to_sym(hard.reshape(hard.shape[0], code.n, code.m),
-                          code.m)
-        corrected, _, _ = decode(rx)
+        if decoder == "gmd":
+            llr = M.demodulate_soft(y, const, bps, noise_std**2)
+            hard = (llr > 0).astype(jnp.float32)
+            rx = _bits_to_sym(hard.reshape(hard.shape[0], code.n, code.m),
+                              code.m)
+            rel = jnp.min(jnp.abs(llr).reshape(llr.shape[0], code.n,
+                                               code.m), axis=-1)
+            corrected, _, _ = gmd(rx, rel)
+        else:
+            hard = M.demodulate_hard(y, const, bps).astype(jnp.float32)
+            rx = _bits_to_sym(hard.reshape(hard.shape[0], code.n, code.m),
+                              code.m)
+            corrected, _, _ = decode(rx)
         err_syms = jnp.bitwise_xor(corrected[:, :code.k], msg)
         err_bits = _sym_to_bits(err_syms, code.m)
         return jnp.sum(err_bits.astype(jnp.int32))

@@ -459,9 +459,18 @@ def make_rs_gmd_decoder(code, chien_block=None):
     LEAST-reliable symbols — as ONE batched errata decode (the trial
     axis folds into the batch), then picks the successful candidate
     with the smallest soft discrepancy (sum of reliabilities at the
-    positions it changed).  Decodes many beyond-t error patterns when
-    the errors sit at low-reliability symbols; falls back to the
-    received word with ok=False when no trial succeeds.
+    positions it changed).
+
+    Intended for INFORMATIVE reliabilities — bimodal confidence such as
+    interleaver-flagged burst spans, fading nulls, or demapper
+    erasure hints — where it recovers beyond-t patterns whose errors
+    sit at clearly-low-reliability symbols (tested).  On
+    weakly-informative reliabilities (plain-AWGN |LLR| spreads) the
+    large-f trials alias (at f = 2t any interpolation through the
+    unerased symbols reports ok) with soft scores comparable to the
+    correct candidate's, and hard decoding is the better tool — this
+    was measured, not guessed (see ROADMAP round-4 notes).  Falls back
+    to the received word with ok=False when no trial succeeds.
     """
     t = code.t
     errata = make_rs_errata_decoder(code, chien_block=chien_block)

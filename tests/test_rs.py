@@ -209,6 +209,12 @@ def test_rs_awgn_link_high_vs_low_snr():
     keys = jax.random.split(jax.random.PRNGKey(0), 16)
     assert int(link.link_step(keys, link.noise_std_fn(40.0))) == 0
     assert int(link.link_step(keys, link.noise_std_fn(15.0))) > 0
+    # gmd option runs (regime caveat in its docstring: on plain AWGN
+    # reliabilities it does not beat hard decoding)
+    gmd = make_rs_awgn_link(code=code, decoder="gmd")
+    assert int(gmd.link_step(keys, gmd.noise_std_fn(40.0))) == 0
+    with pytest.raises(ValueError):
+        make_rs_awgn_link(code=code, decoder="nope")
 
 
 def test_gmd_soft_decoding_beats_hard_beyond_t():
