@@ -250,13 +250,15 @@ def main():
         x0 = jnp.asarray(rng.randn(Bq, 16200).astype(np.float32) * 2)
 
         # layered-8 == flooding-15 BER (tests/test_qcldpc.py); the
-        # layered schedule runs on the HBM-streamed Pallas kernel, with
-        # bf16 message streams by DEFAULT since r4 (halves the kernel's
-        # dominant HBM traffic — it is HBM-bound; 2.4x measured;
-        # BER-parity tested, msg_io='f32' restores full precision)
+        # layered schedule runs on the HBM-streamed Pallas kernel.
+        # msg_io='bf16' halves the kernel's dominant HBM traffic (it is
+        # HBM-bound; 2.4x measured; BER-parity tested) — an explicit
+        # opt-in here since r5, when the library default reverted to
+        # full-precision f32 message storage.
         def body_l(c):
             dec, out = qc_bp_decode_device(c, params, "MSA", 8,
-                                           schedule="layered")
+                                           schedule="layered",
+                                           msg_io="bf16")
             return c + out * 1e-9
         dt = timed_chain(body_l, x0, rep=8)
         report("qcldpc_dvbs2_16200_layered8", Bq * 7200 / dt,

@@ -366,7 +366,6 @@ def acs_forward_pallas(r, trellis: Trellis, decoding_type: str = "soft",
             pl.BlockSpec((W.shape[0], S), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        scratch_rows = S
     r_steps = r_tl.astype(jnp.float32)
     r_spec = pl.BlockSpec((TC, n, B), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)

@@ -914,9 +914,10 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
     bfloat16 in HBM — halves its dominant traffic (the kernel is
     HBM-bound, ~53-63% of peak at DVB-S2 size; 2.4x measured speedup);
     decisions can differ from f32 near ties, BER-neutral
-    (test_qcldpc.py).  'auto' (default) resolves to 'bf16' on the
-    HBM-streamed kernel and 'f32' everywhere else; pass 'f32' to force
-    full-precision message storage on the streamed path too.
+    (test_qcldpc.py).  'auto' (default) resolves to 'f32' on every
+    backend — parity-sensitive callers get full-precision messages
+    without passing anything; opt into the bf16 speedup explicitly with
+    msg_io='bf16' on the streamed kernel.
     """
     if decoder_algorithm not in ("SPA", "MSA"):
         raise NameError(
@@ -1007,7 +1008,7 @@ def qc_bp_decode_device(llr, qc_params: dict, decoder_algorithm: str,
                 xf, decoder_algorithm, int(n_iters), (Z, Nb, rows),
                 msa_scale=float(msa_scale), msa_offset=float(msa_offset),
                 pos_masks=qc_params.get("pos_masks", ()),
-                msg_io="bf16" if msg_io == "auto" else msg_io)
+                msg_io="f32" if msg_io == "auto" else msg_io)
         else:
             if qc_params.get("pos_masks"):
                 raise NotImplementedError(
