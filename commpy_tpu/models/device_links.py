@@ -998,6 +998,91 @@ def make_bestfirst_ldpc_mimo_link(
                       {"rate": rate, "Es": Es, "bps": bps})
 
 
+def make_idd_kbest_ldpc_mimo_link(
+    *,
+    ldpc_params: dict,
+    nb_tx: int = 4,
+    nb_rx: int = 4,
+    modulation_m: int = 16,
+    beam: int = 16,
+    algorithm: str = "MSA",
+    n_iterations: int = 15,
+    n_it: int = 2,
+    name: str = "idd-kbest-ldpc-mimo",
+) -> DeviceLink:
+    """LDPC-coded MIMO link decoded through the DEVICE IDD loop.
+
+    Same chain as :func:`make_bestfirst_ldpc_mimo_link` with
+    ``detector='kbest'``, but the receive side is the iterative
+    detection-and-decoding loop of :func:`commpy_tpu.models.idd.
+    idd_decoder_device` (the batched image of the reference
+    ``idd_decoder`` closure, commpy/links.py:345-407): the prior-aware
+    K-best soft detector and the LDPC BP posterior exchange extrinsics
+    ``n_it`` times, then a final BP decode hard-decides the total LLRs.
+    One frame = one codeword.
+    """
+    from ..models.idd import idd_decoder_device
+    from ..ops.ldpc import ldpc_bp_decode_device
+
+    if ldpc_params.get("generator_matrix") is None:
+        build_matrix(ldpc_params)
+    G = np.asarray(ldpc_params["generator_matrix"].todense()) % 2
+    n_v = ldpc_params["n_vnodes"]
+    frame_bits = n_v - ldpc_params["n_cnodes"]
+    const_np = M.qam_constellation(modulation_m)
+    Es = float(np.mean(np.abs(const_np) ** 2))
+    const = const_np.astype(np.complex64)  # numpy closure (HLO literal)
+    bps = int(np.log2(modulation_m))
+    rate = frame_bits / n_v
+    n_sym = n_v // bps
+    assert n_sym % nb_tx == 0
+    n_vec = n_sym // nb_tx
+
+    def link_step(keys, noise_std):
+        bits = _gen_bits(keys, frame_bits)
+        coded = ldpc_encode_device(bits, G)  # [F, n_v]
+        symbols = M.modulate(coded, const, bps)
+        F = symbols.shape[0]
+        x = symbols.reshape(F, n_vec, nb_tx)
+        h = _frame_crandn(keys, (n_vec, nb_rx, nb_tx), 2) * jnp.sqrt(0.5)
+        y = jnp.einsum("fvrt,fvt->fvr", h, x)
+        y = y + _frame_crandn(keys, y.shape[1:], 1) * (noise_std * 0.5)
+        yf = y.reshape(-1, nb_rx)
+        hf = h.reshape(-1, nb_rx, nb_tx)
+        nv = noise_std ** 2
+
+        def detector(yv, hv, noise_var, a_priori):
+            return kbest_device(yv, hv, const, int(beam), noise_var,
+                                "soft", bps, a_priori=a_priori)
+
+        def decoder(llrs_flat):
+            _, post = ldpc_bp_decode_device(
+                llrs_flat.reshape(F, n_v), ldpc_params, algorithm,
+                n_iterations)
+            return post.reshape(-1)
+
+        def decision(llrs_flat):
+            dec, _ = ldpc_bp_decode_device(
+                llrs_flat.reshape(F, n_v), ldpc_params, algorithm,
+                n_iterations)
+            return dec[..., :frame_bits]
+
+        decode = idd_decoder_device(detector, decoder, decision, int(n_it))
+        # first pass (zero priors) plays the reference's received_msg
+        a0 = detector(yf, hf, nv, jnp.zeros((F * n_vec, nb_tx * bps),
+                                            jnp.float32)).reshape(-1)
+        dec = decode(yf, hf, nv, a0)
+        return jnp.sum(
+            jnp.bitwise_xor(dec, bits).astype(jnp.int32)
+        )
+
+    def noise_std_fn(snr_db):
+        return snr_to_noise_std(snr_db, code_rate=rate, Es=Es, nb_tx=nb_tx)
+
+    return DeviceLink(link_step, frame_bits, noise_std_fn, name,
+                      {"rate": rate, "Es": Es, "bps": bps})
+
+
 # --------------------------------------------------------------------------
 # Config 5: OFDM + 2x2 MIMO K-best + conv coding
 # --------------------------------------------------------------------------

@@ -85,7 +85,7 @@ def mimo_ml(y, h, constellation):
 
 def kbest_device(y, h, constellation, K: int, noise_var=0.0,
                  output_type="hard", bits_per_symbol=None,
-                 selection: str = "exact"):
+                 selection: str = "exact", a_priori=None):
     """Batched K-best detection.
 
     y: ``[B, nr]``, h: ``[B, nr, nt]``.
@@ -95,6 +95,16 @@ def kbest_device(y, h, constellation, K: int, noise_var=0.0,
     than the full sort the exact path pays, at a small survivor-recall
     loss (BER-level impact bounded in tests; reference parity requires
     'exact', the default).
+
+    ``a_priori`` (soft only): ``[B, nt*bits_per_symbol]`` prior LLRs
+    (positive <-> bit 0, the detector's own output convention — the
+    shape the reference IDD loop feeds its detector,
+    commpy/links.py:396-404).  The max-log MAP candidate metric gains
+    the prior term: ``|y - Hx|^2 - N0 * sum_j (1-2 b_j(x)) * La_j``
+    (i.e. ``2*N0*(-log p(y|x) - log P(x))`` up to a candidate-independent
+    constant), applied DURING the tree search so priors also steer
+    survivor selection; the returned LLRs are posteriors, which is what
+    the IDD extrinsic exchange expects.
     """
     if selection not in ("exact", "approx"):
         raise ValueError(
@@ -104,9 +114,28 @@ def kbest_device(y, h, constellation, K: int, noise_var=0.0,
     h = jnp.asarray(h)
     constellation = jnp.asarray(constellation)
     nt = h.shape[-1]
+    level_bias = None
+    if a_priori is not None:
+        if output_type != "soft":
+            raise ValueError("a_priori requires output_type='soft'")
+        if bits_per_symbol is None:
+            bits_per_symbol = int(np.log2(constellation.shape[0]))
+        m = int(constellation.shape[0])
+        # sgn[j, b] = 1 - 2*bit_b(j), MSB-first (matches _leaf_bits /
+        # unpack_bits layout, so La's within-symbol bit order is the
+        # same one the soft output uses).
+        j_idx = np.arange(m)[:, None]
+        b_idx = np.arange(bits_per_symbol)[None, :]
+        sgn = 1.0 - 2.0 * ((j_idx >> (bits_per_symbol - 1 - b_idx)) & 1)
+        la = jnp.asarray(a_priori, jnp.float32).reshape(
+            y.shape[0], nt, bits_per_symbol)
+        # bias[B, t, j] = -N0 * sum_b sgn[j, b] * La[B, t, b]
+        level_bias = -jnp.float32(noise_var) * jnp.einsum(
+            "jb,vtb->vtj", jnp.asarray(sgn, jnp.float32), la)
     X, mets, idx = _beam_search_batched(y, h, constellation,
                                         (int(K),) * nt,
-                                        selection=selection)
+                                        selection=selection,
+                                        level_bias=level_bias)
     if output_type == "hard":
         return X[:, :, 0]
     elif output_type == "soft":
@@ -420,7 +449,7 @@ def _chol_qr_batched(h, y):
 
 
 def _beam_search_batched(y, h, constellation, widths, qr=None,
-                         selection: str = "exact"):
+                         selection: str = "exact", level_bias=None):
     """Fully batched fixed-budget tree search (the fast device path).
 
     Same search and same candidate/tie-break order as
@@ -466,6 +495,9 @@ def _beam_search_batched(y, h, constellation, widths, qr=None,
         er = dr[:, coor, :, None] - rii * hr[None, None, :]  # [B,C,m]
         ei = di[:, coor, :, None] - rii * hi[None, None, :]
         inc = er * er + ei * ei
+        if level_bias is not None:
+            # per-symbol prior cost for this antenna, raw metric units
+            inc = inc + level_bias[:, coor, None, :]  # [B,1,m] broadcast
         # candidate index j*C + c (reference repeat order): [B, m, C]
         cand = (dt[:, None, :] + jnp.transpose(inc, (0, 2, 1))).reshape(
             B, CM

@@ -920,6 +920,195 @@ def make_polar_scl_decoder(code, list_size=8, rule="minsum",
     return decode
 
 
+def _rank_select_prune(pm, pen0, pen1, P):
+    """Stable top-P-of-2P selection without a sort.
+
+    Candidates ``bit*P + parent`` score ``pm + pen_bit`` exactly as the
+    scan decoder's ``lax.top_k`` path; the stable rank
+    ``r_i = #{j: c_j < c_i} + #{j < i: c_j == c_i}`` reproduces top_k's
+    tie-breaking (lower candidate index wins) bit-for-bit, but costs
+    only elementwise/reduce ops on a [2P, 2P, B] compare tensor — no
+    cross-lane sort.  Returns (pm_new [P, B], bit [P, B] f32,
+    perm [P_old, P_new, B] one-hot f32), all exact f32.
+    """
+    cand = jnp.concatenate([pm + pen0, pm + pen1], axis=0)  # [2P, B]
+    M = 2 * P
+    ci = cand[:, None, :]
+    cj = cand[None, :, :]
+    lower_j = (jnp.arange(M)[None, :, None] < jnp.arange(M)[:, None, None])
+    r = jnp.sum((cj < ci) | ((cj == ci) & lower_j), axis=1)  # [2P, B]
+    oh = (r[:, None, :] == jnp.arange(P)[None, :, None]).astype(_F32)
+    pm_new = jnp.sum(cand[:, None, :] * oh, axis=0)  # exact: one-hot
+    bit = jnp.sum(oh[P:], axis=0)
+    perm = oh[:P] + oh[P:]  # [P_old, P_new, B]
+    return pm_new, bit, perm
+
+
+def _permute_rows(state, onehot):
+    """state [W, P, B] x onehot [P_old, P_new, B] -> [W, P_new, B].
+
+    Exact f32 (each output has one nonzero term; no MXU involved)."""
+    return (state[:, :, None, :] * onehot[None]).sum(axis=1)
+
+
+def _compose_perms(p1, p2):
+    """[Po, Pm, B] then [Pm, Pn, B] -> [Po, Pn, B]; None = identity."""
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    return (p1[:, :, None, :] * p2[None]).sum(axis=1)
+
+
+def _frozen_cascade(alpha, rule):
+    """Leaf LLRs of an ALL-FROZEN subtree, level-parallel.
+
+    With every decision known to be 0 the SC recursion has no sequential
+    dependence: each level maps node rows (a; b) to children
+    (f(a, b); g(a, b, 0)) in ONE full-width op pair, so a W-leaf frozen
+    subtree costs log2(W) steps instead of W leaf visits.  Each leaf
+    value's dataflow is identical to the per-leaf recursion ->
+    bit-identical penalties.
+    """
+    x = alpha  # [W, P, B]
+    W = x.shape[0]
+    tail = x.shape[1:]
+    levels = int(np.log2(W))
+    for s in range(levels):
+        nodes = 1 << s
+        half = W >> (s + 1)
+        v = x.reshape((nodes, 2, half) + tail)
+        a, b = v[:, 0], v[:, 1]
+        x = jnp.concatenate(
+            [_f_op(a, b, rule)[:, None], _g_op(a, b, 0.0)[:, None]],
+            axis=1).reshape((W,) + tail)
+    return x
+
+
+@functools.lru_cache(maxsize=64)
+def make_polar_scl_decoder_unrolled(code, list_size=8, rule="minsum",
+                                    pm_rule="approx", full=False):
+    """Statically-specialized SCL decoder (the TPU throughput path).
+
+    Bit-identical outputs to :func:`make_polar_scl_decoder` (same
+    candidate scores, same stable tie-breaks, same pm accumulation
+    order), built differently: the decode tree is unrolled at TRACE time
+    against the code's frozen mask, so
+
+    * there is no ``lax.scan``/``lax.cond``/``lax.switch`` anywhere —
+      the r4 profile showed the scan decoder's wall is that dispatch
+      skeleton (~10 of the 11 ms at B=256 remained in a decode with ONE
+      info leaf — scripts/polar_scl_structure_probe.py), not the
+      prunes;
+    * maximal all-frozen subtrees collapse to a level-parallel cascade
+      (:func:`_frozen_cascade`) plus an in-leaf-order penalty fold;
+    * the per-info-leaf prune is :func:`_rank_select_prune` (stable-rank
+      selection, no cross-lane sort);
+    * path permutations defer hierarchically: a subtree's composed
+      permutation is applied ONCE per ancestor node to the pending
+      sibling rows (``2W`` rows per width-``W`` node, ~``2 N log2 N``
+      rows per decode vs the scan decoder's per-leaf stacked permutes),
+      and decisions come back already in final path order — no reverse
+      genealogy pass.
+
+    Reference anchor: the list-decode semantics mirror
+    tests/polar_ref.py (itself the standard Tal-Vardy formulation); the
+    reference CommPy has no polar codec at all.
+    """
+    N, n, P = code.N, code.n, list_size
+    frozen_np = code.frozen_mask.astype(bool)
+    payload_pos = jnp.asarray(code.info_positions[:code.K])
+    info_pos = jnp.asarray(code.info_positions)
+    if code.crc:
+        crc_h = jnp.asarray(crc_check_table(code.crc, code.k_total), _F32)
+
+    @jax.jit
+    def decode(llr):
+        B = llr.shape[0]
+        chan = llr.astype(_F32).T  # [N, B]
+        alpha0 = jnp.broadcast_to(chan[:, None, :], (N, P, B))
+        pm0 = jnp.concatenate(
+            [jnp.zeros((1, B), _F32),
+             jnp.full((P - 1, B), _PM_INACTIVE, _F32)], axis=0)
+
+        # trace-time recursion; pm threads through in decode order
+        def rec(alpha, lo, hi, pm):
+            """-> (bits [W, P, B] or None-if-all-zero, beta ditto,
+            perm [P, P, B] or None-if-identity, pm)."""
+            W = hi - lo
+            if frozen_np[lo:hi].all():
+                leaf = _frozen_cascade(alpha, rule) if W > 1 else alpha
+                pen0 = (jnp.maximum(-leaf, 0.0) if pm_rule == "approx"
+                        else jax.nn.softplus(-leaf))
+                for w in range(W):  # exact per-leaf accumulation order
+                    pm = pm + pen0[w]
+                return None, None, None, pm
+            if W == 1:
+                l0 = alpha[0]
+                pen0, pen1 = _pm_penalties(l0, pm_rule)
+                pm, bit, perm = _rank_select_prune(pm, pen0, pen1, P)
+                return bit[None], bit[None], perm, pm
+            h = W // 2
+            a, b = alpha[:h], alpha[h:]
+            u1, b1, p1, pm = rec(_f_op(a, b, rule), lo, lo + h, pm)
+            if p1 is not None:
+                ab = _permute_rows(jnp.concatenate([a, b]), p1)
+                a, b = ab[:h], ab[h:]
+            galpha = _g_op(a, b, 0.0) if b1 is None else _g_op(a, b, b1)
+            u2, b2, p2, pm = rec(galpha, lo + h, hi, pm)
+            if p2 is not None and (u1 is not None or b1 is not None):
+                if u1 is not None and b1 is not None:
+                    stk = _permute_rows(jnp.concatenate([u1, b1]), p2)
+                    u1, b1 = stk[:h], stk[h:]
+                elif u1 is not None:
+                    u1 = _permute_rows(u1, p2)
+                else:
+                    b1 = _permute_rows(b1, p2)
+            perm = _compose_perms(p1, p2)
+            zeros_h = None
+            if ((u1 is None) != (u2 is None)) or ((b1 is None) and
+                                                  (b2 is not None)):
+                zeros_h = jnp.zeros((h, P, B), _F32)
+            if u1 is None and u2 is None:
+                bits = None
+            else:
+                bits = jnp.concatenate(
+                    [u1 if u1 is not None else zeros_h,
+                     u2 if u2 is not None else zeros_h])
+            if b1 is None and b2 is None:
+                beta = None
+            elif b1 is None:
+                beta = jnp.concatenate([b2, b2])
+            elif b2 is None:
+                beta = jnp.concatenate([b1, jnp.zeros((h, P, B), _F32)])
+            else:
+                beta = jnp.concatenate([_xor_f(b1, b2), b2])
+            return bits, beta, perm, pm
+
+        bits, _, _, pm = rec(alpha0, 0, N, pm0)
+        if bits is None:  # degenerate all-frozen code
+            bits = jnp.zeros((N, P, B), _F32)
+        u_all = bits.transpose(2, 1, 0).astype(jnp.int8)  # [B, P, N]
+        pm_b = pm.T  # [B, P]
+        dom = _butterfly_encode(u_all) if code.systematic else u_all
+        score = pm_b
+        if code.crc:
+            bits_f = dom[..., info_pos].astype(_F32)
+            syndrome = jnp.mod(bits_f @ crc_h, 2.0)
+            ok = jnp.all(syndrome == 0.0, axis=-1)
+            score = score + jnp.where(ok, 0.0, _CRC_FAIL)
+        winner = jnp.argmin(score, axis=-1)
+        sel = (winner[:, None] == jnp.arange(P)[None, :]).astype(_F32)
+        best = jnp.einsum("bp,bpn->bn", sel, dom.astype(_F32),
+                          precision=lax.Precision.HIGHEST).astype(jnp.int8)
+        payload = best[:, payload_pos]
+        if full:
+            return payload, pm_b, u_all
+        return payload
+
+    return decode
+
+
 def polar_scl_decode(code, llr, list_size=8, rule="minsum", pm_rule="approx"):
     """List decode. llr [B, N] -> payload [B, K] int8 (CRC-aided if set)."""
     return make_polar_scl_decoder(code, list_size=list_size, rule=rule,
