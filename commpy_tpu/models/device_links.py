@@ -1007,7 +1007,9 @@ def make_idd_kbest_ldpc_mimo_link(
     beam: int = 16,
     algorithm: str = "MSA",
     n_iterations: int = 15,
-    n_it: int = 2,
+    n_it: int = 1,
+    damping: float = 1.0,
+    llr_clip: float = 50.0,
     name: str = "idd-kbest-ldpc-mimo",
 ) -> DeviceLink:
     """LDPC-coded MIMO link decoded through the DEVICE IDD loop.
@@ -1020,6 +1022,22 @@ def make_idd_kbest_ldpc_mimo_link(
     K-best soft detector and the LDPC BP posterior exchange extrinsics
     ``n_it`` times, then a final BP decode hard-decides the total LLRs.
     One frame = one codeword.
+
+    Measured behavior (honest defaults): ONE exchange (``n_it=1``)
+    improves on the one-pass chain (18 dB, 8 frames: 0 vs 33 bit
+    errors); further undamped exchanges OSCILLATE — the max-log K-best
+    extrinsic overshoots and the loop (faithful to the reference
+    closure, which CommPy itself never validates) has no damping.
+    ``damping`` < 1 scales the decoder extrinsic fed back to the
+    detector (implemented as a decoder wrapper, so the loop semantics
+    stay reference-exact at ``damping=1``); 0.3 roughly halves the
+    n_it>=2 degradation but still does not beat ``n_it=1`` in this
+    configuration, hence the default.  ``llr_clip`` bounds the
+    detector's max-log LLRs (they are +-inf when every survivor agrees
+    on a bit — poison for the extrinsic subtraction); 50 measured best
+    for the exchange (500, the reference detectors' clip, leaves
+    saturated extrinsics that cost ~180 bit errors at 18 dB where 50
+    costs 0).
     """
     from ..models.idd import idd_decoder_device
     from ..ops.ldpc import ldpc_bp_decode_device
@@ -1053,13 +1071,19 @@ def make_idd_kbest_ldpc_mimo_link(
 
         def detector(yv, hv, noise_var, a_priori):
             return kbest_device(yv, hv, const, int(beam), noise_var,
-                                "soft", bps, a_priori=a_priori)
+                                "soft", bps, a_priori=a_priori,
+                                llr_clip=float(llr_clip))
 
         def decoder(llrs_flat):
             _, post = ldpc_bp_decode_device(
                 llrs_flat.reshape(F, n_v), ldpc_params, algorithm,
                 n_iterations)
-            return post.reshape(-1)
+            post = post.reshape(-1)
+            if damping != 1.0:
+                # damp the EXTRINSIC the loop derives (post - input):
+                # x + d*(post - x) makes a_det_new = d*(post - x)
+                post = llrs_flat + damping * (post - llrs_flat)
+            return post
 
         def decision(llrs_flat):
             dec, _ = ldpc_bp_decode_device(

@@ -85,7 +85,8 @@ def mimo_ml(y, h, constellation):
 
 def kbest_device(y, h, constellation, K: int, noise_var=0.0,
                  output_type="hard", bits_per_symbol=None,
-                 selection: str = "exact", a_priori=None):
+                 selection: str = "exact", a_priori=None,
+                 llr_clip=None):
     """Batched K-best detection.
 
     y: ``[B, nr]``, h: ``[B, nr, nt]``.
@@ -105,6 +106,13 @@ def kbest_device(y, h, constellation, K: int, noise_var=0.0,
     constant), applied DURING the tree search so priors also steer
     survivor selection; the returned LLRs are posteriors, which is what
     the IDD extrinsic exchange expects.
+
+    ``llr_clip`` (soft only): clip the output LLRs to ``+-llr_clip``.
+    Max-log LLRs are ``+-inf`` whenever every survivor agrees on a bit;
+    an IDD extrinsic subtraction on an infinite LLR produces
+    inf/NaN poison, so the loop needs finite outputs — the reference's
+    detectors clip at ``llr_max=500`` for the same reason
+    (commpy/modulation.py:558).
     """
     if selection not in ("exact", "approx"):
         raise ValueError(
@@ -141,8 +149,11 @@ def kbest_device(y, h, constellation, K: int, noise_var=0.0,
     elif output_type == "soft":
         if bits_per_symbol is None:
             bits_per_symbol = int(np.log2(constellation.shape[0]))
-        return _max_log_llrs_batched(idx, mets, bits_per_symbol,
+        llrs = _max_log_llrs_batched(idx, mets, bits_per_symbol,
                                      noise_var)
+        if llr_clip is not None:
+            llrs = jnp.clip(llrs, -float(llr_clip), float(llr_clip))
+        return llrs
     raise ValueError('output_type must be "hard" or "soft"')
 
 

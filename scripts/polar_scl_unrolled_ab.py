@@ -1,6 +1,6 @@
 """Same-process A/B: scan SCL vs statically-unrolled SCL on device.
 
-Usage: python scripts/polar_scl_unrolled_ab.py [B1,B2,...]
+Usage: python scripts/polar_scl_unrolled_ab.py
 """
 import sys
 import time
@@ -16,13 +16,11 @@ from commpy_tpu.ops.polar import (make_polar_scl_decoder,
                                   make_polar_scl_decoder_unrolled,
                                   polar_construct)
 
-Bs = [int(b) for b in (sys.argv[1].split(",") if len(sys.argv) > 1
-                       else ["256", "1024"])]
 code = polar_construct(1024, 512, crc="crc11", design_snr_db=2.0)
 rng = np.random.RandomState(0)
 
 
-def timed(scl, x0, rep=4):
+def timed(scl, x0, rep):
     def run(r):
         def chained(x):
             def body(c, _):
@@ -39,25 +37,25 @@ def timed(scl, x0, rep=4):
             x, s = g(x)
             _ = float(s)
         return (time.perf_counter() - t0) / 3
-    return (run(rep) - run(1)) / (rep - 1)
+    return (run(rep) - run(max(1, rep // 4))) / (rep - max(1, rep // 4))
 
 
-for B in Bs:
-    x0 = jnp.asarray(rng.randn(B, 1024).astype(np.float32) * 3)
-    scan_d = make_polar_scl_decoder(code, list_size=8, rule="minsum",
-                                    pm_rule="approx")
-    unr_d = make_polar_scl_decoder_unrolled(code, list_size=8,
-                                            rule="minsum",
-                                            pm_rule="approx")
-    # device equivalence spot check at this batch
-    a = np.asarray(scan_d(x0[:8]))
-    b = np.asarray(unr_d(x0[:8]))
-    print(f"B={B}: device outputs equal: {np.array_equal(a, b)}",
-          flush=True)
-    for p in range(2):
-        t_scan = timed(scan_d, x0, rep=4)
-        t_unr = timed(unr_d, x0, rep=64)
-        print(f"pass {p} B={B:5d}: scan {B*512/t_scan/1e6:8.2f} Mbit/s "
-              f"({t_scan*1e3:.2f} ms) | unrolled "
-              f"{B*512/t_unr/1e6:8.2f} Mbit/s ({t_unr*1e3:.2f} ms) | "
-              f"{t_scan/t_unr:.2f}x", flush=True)
+unr = make_polar_scl_decoder_unrolled(code, list_size=8, rule="minsum",
+                                      pm_rule="approx")
+scan = make_polar_scl_decoder(code, list_size=8, rule="minsum",
+                              pm_rule="approx")
+
+x1k = jnp.asarray(rng.randn(1024, 1024).astype(np.float32) * 3)
+a = np.asarray(scan(x1k[:8]))
+b = np.asarray(unr(x1k[:8]))
+print("device outputs equal:", np.array_equal(a, b), flush=True)
+
+x4k = jnp.asarray(rng.randn(4096, 1024).astype(np.float32) * 3)
+for p in range(2):
+    t_scan = timed(scan, x1k, rep=4)
+    t_u1 = timed(unr, x1k, rep=48)
+    t_u4 = timed(unr, x4k, rep=16)
+    print(f"pass {p}: scan B=1024 {1024*512/t_scan/1e6:8.1f} Mbit/s | "
+          f"unrolled B=1024 {1024*512/t_u1/1e6:8.1f} Mbit/s "
+          f"({t_scan/t_u1:.1f}x) | unrolled B=4096 "
+          f"{4096*512/t_u4/1e6:8.1f} Mbit/s", flush=True)

@@ -192,6 +192,61 @@ def test_scl_matches_golden_bitexact(N, K, P):
                               want_u[~code.frozen_mask][:K]), f"frame {b}"
 
 
+@pytest.mark.parametrize("N,K,P", [(8, 4, 2), (32, 20, 4), (64, 32, 8),
+                                   (128, 64, 4)])
+def test_scl_unrolled_matches_golden_bitexact(N, K, P):
+    """The statically-unrolled SCL (r5 TPU path) against the SAME NumPy
+    golden as the scan decoder — payload, path metrics, and full list,
+    bit-exact."""
+    from commpy_tpu.ops.polar import make_polar_scl_decoder_unrolled
+
+    rng = np.random.default_rng(31 + N + P)
+    code = _random_code(rng, N, K)
+    B = 4
+    llr = rng.normal(size=(B, N)).astype(np.float32) * 2.5
+    dec = make_polar_scl_decoder_unrolled(code, list_size=P, rule="minsum",
+                                          pm_rule="approx", full=True)
+    payload, pms, u_all = (np.asarray(a) for a in dec(jnp.asarray(llr)))
+    for b in range(B):
+        want_u, want_pms, want_all = polar_ref.scl_decode_np(
+            llr[b], code.frozen_mask, P, rule="minsum", pm_rule="approx")
+        active = want_pms < 1e20
+        assert np.array_equal(u_all[b][active], want_all[active]), f"frame {b}"
+        assert np.array_equal(pms[b][active].astype(np.float32),
+                              want_pms[active]), f"frame {b}"
+        assert np.array_equal(payload[b],
+                              want_u[~code.frozen_mask][:K]), f"frame {b}"
+
+
+@pytest.mark.parametrize(
+    "N,K,crc,systematic,P,rule,pm_rule",
+    [(64, 32, None, False, 8, "minsum", "approx"),
+     (64, 28, "crc11", False, 4, "minsum", "approx"),
+     (128, 80, None, True, 8, "minsum", "exact"),
+     (128, 64, "crc11", True, 8, "exact", "approx"),
+     (64, 64, None, False, 8, "minsum", "approx"),   # all-info
+     (64, 1, None, False, 8, "minsum", "approx")])   # near-all-frozen
+def test_scl_unrolled_bitidentical_to_scan(N, K, crc, systematic, P, rule,
+                                           pm_rule):
+    """Scan and unrolled SCL builders are the same decoder: payload, pm,
+    and full path list bit-identical across CRC/systematic/rule/pm-rule
+    configurations (the unrolled builder only restructures dispatch:
+    static frozen masks, rank-select prune, hierarchical deferred
+    permutation, level-parallel frozen cascades)."""
+    from commpy_tpu.ops.polar import make_polar_scl_decoder_unrolled
+
+    rng = np.random.default_rng(7 + N + K + P)
+    code = polar_construct(N, K, crc=crc, systematic=systematic,
+                           design_snr_db=2.0)
+    llr = jnp.asarray(rng.normal(size=(5, N)).astype(np.float32) * 2)
+    a = make_polar_scl_decoder(code, list_size=P, rule=rule,
+                               pm_rule=pm_rule, full=True)(llr)
+    b = make_polar_scl_decoder_unrolled(code, list_size=P, rule=rule,
+                                        pm_rule=pm_rule, full=True)(llr)
+    for x, y, nm in zip(a, b, ("payload", "pm", "u_all")):
+        assert np.array_equal(np.asarray(x), np.asarray(y)), nm
+
+
 def test_scl_exact_pm_close_to_golden():
     rng = np.random.default_rng(17)
     code = _random_code(rng, 64, 40)
