@@ -65,6 +65,15 @@ LABELS = {
     "rs_255_223_t16":
         "Reed-Solomon RS(255,223) t=16 decode, CCSDS shape (beyond "
         "reference)",
+    "tpc_31_21_sq_chase4":
+        "turbo product code (31,21)^2, Chase-Pyndiah 4 iterations "
+        "(beyond reference)",
+    "equalize_mmse_t31_l5":
+        "MMSE equalizer, per-batch 31-tap Wiener solve + FIR apply "
+        "(L=5 channel; beyond reference)",
+    "polar_scl8_crc11_1024_512_unrolled":
+        "polar CRC-aided SCL-8 decode, statically-unrolled tree "
+        "(r5; bit-identical to the scan decoder)",
 }
 ORDER = list(LABELS)
 

@@ -107,15 +107,16 @@ def _w_tables(trellis: Trellis):
 
 
 def bcjr_vmem_bytes(T: int, S: int, io_bytes: int = 4,
-                    masked: bool = False, astride: int = 1) -> int:
+                    masked: bool = False, astride: int = 1,
+                    C: int = _C) -> int:
     """Scoped-VMEM footprint of one kernel grid step (for cap checks).
 
     ``astride=2``: the kernel stores forward metrics only at even steps
     and recomputes the odd ones during the backward pass — half the
     history footprint for ~25% extra backward work."""
-    alphas = 4 * (-(-T // astride)) * S * _C * _LANE
+    alphas = 4 * (-(-T // astride)) * S * C * _LANE
     n_blocks = 4 + (1 if masked else 0)  # w1, w2, li, e [, valid]
-    streams = io_bytes * 2 * T * _C * _LANE * n_blocks  # double-buffered
+    streams = io_bytes * 2 * T * C * _LANE * n_blocks  # double-buffered
     return alphas + streams
 
 
@@ -123,7 +124,7 @@ def _bcjr_kernel(w1_ref, w2_ref, li_ref, valid_ref, first_ref, a0_ref,
                  bT_ref, e_ref, af_ref, bf_ref, alphas_ref, *,
                  T: int, S: int, inv_nst, nst, which, sign,
                  lse_mode: str, masked: bool, boundary: bool,
-                 astride: int = 1):
+                 astride: int = 1, C: int = _C):
     """One lane block's full BCJR pass (8 chunks x 128 lanes).
 
     w1/w2_ref   : [T, 8, 128] precombined streams (sy +- pa)/nv
@@ -138,7 +139,7 @@ def _bcjr_kernel(w1_ref, w2_ref, li_ref, valid_ref, first_ref, a0_ref,
                   (written only in the boundary variant)
     alphas_ref  : [T, S*8, 128] (scratch) forward metric history
     """
-    SC = S * _C
+    SC = S * C
     neg_inf = jnp.float32(-1e30)
 
     if lse_mode == "maxlog":
@@ -160,7 +161,7 @@ def _bcjr_kernel(w1_ref, w2_ref, li_ref, valid_ref, first_ref, a0_ref,
             return m + jnp.log1p(jnp.exp(-jnp.abs(x - y)))
 
     def rowt(ref, t):  # [T, 8, 128] -> [8, 128] step row, f32
-        return ref[pl.ds(t, 1)].reshape(_C, _LANE).astype(jnp.float32)
+        return ref[pl.ds(t, 1)].reshape(C, _LANE).astype(jnp.float32)
 
     def crep(x):  # [8, 128] -> [S*8, 128], chunk rows tiled per state
         return pltpu.repeat(x, S, axis=0) if S > 1 else x
@@ -187,20 +188,20 @@ def _bcjr_kernel(w1_ref, w2_ref, li_ref, valid_ref, first_ref, a0_ref,
 
     def pick(x, table_u):  # [S*8, 128] picked by state table, full tiles
         return jnp.concatenate(
-            [x[table_u[s] * _C:(table_u[s] + 1) * _C] for s in range(S)], 0
+            [x[table_u[s] * C:(table_u[s] + 1) * C] for s in range(S)], 0
         )
 
     def reduce_s(x):
         # [S*8, 128] -> [8, 128]: lse over states (contiguous halvings
         # split the state MSB; S power of two via shift registers)
-        while x.shape[0] > _C:
+        while x.shape[0] > C:
             h = x.shape[0] // 2
             x = lse2(x[:h], x[h:])
         return x
 
     # ---- alpha start ---- (rows are (s, c), chunk minor: s = r // 8)
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (SC, _LANE), 0)
-    s_of_row = r_iota // _C
+    s_of_row = r_iota // C
     if boundary:
         alpha0 = a0_ref[...].reshape(SC, _LANE)
     elif masked:
@@ -235,7 +236,7 @@ def _bcjr_kernel(w1_ref, w2_ref, li_ref, valid_ref, first_ref, a0_ref,
         app0 = reduce_s(al + cand0)  # [8, 128]
         app1 = reduce_s(al + cand1)
         e_ref[pl.ds(t, 1)] = (app1 - app0).reshape(
-            1, _C, _LANE).astype(e_ref.dtype)
+            1, C, _LANE).astype(e_ref.dtype)
         if masked:
             vt = crep(rowt(valid_ref, t))
             b = jnp.where(vt > 0.5, b, beta)
@@ -288,8 +289,8 @@ def _bcjr_kernel(w1_ref, w2_ref, li_ref, valid_ref, first_ref, a0_ref,
         beta_fin = jax.lax.fori_loop(0, T2, bwd2, beta_T)
 
     if boundary:
-        af_ref[...] = alpha_fin.reshape(S, _C, _LANE)
-        bf_ref[...] = beta_fin.reshape(S, _C, _LANE)
+        af_ref[...] = alpha_fin.reshape(S, C, _LANE)
+        bf_ref[...] = beta_fin.reshape(S, C, _LANE)
 
 
 def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
@@ -313,8 +314,13 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
               ``valid`` masking.
     lse     : None (exact log-MAP / max-log per ``max_log``) or
               "linear" (linear-log-MAP correction, see kernel).
-    lane_chunk: accepted for API compatibility; the grid granularity is
-              fixed at 1024 lanes (8 chunks x 128) by the layout.
+    lane_chunk: lanes per kernel grid step (C = lane_chunk/128 chunk
+              rows; default 1024 -> C=8, the 8-sublane tile height).
+              2048 doubles every vector op's tile depth — the
+              recursions are dependent-op-ISSUE bound, not
+              throughput bound, so deeper tiles amortize the chain
+              (r5 A/B); costs 2x VMEM, so it needs bf16 streams
+              and/or astride=2 at LTE window sizes.
     combined: syn/pan are ALREADY the precombined w-streams
               ((sy + pa)/nv, (sy - pa)/nv) — lets the turbo loop hoist
               the combination out of its iterations (the streams are
@@ -327,7 +333,6 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
     to uniform per-(t, r) shifts, which cancel in the difference), or
     lappr itself with ``posterior=True``.
     """
-    del lane_chunk
     T, R = syn.shape
     S = trellis.number_states
     if S & (S - 1):
@@ -343,10 +348,13 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
                          "mutually exclusive")
     io = jnp.bfloat16 if io_dtype == "bf16" else jnp.float32
     io_bytes = 2 if io_dtype == "bf16" else 4
+    if lane_chunk % _LANE or (lane_chunk // _LANE) & (lane_chunk // _LANE - 1):
+        raise ValueError("lane_chunk must be a power-of-two multiple of 128")
+    C = max(_C, lane_chunk // _LANE)
     astride = 1
-    if bcjr_vmem_bytes(T, S, io_bytes, masked, 1) > _VMEM_BUDGET:
+    if bcjr_vmem_bytes(T, S, io_bytes, masked, 1, C) > _VMEM_BUDGET:
         astride = 2
-        need = bcjr_vmem_bytes(T, S, io_bytes, masked, 2)
+        need = bcjr_vmem_bytes(T, S, io_bytes, masked, 2, C)
         if need > _VMEM_BUDGET:
             raise ValueError(
                 f"BCJR kernel VMEM footprint {need/2**20:.1f} MB exceeds "
@@ -357,7 +365,7 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
     lse_mode = ("maxlog" if max_log
                 else ("linear" if lse == "linear" else "exact"))
 
-    LB = _C * _LANE  # 1024 lanes per grid step
+    LB = C * _LANE  # lanes per grid step
     n_chunks = -(-R // LB)
     Rp = n_chunks * LB
     CT = Rp // _LANE  # total chunk rows
@@ -404,22 +412,22 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
     kernel = partial(
         _bcjr_kernel, T=T, S=S, inv_nst=inv_nst, nst=nst, which=which,
         sign=sign, lse_mode=lse_mode, masked=masked,
-        boundary=has_boundary, astride=astride,
+        boundary=has_boundary, astride=astride, C=C,
     )
     interpret = jax.default_backend() not in ("tpu", "axon")
 
-    stream_spec = pl.BlockSpec((T, _C, _LANE), lambda i: (0, i, 0),
+    stream_spec = pl.BlockSpec((T, C, _LANE), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM)
-    state_spec = pl.BlockSpec((S, _C, _LANE), lambda i: (0, i, 0),
+    state_spec = pl.BlockSpec((S, C, _LANE), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)
     e, af, bf = pl.pallas_call(
         kernel,
         grid=(n_chunks,),
         in_specs=[
             stream_spec, stream_spec, stream_spec,
-            pl.BlockSpec((Tv, _C, _LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((Tv, C, _LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _C, _LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((1, C, _LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             state_spec, state_spec,
         ],
@@ -430,7 +438,7 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
             jax.ShapeDtypeStruct((S, CT, _LANE), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((-(-T // astride), S * _C, _LANE), jnp.float32)
+            pltpu.VMEM((-(-T // astride), S * C, _LANE), jnp.float32)
         ],
         interpret=interpret,
     )(w1, w2, li_f, valid_f, first_f, a0_f, bT_f)

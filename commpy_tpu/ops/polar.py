@@ -992,8 +992,11 @@ def make_polar_scl_decoder_unrolled(code, list_size=8, rule="minsum",
 
     Bit-identical outputs to :func:`make_polar_scl_decoder` (same
     candidate scores, same stable tie-breaks, same pm accumulation
-    order), built differently: the decode tree is unrolled at TRACE time
-    against the code's frozen mask, so
+    order; with the transcendental rules — ``rule='exact'`` /
+    ``pm_rule='exact'`` — path metrics can differ ~1 ULP because XLA's
+    program-dependent fusion rounds logaddexp/softplus differently,
+    decisions still identical), built differently: the decode tree is
+    unrolled at TRACE time against the code's frozen mask, so
 
     * there is no ``lax.scan``/``lax.cond``/``lax.switch`` anywhere —
       the r4 profile showed the scan decoder's wall is that dispatch
