@@ -367,6 +367,30 @@ def main():
         report("bch_dvbs2_16200_t12", Bb * code.k / dt, "info bits/s", "")
     guarded(sec_bch)
 
+    # --- 5G-NR-style QC-LDPC BG1 (synthetic-NR-style shifts, standard
+    # structure; ops/nrldpc.py — VERDICT r4 item 8) ---
+    def sec_nrldpc():
+        from commpy_tpu.ops.nrldpc import nr_code_params, nr_encode_device
+        from commpy_tpu.ops.qcldpc import qc_bp_decode_device
+
+        p = nr_code_params(1, 208)  # n=14144, k=4576 (Z=13*16)
+        Bn = 32
+        nrng = np.random.default_rng(0)
+        msg = nrng.integers(0, 2, (Bn, p["k_bits"]))
+        cw = np.asarray(nr_encode_device(jnp.asarray(msg, jnp.int8), p),
+                        np.float32)
+        llr = (1.0 - 2.0 * cw) * 2.0 + nrng.normal(0, 0.8, cw.shape)
+        x0 = jnp.asarray(llr.astype(np.float32))
+
+        def body(c):
+            dec, out = qc_bp_decode_device(c, p, "MSA", 8,
+                                           schedule="layered")
+            return c + out * 1e-9
+        dt = timed_chain(body, x0, rep=8)
+        report("nrldpc_bg1_z208_layered8", Bn * p["k_bits"] / dt,
+               "info bits/s", "")
+    guarded(sec_nrldpc)
+
     # --- Turbo product code (31,21)^2 Chase-Pyndiah (beyond reference;
     # VERDICT r4 weak #7: first on-chip throughput row for TPC) ---
     def sec_tpc():

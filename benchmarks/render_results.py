@@ -74,6 +74,10 @@ LABELS = {
     "polar_scl8_crc11_1024_512_unrolled":
         "polar CRC-aided SCL-8 decode, statically-unrolled tree "
         "(r5; bit-identical to the scan decoder)",
+    "nrldpc_bg1_z208_layered8":
+        "5G-NR-style QC-LDPC BG1 Z=208 (14144,4576) layered MSA, 8 it "
+        "(synthetic-NR-style shifts, standard structure; beyond "
+        "reference)",
 }
 ORDER = list(LABELS)
 
