@@ -283,6 +283,168 @@ def main():
             "top_k sort + one-hot gathers; 4 sequential levels")
     sec_kbest()
 
+    # ---- polar SC (bench shape: N=1024 K=512 B=2048, blocked scan) ----
+    def sec_polar_sc():
+        from commpy_tpu.ops.polar import make_polar_sc_decoder, \
+            polar_construct
+
+        code = polar_construct(1024, 512, design_snr_db=2.0)
+        N, Bp = 1024, 2048
+        sc = make_polar_sc_decoder(code, rule="minsum")
+        x0 = jnp.asarray(rng.randn(Bp, N).astype(np.float32) * 3)
+
+        def body(c):
+            dec = sc(c)
+            return c.at[0, 0].add(jnp.sum(dec).astype(c.dtype) * 1e-12)
+
+        dt = timed_chain(body, x0, rep=8)
+        lg = int(np.log2(N))
+        # f/g tree: ~N log2 N values/frame, ~4 VPU flops each; carried
+        # value-major [N*B] L/C buffers stream r+w per scan step (nb=2
+        # at block_exp=9)
+        vpu = N * lg * Bp * 4
+        hbm = 2 * 2 * 2 * N * Bp * 4
+        add("polar_sc N1024 B2048", dt, 0.0, vpu, hbm,
+            "2^9-leaf blocked scan; in-block subtree unrolled; "
+            "scan-step overhead amortized 512x")
+    sec_polar_sc()
+
+    # ---- polar SCL-8 statically unrolled (r5; N=1024 P=8 B=1024) ----
+    def sec_polar_scl():
+        from commpy_tpu.ops.polar import make_polar_scl_decoder_unrolled, \
+            polar_construct
+
+        code = polar_construct(1024, 512, crc="crc11", design_snr_db=2.0)
+        N, P, Bl = 1024, 8, 1024
+        scl = make_polar_scl_decoder_unrolled(code, list_size=P,
+                                              rule="minsum",
+                                              pm_rule="approx")
+        x0 = jnp.asarray(rng.randn(Bl, N).astype(np.float32) * 3)
+
+        def body(c):
+            dec = scl(c)
+            return c.at[0, 0].add(jnp.sum(dec).astype(c.dtype) * 1e-12)
+
+        dt = timed_chain(body, x0, rep=24)
+        lg = int(np.log2(N))
+        n_info = int((~code.frozen_mask).sum())
+        # hierarchical deferred permutes: ~1.5 N log2 N rows of
+        # [P, B] x [P, P, B] multiply-reduce (2 P^2 B flops/row);
+        # f/g tree on [*, P, B] (~4 flops/value); rank-select prunes
+        # ([2P, 2P, B] compares + one-hot sums)
+        perm_rows = 1.5 * N * lg
+        vpu = (perm_rows * 2 * P * P * Bl
+               + N * lg * P * Bl * 4
+               + n_info * (2 * P) * (2 * P) * Bl * 3)
+        # tree tensors materialized r+w once each
+        hbm = 2 * (N * lg) * P * Bl * 4
+        add("polar_scl8_unrolled N1024 B1024", dt, 0.0, vpu, hbm,
+            f"{n_info} sequential rank-select prunes; no scan/cond/"
+            "switch dispatch (r5 rewrite, 17x over the scan decoder)")
+    sec_polar_scl()
+
+    # ---- BCH DVB-S2-class outer (n=16200 t=12 GF(2^16), B=256) ----
+    def sec_bch_roof():
+        from commpy_tpu.ops.bch import bch_construct, bch_encode, \
+            make_bch_decoder
+
+        code = bch_construct(16, 12, shorten=(1 << 16) - 1 - 16200)
+        Bb = 256
+        brng = np.random.default_rng(0)
+        msg = brng.integers(0, 2, (Bb, code.k))
+        cw = np.asarray(bch_encode(code, msg))
+        rx = cw.copy()
+        for b in range(Bb):
+            pos = brng.choice(code.n, 12, replace=False)
+            rx[b, pos] ^= 1
+        dec = make_bch_decoder(code)
+        x0 = jnp.asarray(rx.astype(np.float32))
+
+        def body(c):
+            _, ne, _ = dec(c.astype(jnp.int8))
+            return c.at[0, 0].add(jnp.sum(ne).astype(c.dtype) * 1e-12)
+
+        dt = timed_chain(body, x0, rep=8)
+        m, t, n = code.m, code.t, code.n
+        D = min(512, code.n_parent)
+        n_blocks = -(-code.n_parent // D)
+        # syndrome matmul [B,n]@[n,2tm] + Chien scan: n_blocks steps of
+        # [B,(t+1)m]@[(t+1)m, D*m] evals (0/1 operands: bf16-exact,
+        # DEFAULT 1-pass) — the Chien matmuls dominate
+        mxu = (Bb * n * 2 * t * m * 2
+               + n_blocks * (Bb * (t + 1) * m * (D * m + (t + 1) * m) * 2))
+        vpu = 2 * t * Bb * m * m * 6  # BM scan steps (small, issue-bound)
+        hbm = Bb * n * 4 * 2
+        add("bch 16200 t12 B256", dt, mxu, vpu, hbm,
+            "Chien-search matmuls dominate FLOPs; BM is a 24-step "
+            "dependent scan")
+    sec_bch_roof()
+
+    # ---- RS(255,223) t=16, B=2048 (CCSDS shape) ----
+    def sec_rs_roof():
+        from commpy_tpu.ops.rs import rs_construct, rs_encode, \
+            make_rs_decoder
+
+        code = rs_construct(8, 16)
+        Br = 2048
+        rrng = np.random.default_rng(0)
+        msg = rrng.integers(0, 256, (Br, code.k))
+        cw = np.asarray(rs_encode(code, msg))
+        rx = cw.copy()
+        for b in range(Br):
+            pos = rrng.choice(code.n, 16, replace=False)
+            rx[b, pos] ^= rrng.integers(1, 256, 16)
+        dec = make_rs_decoder(code)
+        x0 = jnp.asarray(rx.astype(np.float32))
+
+        def body(c):
+            _, ne, _ = dec(c.astype(jnp.int32))
+            return c.at[0, 0].add(jnp.sum(ne).astype(c.dtype) * 1e-12)
+
+        dt = timed_chain(body, x0, rep=8)
+        m, t, n = code.m, code.t, code.n
+        # bit-sliced GF(2^8): syndromes (2t x n Horner, m-plane AND-XOR)
+        # + BM (2t dependent steps) + Chien/Forney over n positions
+        vpu = (2 * t * n * Br * m * 3 + 2 * t * Br * (t + 1) * m * m * 4
+               + n * Br * (t + 1) * m * 3)
+        hbm = Br * n * 4 * 2
+        add("rs 255,223 B2048", dt, 0.0, vpu, hbm,
+            "32-step dependent BM scan is op-count-bound (lanes-major "
+            "state, static reduction folds — r4 rewrite)")
+    sec_rs_roof()
+
+    # ---- TPC (31,21)^2 Chase-Pyndiah, 4 iterations, B=64 ----
+    def sec_tpc_roof():
+        from commpy_tpu.ops.bch import bch_construct
+        from commpy_tpu.ops.tpc import make_tpc_decoder, tpc_encode
+
+        code = bch_construct(5, 2)
+        Bt = 64
+        trng = np.random.default_rng(0)
+        data = trng.integers(0, 2, (Bt, code.k, code.k))
+        cwp = np.asarray(tpc_encode(code, code, jnp.asarray(data)))
+        llr = (1.0 - 2.0 * cwp) * 4.0 + trng.normal(0, 1.4, cwp.shape)
+        dec = make_tpc_decoder(code, code, iterations=4, p=4)
+        x0 = jnp.asarray(llr.astype(np.float32))
+
+        def body(c):
+            d, _ = dec(c)
+            return c.at[0, 0, 0].add(jnp.sum(d).astype(c.dtype) * 1e-12)
+
+        dt = timed_chain(body, x0, rep=8)
+        n, t, m, p = code.n, code.t, code.m, 4
+        half_iters = 8
+        rows = Bt * n  # rows (or cols) decoded per half-iteration
+        pats = 1 << p
+        # per half-iteration: Chase over 2^p test patterns, each a
+        # syndrome+BM+Chien on (31,21): ~n*2t*m*3 VPU flops per pattern
+        vpu = half_iters * rows * pats * (n * 2 * t * m * 3)
+        hbm = half_iters * Bt * n * n * 4 * 2
+        add("tpc 31x31 chase4 B64", dt, 0.0, vpu, hbm,
+            "8 half-iterations x 16 Chase patterns; per-pattern "
+            "algebraic decode on tiny (31,21) tiles")
+    sec_tpc_roof()
+
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "roofline_latest.jsonl"), "w") as f:
         for r in rows:

@@ -316,11 +316,13 @@ def bcjr_appdiff_pallas(syn, pan, li, trellis: Trellis,
               "linear" (linear-log-MAP correction, see kernel).
     lane_chunk: lanes per kernel grid step (C = lane_chunk/128 chunk
               rows; default 1024 -> C=8, the 8-sublane tile height).
-              2048 doubles every vector op's tile depth — the
-              recursions are dependent-op-ISSUE bound, not
-              throughput bound, so deeper tiles amortize the chain
-              (r5 A/B); costs 2x VMEM, so it needs bf16 streams
-              and/or astride=2 at LTE window sizes.
+              2048 doubles every vector op's tile depth — the hope was
+              that issue cost would amortize, but the r5 device A/B
+              (scripts/bcjr_chunk_ab.py) measured C=16 ~3x SLOWER at
+              T=128/f32 (0.37 -> 1.68 ms/pass, bit-identical output):
+              the recursions' dependent [S*16, 128] tiles spill
+              registers in Mosaic rather than pipelining.  Kept as an
+              option for other shapes; the default stays 8.
     combined: syn/pan are ALREADY the precombined w-streams
               ((sy + pa)/nv, (sy - pa)/nv) — lets the turbo loop hoist
               the combination out of its iterations (the streams are

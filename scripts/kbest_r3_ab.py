@@ -78,16 +78,17 @@ def timed_chain(body, rep=12, outer=3):
     return (run(rep) - run(rep // 4)) / (rep - rep // 4)
 
 
-# output equivalence first
-a = np.asarray(kbest_r3(jax.lax.complex(*y0),
-                        jax.lax.complex(jnp.asarray(hr[0]),
-                                        jnp.asarray(hr[1])),
-                        jnp.asarray(const), 16)[:64])
-b = np.asarray(kbest_now(jax.lax.complex(*y0),
-                         jax.lax.complex(jnp.asarray(hr[0]),
-                                         jnp.asarray(hr[1])),
-                         jnp.asarray(const), 16)[:64])
-print("outputs equal:", np.array_equal(a, b), flush=True)
+# output equivalence first (device-side compare: the axon tunnel lacks
+# complex device->host readback, so only a scalar crosses)
+@jax.jit
+def _eq(yre, yim):
+    y = jax.lax.complex(yre, yim)
+    h = jax.lax.complex(jnp.asarray(hr[0]), jnp.asarray(hr[1]))
+    a = kbest_r3(y, h, jnp.asarray(const), 16)
+    b = kbest_now(y, h, jnp.asarray(const), 16)
+    return jnp.sum(jnp.abs(a - b))
+
+print("outputs equal:", float(_eq(*y0)) == 0.0, flush=True)
 
 res = {"r3": [], "now": []}
 for p in range(3):
