@@ -79,6 +79,20 @@ def main():
                 return dt
         raise RuntimeError("non-positive chain-differenced time")
 
+    def guarded(section):
+        # one jitter-struck or service-struck section must not kill the
+        # whole artifact; report and continue (r5)
+        import traceback
+        for attempt in (0, 1):
+            try:
+                section()
+                return
+            except Exception as e:  # pragma: no cover
+                traceback.print_exc()
+                print(json.dumps({"error": f"{section.__name__} attempt "
+                                  f"{attempt}: {type(e).__name__}: {e}"}),
+                      flush=True)
+
     def add(name, seconds, mxu_flops, vpu_flops, hbm_bytes, note):
         f_mxu = mxu_flops / seconds / PEAK_MXU
         f_vpu = vpu_flops / seconds / PEAK_VPU
@@ -122,7 +136,7 @@ def main():
         hbm = (T * n * B + T * G * B + T * B) * 4
         add("viterbi_acs_fwd k7 B2048", dt, mxu, vpu, hbm,
             "sequential [128,64]@[64,2048] chain; 1 MXU op depth/step")
-    sec_acs()
+    guarded(sec_acs)
 
     # ---- Viterbi traceback kernel ----
     def sec_tb():
@@ -152,7 +166,7 @@ def main():
             "VPU-saturated: the analytic per-depth op count lands >100% "
             "of peak, i.e. Mosaic emits fewer ops than the jnp source "
             "(constant select chains hoisted across the unrolled loop)")
-    sec_tb()
+    guarded(sec_tb)
 
     # ---- BCJR MAP pass (standard turbo bench constituent) ----
     def sec_bcjr():
@@ -169,13 +183,13 @@ def main():
             return c + e * 1e-9
 
         li0 = jnp.asarray(rng.randn(T, R).astype(np.float32))
-        dt = timed_chain(body, li0, rep=12)
+        dt = timed_chain(body, li0, rep=96)
         # alpha + beta recursions + APP: ~(2 recursions * S*I*3 + S*6) /step
         vpu = T * R * (2 * S * I * 3 + S * 6)
         hbm = (3 * T * R + T * R) * 4
         add("bcjr_map_pass T256 R4096", dt, 0.0, vpu, hbm,
             "2 sequential recursions, whole-tile picks; alpha VMEM-resident")
-    sec_bcjr()
+    guarded(sec_bcjr)
 
     # ---- QC BP resident kernel, 802.11n layered-8 ----
     def sec_qc():
@@ -199,7 +213,7 @@ def main():
         hbm = 3 * B * 1944 * 4  # in llr + out dec/llr (messages resident)
         add("qc_bp resident 80211n layered8 B512", dt, 0.0, vpu, hbm,
             "all 8 iterations VMEM-resident; random-LLR worst case")
-    sec_qc()
+    guarded(sec_qc)
 
     # ---- QC BP HBM-streamed kernel, DVB-S2-class layered-8 ----
     def sec_qcs():
@@ -228,7 +242,7 @@ def main():
         add("qc_bp streamed dvbs2class layered8 B512 bf16", dt, 0.0, vpu,
             hbm, "c2v store streamed bf16 from HBM per layer; totals "
             "resident f32")
-    sec_qcs()
+    guarded(sec_qcs)
 
     # ---- 16-QAM exact-LLR soft demod ----
     def sec_demod():
@@ -252,7 +266,7 @@ def main():
         hbm = Ns * (8 + bps * 4)
         add("qam16_soft_demod 1M", dt, 0.0, vpu, hbm,
             "pure elementwise; XLA-fused")
-    sec_demod()
+    guarded(sec_demod)
 
     # ---- batched K-best ----
     def sec_kbest():
@@ -281,7 +295,7 @@ def main():
         hbm = Bk * (nt * nt * 8 + nt * 8 + nt * 8)
         add("kbest16 4x4 16qam B4096", dt, mxu, vpu, hbm,
             "top_k sort + one-hot gathers; 4 sequential levels")
-    sec_kbest()
+    guarded(sec_kbest)
 
     # ---- polar SC (bench shape: N=1024 K=512 B=2048, blocked scan) ----
     def sec_polar_sc():
@@ -307,7 +321,7 @@ def main():
         add("polar_sc N1024 B2048", dt, 0.0, vpu, hbm,
             "2^9-leaf blocked scan; in-block subtree unrolled; "
             "scan-step overhead amortized 512x")
-    sec_polar_sc()
+    guarded(sec_polar_sc)
 
     # ---- polar SCL-8 statically unrolled (r5; N=1024 P=8 B=1024) ----
     def sec_polar_scl():
@@ -341,7 +355,7 @@ def main():
         add("polar_scl8_unrolled N1024 B1024", dt, 0.0, vpu, hbm,
             f"{n_info} sequential rank-select prunes; no scan/cond/"
             "switch dispatch (r5 rewrite, 17x over the scan decoder)")
-    sec_polar_scl()
+    guarded(sec_polar_scl)
 
     # ---- BCH DVB-S2-class outer (n=16200 t=12 GF(2^16), B=256) ----
     def sec_bch_roof():
@@ -378,7 +392,7 @@ def main():
         add("bch 16200 t12 B256", dt, mxu, vpu, hbm,
             "Chien-search matmuls dominate FLOPs; BM is a 24-step "
             "dependent scan")
-    sec_bch_roof()
+    guarded(sec_bch_roof)
 
     # ---- RS(255,223) t=16, B=2048 (CCSDS shape) ----
     def sec_rs_roof():
@@ -411,7 +425,7 @@ def main():
         add("rs 255,223 B2048", dt, 0.0, vpu, hbm,
             "32-step dependent BM scan is op-count-bound (lanes-major "
             "state, static reduction folds — r4 rewrite)")
-    sec_rs_roof()
+    guarded(sec_rs_roof)
 
     # ---- TPC (31,21)^2 Chase-Pyndiah, 4 iterations, B=64 ----
     def sec_tpc_roof():
@@ -443,7 +457,7 @@ def main():
         add("tpc 31x31 chase4 B64", dt, 0.0, vpu, hbm,
             "8 half-iterations x 16 Chase patterns; per-pattern "
             "algebraic decode on tiny (31,21) tiles")
-    sec_tpc_roof()
+    guarded(sec_tpc_roof)
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "roofline_latest.jsonl"), "w") as f:

@@ -156,6 +156,97 @@ class LinkModel:
         self.full_simulation_results = BERs, BEs, CEs, NCs
         return BERs, BEs, CEs, NCs
 
+    def link_performance_device(self, SNRs, send_max, err_min,
+                                send_chunk=None, code_rate=1, *,
+                                frames_per_round=32, mesh=None, seed=0):
+        """``link_performance`` through the sharded device engine.
+
+        The pod-scale bridge for the drop-in API (VERDICT r4 stretch):
+        when ``modulate``/``receive``/``decoder`` are jax-traceable
+        (device functions), the reference's serial per-chunk loop
+        (links.py:313-338) becomes a `shard_map` Monte-Carlo round —
+        each frame is one ``send_chunk``, frames batch via ``vmap`` and
+        shard across ``mesh`` with psum error tallies
+        (:func:`commpy_tpu.parallel.montecarlo.montecarlo_ber`).
+
+        The channel OBJECT's stateful ``propagate`` is not used; its
+        calibration and fading parameters are lifted onto the pure
+        device kernels (:mod:`commpy_tpu.ops.channel`), so SNR
+        calibration matches the host path exactly.  Supported channels:
+        ``SISOFlatChannel`` and ``MIMOFlatChannel`` (any Kronecker
+        fading configuration).  Per-vector MIMO receive and the
+        full-args (IDD) decoder signature are honored exactly as in
+        ``_transmit``.  Statistics match the host loop at round
+        granularity (err_min / send_max early stopping per SNR).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from .ops import channel as _chk
+        from .parallel.montecarlo import montecarlo_ber
+
+        SNRs = np.asarray(SNRs, dtype=float)
+        send_chunk, code_rate = self._round_chunk(
+            send_chunk, err_min, code_rate
+        )
+        full_args_decoder = len(getfullargspec(self.decoder).args) > 1
+        ch = self.channel
+        is_mimo = isinstance(ch, MIMOFlatChannel)
+        # numpy closures only: the axon backend cannot read back
+        # complex jit constants (see ROADMAP environment quirks)
+        const_np = np.asarray(self.constellation)
+        nbs = self.num_bits_symbol
+        if is_mimo:
+            mean_np, srt_np, srr_np = (
+                np.asarray(a)
+                for a in _chk.kronecker_sqrt_factors(ch.fading_param)
+            )
+
+        def link_step(keys, noise_std):
+            def one(k):
+                kb, kc = jax.random.split(k)
+                msg = jax.random.bernoulli(
+                    kb, 0.5, (send_chunk,)).astype(jnp.int8)
+                symbs = self.modulate(msg)
+                nv = noise_std ** 2
+                if is_mimo:
+                    x = symbs.reshape(-1, ch.nb_tx)
+                    y, h, _ = _chk.mimo_propagate(
+                        kc, x, noise_std, mean_np, srt_np, srr_np,
+                        ch.isComplex)
+                    received = jax.vmap(
+                        lambda yy, hh: self.receive(yy, hh, const_np, nv)
+                    )(y, h).reshape(-1)
+                else:
+                    y, g, _ = _chk.siso_propagate(
+                        kc, symbs, noise_std, ch.fading_param,
+                        ch.isComplex)
+                    h = g
+                    received = self.receive(y, g, const_np, nv)
+                if full_args_decoder:
+                    dec = self.decoder(y, h, const_np, nv, received,
+                                       ch.nb_tx * nbs)
+                else:
+                    dec = self.decoder(received)
+                dec = jnp.asarray(dec)[:send_chunk].astype(jnp.int32)
+                return jnp.sum((dec != msg.astype(jnp.int32))
+                               .astype(jnp.int32))
+
+            return jnp.sum(jax.vmap(one)(keys))
+
+        def noise_std_fn(snr_db):
+            ch.set_SNR_dB(float(snr_db), float(code_rate), self.Es)
+            return float(ch.noise_std)
+
+        max_rounds = max(1, -(-int(send_max) //
+                              (send_chunk * frames_per_round)))
+        res = montecarlo_ber(
+            link_step, SNRs, noise_std_fn, send_chunk,
+            jax.random.PRNGKey(seed), frames_per_round=frames_per_round,
+            max_rounds=max_rounds, err_min=err_min, mesh=mesh,
+        )
+        return res.bers
+
     def link_performance(self, SNRs, send_max, err_min, send_chunk=None,
                          code_rate=1):
         """BER Monte-Carlo sweep (links.py:269-343)."""

@@ -36,24 +36,34 @@ from commpy_tpu.kernels.bcjr import bcjr_appdiff_pallas
 from commpy_tpu.ops.trellis import Trellis
 
 SC, LANE = 32, 128  # the BCJR state tile [S*8, 128] for S=4
-T_STEPS = 512
+T_STEPS = 4096
 
 
-def _cal_kernel(x_ref, o_ref, *, k_ops, n_steps):
+def _cal_kernel(x_ref, o_ref, *, k_ops, n_steps, n_chains=1):
+    """Chain of k_ops NON-FOLDABLE dependent op-units per loop step.
+
+    One unit = sub + max (2 VPU primitives); an affine chain
+    (x*c + d) constant-folds to a single op and measures nothing.
+    ``n_chains > 1`` interleaves independent chains (ILP) to bound the
+    pipelined-issue cost from below.
+    """
     x = x_ref[...]
+    h = x.shape[0] // n_chains
+    xs = [x[i * h:(i + 1) * h] * (1.0 + 1e-6 * i) for i in range(n_chains)]
 
-    def step(t, x):
+    def step(t, xs):
         for _ in range(k_ops):
-            x = x * 1.0000001 + 1e-9  # one fused dependent mul-add
-        return x
+            xs = tuple(jnp.maximum(v, 0.1 - v) for v in xs)
+        return xs
 
-    x = jax.lax.fori_loop(0, n_steps, step, x)
-    o_ref[...] = x
+    xs = jax.lax.fori_loop(0, n_steps, step, tuple(xs))
+    o_ref[...] = jnp.concatenate(list(xs), axis=0)
 
 
-def cal_time(k_ops, n_steps=T_STEPS, rep=48):
+def cal_time(k_ops, n_steps=T_STEPS, rep=32, n_chains=1):
     f = pl.pallas_call(
-        partial(_cal_kernel, k_ops=k_ops, n_steps=n_steps),
+        partial(_cal_kernel, k_ops=k_ops, n_steps=n_steps,
+                n_chains=n_chains),
         in_specs=[pl.BlockSpec((SC, LANE), lambda: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((SC, LANE), lambda: (0, 0),
@@ -82,22 +92,24 @@ def cal_time(k_ops, n_steps=T_STEPS, rep=48):
     return dt / n_steps  # seconds per loop body of k_ops
 
 
-print("calibration (dependent mul-add chain on [32, 128] f32):",
-      flush=True)
-ks = (4, 8, 16, 32)
-ts = {}
-for p in range(2):
-    for k in ks:
-        ts.setdefault(k, []).append(cal_time(k))
-meds = {k: float(np.median(ts[k])) for k in ks}
-for k in ks:
-    print(f"  k={k:3d}: {meds[k]*1e9:7.1f} ns/step "
-          f"({meds[k]*1e9/k:5.2f} ns/op)", flush=True)
-# slope between k=4 and k=32 removes the loop's fixed overhead
-lam = (meds[32] - meds[4]) / (32 - 4)
-fixed = meds[4] - 4 * lam
-print(f"  lambda = {lam*1e9:.2f} ns/dependent-op, loop overhead "
-      f"{fixed*1e9:.1f} ns/step", flush=True)
+print("calibration (sub+max units on [32, 128] f32):", flush=True)
+ks = (8, 32)
+lams = {}
+for n_chains, nm in ((1, "dependent"), (4, "independent x4")):
+    ts = {}
+    for p in range(3):
+        for k in ks:
+            ts.setdefault(k, []).append(cal_time(k, n_chains=n_chains))
+    meds = {k: float(np.median(ts[k])) for k in ks}
+    # slope removes the loop's fixed overhead; /2: 2 primitives per unit
+    lam = (meds[32] - meds[8]) / (32 - 8) / 2
+    lams[n_chains] = lam
+    print(f"  {nm:15s}: k=8 {meds[8]*1e9:7.1f} ns/step, k=32 "
+          f"{meds[32]*1e9:7.1f} ns/step -> {lam*1e9:5.2f} ns/primitive",
+          flush=True)
+lam = lams[1]
+lam_ind = lams[4]
+fixed = 0.0
 
 # ---- op counts per trellis step (hand-counted from kernels/bcjr.py,
 # S=4, [32, 128] tiles unless noted) ----
@@ -123,7 +135,7 @@ pan = jnp.asarray(rng.randn(T, R).astype(np.float32))
 li0 = jnp.asarray(rng.randn(T, R).astype(np.float32))
 
 
-def pass_time(max_log, rep=24):
+def pass_time(max_log, rep=192):
     def body(c):
         e = bcjr_appdiff_pallas(syn, pan, c, trt, max_log=max_log)
         return c + e * 1e-9
@@ -147,22 +159,27 @@ def pass_time(max_log, rep=24):
 
 for mode, ml in (("maxlog", True), ("exact", False)):
     meas = []
-    for p in range(2):
+    for p in range(3):
         meas.append(pass_time(ml))
     m = float(np.median(meas))
     ops = OPS[mode]
     steps = T * n_blocks
-    model = steps * (ops["fwd"] + ops["bwd"]) * lam + steps * 2 * fixed
+    total_ops = steps * (ops["fwd"] + ops["bwd"])
+    hi = total_ops * lam       # fully serialized dependent chain
+    lo = total_ops * lam_ind   # perfectly pipelined independent issue
     row = {
         "kernel": f"bcjr_latency_model T{T} R{R} {mode}",
         "measured_ms": round(m * 1e3, 3),
-        "model_ms": round(model * 1e3, 3),
-        "measured_vs_model_pct": round(100 * m / model, 1),
-        "lambda_ns_per_op": round(lam * 1e9, 2),
+        "model_lo_ms": round(lo * 1e3, 3),
+        "model_hi_ms": round(hi * 1e3, 3),
+        "position_pct_of_serial_bound": round(100 * m / hi, 1),
+        "lambda_dep_ns": round(lam * 1e9, 2),
+        "lambda_indep_ns": round(lam_ind * 1e9, 2),
         "ops_per_fwd_step": ops["fwd"],
         "ops_per_bwd_step": ops["bwd"],
-        "note": ("dependent-op ISSUE model: pass time = steps x ops x "
-                 "lambda (calibrated same-tile chain) — the recursions "
-                 "are issue-bound, not throughput-bound"),
+        "note": ("latency model: pass time bracketed by total_ops x "
+                 "lambda(independent) and x lambda(dependent) at the "
+                 "kernel's own [32,128] tile — the recursions are "
+                 "issue/latency-bound, not throughput-bound"),
     }
     print(json.dumps(row), flush=True)
