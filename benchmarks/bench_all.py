@@ -423,17 +423,23 @@ def main():
 
         Be, n, Lh, T = 256, 4096, 5, 31
         erng = np.random.default_rng(0)
-        h = (erng.normal(size=(Be, Lh)) + 1j * erng.normal(size=(Be, Lh))
-             ).astype(np.complex64) * np.sqrt(0.5 / Lh)
+        # NumPy closures only: a device-resident complex closure forces
+        # a complex64 readback during jit constant embedding, which the
+        # axon backend cannot do (r5: this section UNIMPLEMENTED'd on a
+        # jnp.asarray(h) closure)
+        hr_ = (erng.normal(size=(Be, Lh)) * np.sqrt(0.5 / Lh)).astype(
+            np.float32)
+        hi_ = (erng.normal(size=(Be, Lh)) * np.sqrt(0.5 / Lh)).astype(
+            np.float32)
         yr = erng.normal(size=(2, Be, n)).astype(np.float32)
         y0 = (jnp.asarray(yr[0]), jnp.asarray(yr[1]))
         delay = equalizer_delay(T, Lh)
-        hj = jnp.asarray(h)
 
         def body(c):
             yre, yim = c
             y = jax.lax.complex(yre, yim)
-            w = mmse_fir_taps(hj, 0.05, T)  # per-batch taps [Be, T]
+            h = jax.lax.complex(jnp.asarray(hr_), jnp.asarray(hi_))
+            w = mmse_fir_taps(h, 0.05, T)  # per-batch taps [Be, T]
             z = jax.vmap(lambda yy, ww: equalize(yy, ww, delay))(y, w)
             return (yre + jnp.real(z[:, :1]) * 1e-12, yim)
 
