@@ -305,9 +305,12 @@ def make_polar_awgn_link(
     bits are counted as rate overhead in the Eb/N0 accounting
     (rate = K_payload / N).
     """
+    import jax
+
     from ..ops.polar import (
         make_polar_encoder, make_polar_sc_decoder, make_polar_scl_decoder,
-        polar_rate_match, polar_rate_recover,
+        make_polar_scl_decoder_unrolled, polar_rate_match,
+        polar_rate_recover,
     )
 
     if decoder not in ("sc", "scl"):
@@ -326,6 +329,12 @@ def make_polar_awgn_link(
     encode = make_polar_encoder(code)
     if decoder == "sc":
         decode = make_polar_sc_decoder(code, rule=rule)
+    elif jax.default_backend() in ("tpu", "axon"):
+        # statically-unrolled SCL: bit-identical to the scan builder,
+        # ~17x on TPU (ops/polar.py r5); CPU keeps the scan builder
+        # (smaller compile units — XLA:CPU crash mitigation)
+        decode = make_polar_scl_decoder_unrolled(code, list_size=list_size,
+                                                 rule=rule)
     else:
         decode = make_polar_scl_decoder(code, list_size=list_size, rule=rule)
 

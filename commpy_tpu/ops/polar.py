@@ -1113,6 +1113,15 @@ def make_polar_scl_decoder_unrolled(code, list_size=8, rule="minsum",
 
 
 def polar_scl_decode(code, llr, list_size=8, rule="minsum", pm_rule="approx"):
-    """List decode. llr [B, N] -> payload [B, K] int8 (CRC-aided if set)."""
-    return make_polar_scl_decoder(code, list_size=list_size, rule=rule,
-                                  pm_rule=pm_rule)(jnp.asarray(llr))
+    """List decode. llr [B, N] -> payload [B, K] int8 (CRC-aided if set).
+
+    On TPU backends this routes to the statically-unrolled builder
+    (bit-identical, ~17x — see :func:`make_polar_scl_decoder_unrolled`);
+    CPU keeps the scan builder (smaller compile units).
+    """
+    if jax.default_backend() in ("tpu", "axon"):
+        make = make_polar_scl_decoder_unrolled
+    else:
+        make = make_polar_scl_decoder
+    return make(code, list_size=list_size, rule=rule,
+                pm_rule=pm_rule)(jnp.asarray(llr))
