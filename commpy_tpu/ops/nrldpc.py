@@ -145,7 +145,6 @@ def nr_base_graph(bg: int = 1, Z: int = 384, seed: int = 0) -> tuple:
         Bm[i, kb + i] = 0  # degree-1 identity column
         # row degree (excluding identity and any punctured-col entries
         # already placed): 2..4 picks from info + core-parity columns
-        have = [j for j in (0, 1) if Bm[i, j] >= 0]
         d = int(rng.randint(2, 5))
         cands = [j for j in range(2, kb + 4) if Bm[i, j] < 0]
         picks = rng.choice(len(cands), d, replace=False)
@@ -168,7 +167,6 @@ def nr_base_graph(bg: int = 1, Z: int = 384, seed: int = 0) -> tuple:
                 p2 = (min(r, i), max(r, i))
                 seen.setdefault(p2, set()).add((int(Bm[r, j]) - s) % Z)
             Bm[i, j] = s
-        del have
     return tuple(tuple(int(v) for v in row) for row in Bm)
 
 
@@ -245,16 +243,28 @@ def nr_rate_match(params: dict, codeword, E: int):
 
 def nr_rate_recover(params: dict, llr_e, E: int):
     """Invert :func:`nr_rate_match` on LLRs: punctured positions get 0,
-    repeated positions accumulate.  ``[..., E] -> [..., n]``."""
+    repeated positions accumulate.  ``[..., E] -> [..., n]``.
+
+    The circular buffer wraps at most ``ceil(E/L)`` times, so the
+    accumulation is a fold over full-buffer rounds (pad + add) — no
+    scatter and no dense [E, L] matrix (which would be GBs at BG1
+    Z=384).
+    """
     Z, n = params["Z"], params["n_vnodes"]
     L = n - 2 * Z
     llr_e = jnp.asarray(llr_e, jnp.float32)
     if int(E) != llr_e.shape[-1]:
         raise ValueError(f"E={E} != llr_e trailing dim {llr_e.shape[-1]}")
-    idx = np.arange(int(E)) % L
-    onehot = np.zeros((int(E), L), np.float32)
-    onehot[np.arange(int(E)), idx] = 1.0
-    buf = jnp.einsum("el,...e->...l", jnp.asarray(onehot), llr_e)
+    E = int(E)
+    buf = jnp.zeros(llr_e.shape[:-1] + (L,), jnp.float32)
+    for r in range(-(-E // L)):
+        part = llr_e[..., r * L:min((r + 1) * L, E)]
+        short = L - part.shape[-1]
+        if short:
+            part = jnp.concatenate(
+                [part, jnp.zeros(part.shape[:-1] + (short,),
+                                 jnp.float32)], axis=-1)
+        buf = buf + part
     zeros = jnp.zeros(llr_e.shape[:-1] + (2 * Z,), jnp.float32)
     return jnp.concatenate([zeros, buf], axis=-1)
 
