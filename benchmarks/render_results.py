@@ -104,8 +104,10 @@ def _fmt_rate(value, unit):
     # bits/s
     if value >= 1e9:
         return f"{value/1e9:.2f} Gbit/s"
-    if value >= 1e6:
+    if value >= 1e7:
         return f"{value/1e6:.0f} Mbit/s"
+    if value >= 1e6:
+        return f"{value/1e6:.2f} Mbit/s"
     return f"{value/1e3:.1f} kbit/s"
 
 
