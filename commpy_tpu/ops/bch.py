@@ -48,6 +48,7 @@ from .gf2m import (
     bm_inversionless,
     chien_tables,
     gf_reduce_matrix,
+    gf_square_matrix,
     gf_tables,
     mod2 as _mod2,
 )
@@ -222,15 +223,33 @@ def bch_encode(code, msg):
 
 
 @functools.lru_cache(maxsize=32)
-def make_bch_decoder(code, chien_block=None):
+def make_bch_decoder(code, chien_block=None, locator="auto"):
     """jitted hard bits [B, n] -> (corrected [B, n] int8, n_err [B] int32,
     ok [B] bool).
 
     ``ok`` is False where decoding failed (more than t errors detected:
     the locator degree disagrees with its root count).  Complexity: one
-    syndrome matmul + a 2t-step scan + ceil(n/D) Chien matmuls.
+    syndrome matmul + the locator solve + ceil(n/D) Chien matmuls.
+
+    ``locator``: 'bm' runs the generic 2t-step inversionless
+    Berlekamp-Massey scan; 'quad' (t=2 only) computes the locator in
+    CLOSED FORM — for binary BCH, ``Lambda(x) ~ S1 + S1^2 x +
+    (S3 + S1^3) x^2`` (the usual quadratic scaled by S1, which leaves
+    the Chien roots unchanged) — one field squaring + one product
+    instead of the scan.  The r5 split probe
+    (scripts/bch_split_probe.py) showed BM is ~94% of the (31,21) hard
+    decode that the Chase/TPC inner loop runs 8x16 times, so 'auto'
+    picks 'quad' at t=2.  Decodable (<=2-error) words produce
+    bit-identical corrections and ok flags; on >=t+1-error garbage both
+    paths flag ok=False via the degree/root-count check (fuzz-tested
+    against each other in tests/test_bch.py).
     """
     m, t, n = code.m, code.t, code.n
+    if locator not in ("auto", "bm", "quad"):
+        raise ValueError("locator must be 'auto', 'bm', or 'quad'")
+    if locator == "quad" and t != 2:
+        raise ValueError("the closed-form locator applies to t=2 only")
+    use_quad = (locator == "quad") or (locator == "auto" and t == 2)
     if chien_block is None:
         chien_block = min(512, code.n_parent)
     D = chien_block
@@ -240,6 +259,50 @@ def make_bch_decoder(code, chien_block=None):
     eval_mat = jnp.asarray(eval_mat_np, jnp.float32)
     step_mat = jnp.asarray(step_mat_np, jnp.float32)
     n_blocks = -(-code.n_parent // D)
+    # static per-column row lists for the linear maps (an einsum against
+    # a constant binary matrix lowers to batched tiny matmuls — the BM
+    # rewrite's lesson, docs/performance.md "Algebraic codecs")
+    red_np = np.asarray(gf_reduce_matrix(m))
+    red_rows = [np.flatnonzero(red_np[:, c]).tolist() for c in range(m)]
+    sq_np = np.asarray(gf_square_matrix(m))
+    sq_rows = [np.flatnonzero(sq_np[:, c]).tolist() for c in range(m)]
+
+    def _lin_rows(x, rows_list):
+        """[m, B] bits through a static binary matrix -> [m, B]."""
+        return jnp.stack(
+            [_mod2(sum(x[r] for r in rows)) if rows else
+             jnp.zeros_like(x[0]) for rows in rows_list], axis=0)
+
+    def _mul_rows(a, b):
+        """Bit-sliced GF(2^m) product, lanes-major [m, B] x [m, B]."""
+        outer = a[:, None, :] * b[None, :, :]  # [m, m, B] f32 counts
+        conv = jnp.zeros((2 * m - 1,) + a.shape[1:], jnp.float32)
+        for i in range(m):
+            conv = conv.at[i:i + m].add(outer[i])
+        conv = _mod2(conv)
+        return _lin_rows(conv, red_rows)
+
+    def _quad_locator(synd):
+        """Closed-form t=2 locator: lam [B, 3, m], Lr [B]."""
+        s1 = jnp.transpose(synd[:, 0], (1, 0))  # [m, B]
+        s3 = jnp.transpose(synd[:, 2], (1, 0))
+        s1_2 = _lin_rows(s1, sq_rows)           # S1^2 (linear map)
+        s1_3 = _mul_rows(s1_2, s1)              # S1^3
+        lam2 = _mod2(s3 + s1_3)                 # S3 + S1^3
+        s1_nz = jnp.any(s1 > 0, axis=0)         # [B]
+        s3_nz = jnp.any(s3 > 0, axis=0)
+        # S1 != 0: Lambda' = [S1, S1^2, S3+S1^3], L = 2 or 1
+        # S1 == 0, S3 == 0: no errors: Lambda = [1, 0, 0], L = 0
+        # S1 == 0, S3 != 0: uncorrectable: Lambda = 1 (no roots), L = 1
+        one = jnp.zeros_like(s1).at[0].set(1.0)
+        lam0 = jnp.where(s1_nz[None, :], s1, one)
+        lam1 = jnp.where(s1_nz[None, :], s1_2, 0.0)
+        lam2 = jnp.where(s1_nz[None, :], lam2, 0.0)
+        Lr = jnp.where(
+            s1_nz, jnp.where(jnp.any(lam2 > 0, axis=0), 2, 1),
+            jnp.where(s3_nz, 1, 0)).astype(jnp.int32)
+        lam = jnp.stack([lam0, lam1, lam2], axis=0)  # [3, m, B]
+        return jnp.transpose(lam, (2, 0, 1)), Lr
 
     @jax.jit
     def decode(r_bits):
@@ -247,8 +310,11 @@ def make_bch_decoder(code, chien_block=None):
         r_f = r_bits.astype(jnp.float32)
         synd = _mod2(r_f @ S_tab).reshape(B, 2 * t, m)  # S_1..S_2t
 
-        # inversionless Berlekamp-Massey over 2t steps (shared: gf2m)
-        lam, Lr = bm_inversionless(synd, t, m, R_mat)
+        if use_quad:
+            lam, Lr = _quad_locator(synd)
+        else:
+            # inversionless Berlekamp-Massey over 2t steps (gf2m)
+            lam, Lr = bm_inversionless(synd, t, m, R_mat)
 
         # --- blocked Chien search over the parent length ---
         mu0 = lam.reshape(B, (t + 1) * m)
@@ -319,11 +385,15 @@ def make_bch_chase_decoder(code, p=4, chien_block=None):
         # position whose reliability-rank r < p is flipped when pattern
         # bit r is set)
         in_lru = rank < p  # [B, n] the p least-reliable positions
-        sel = jnp.asarray(pat_np)  # [2^p, p]
-        # pattern bit for each position = sel[q, rank] where in_lru
+        # pattern bit for each position = pat[q, rank] where in_lru —
+        # via a one-hot contraction, not pat[:, rank_c]: the
+        # fancy-indexing gather measured 15x slower on device
+        # (scripts/tpc_attr_probe.py)
         rank_c = jnp.clip(rank, 0, p - 1)
-        flip = sel[:, rank_c] * in_lru[None].astype(jnp.float32)
-        flip = jnp.swapaxes(flip, 0, 1)  # [B, 2^p, n]
+        oh = (rank_c[..., None] == jnp.arange(p)[None, None, :]).astype(
+            jnp.float32)  # [B, n, p]
+        flip = jnp.einsum("qp,bnp->bqn", jnp.asarray(pat_np), oh) * \
+            in_lru[:, None, :].astype(jnp.float32)  # [B, 2^p, n]
         rx = jnp.bitwise_xor(
             jnp.broadcast_to(r_bits[:, None, :], (B, n_pat, n)
                              ).astype(jnp.int8),
@@ -384,9 +454,12 @@ def make_bch_chase_soft(code, p=4, beta=0.5, chien_block=None):
         rank = jnp.argsort(order, axis=-1)
         in_lru = rank < p
         rank_c = jnp.clip(rank, 0, p - 1)
-        flip = jnp.asarray(pat_np)[:, rank_c] * in_lru[None].astype(
-            jnp.float32)
-        flip = jnp.swapaxes(flip, 0, 1)  # [B, 2^p, n]
+        # one-hot contraction, not pat[:, rank_c]: the fancy-indexing
+        # gather measured 15x slower on device (scripts/tpc_attr_probe.py)
+        oh = (rank_c[..., None] == jnp.arange(p)[None, None, :]).astype(
+            jnp.float32)  # [B, n, p]
+        flip = jnp.einsum("qp,bnp->bqn", jnp.asarray(pat_np), oh) * \
+            in_lru[:, None, :].astype(jnp.float32)  # [B, 2^p, n]
         rx = jnp.bitwise_xor(
             jnp.broadcast_to(r_bits[:, None, :], (B, n_pat, n)
                              ).astype(jnp.int8),
