@@ -67,7 +67,10 @@ LABELS = {
         "reference)",
     "tpc_31_21_sq_chase4":
         "turbo product code (31,21)^2, Chase-Pyndiah 4 iterations "
-        "(beyond reference)",
+        "(closed-form t=2 locator, r5; beyond reference)",
+    "tpc_31_21_sq_chase4_bm_pre_r5fix":
+        "turbo product code, SUPERSEDED pre-r5 build (BM-scan locator "
+        "+ gather frontend — kept for honesty; not the shipped code)",
     "equalize_mmse_t31_l5":
         "MMSE equalizer, per-batch 31-tap Wiener solve + FIR apply "
         "(L=5 channel; beyond reference)",
