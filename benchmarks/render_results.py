@@ -55,8 +55,9 @@ LABELS = {
         "polar SC decode, N=1024 K=512 (beyond reference: no polar "
         "codec in CommPy)",
     "polar_scl8_crc11_1024_512":
-        "polar CRC-aided SCL-8 (CRC-11) decode, N=1024 K=512 (beyond "
-        "reference)",
+        "polar CRC-aided SCL-8 (CRC-11) decode, N=1024 K=512, scan "
+        "builder (the CPU-parity path — on TPU the statically-unrolled "
+        "row below supersedes it, same decoder bit-for-bit)",
     "qam64_soft_demod":
         "64-QAM exact-LLR soft demod (axis-separable fast path)",
     "bch_dvbs2_16200_t12":
