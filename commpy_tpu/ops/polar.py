@@ -1017,6 +1017,15 @@ def make_polar_scl_decoder_unrolled(code, list_size=8, rule="minsum",
     Reference anchor: the list-decode semantics mirror
     tests/polar_ref.py (itself the standard Tal-Vardy formulation); the
     reference CommPy has no polar codec at all.
+
+    Cost model: per-prune work grows ~P^2 (the rank compare matrix and
+    the permutation contractions) — measured 365/249/65 Mbit/s at
+    P=4/8/16, N=1024, B=1024 (benchmarks/device_probes/
+    scl_unrolled_r5.jsonl).  The unrolled graph is large (~10k ops at
+    N=1024): first compile takes O(1 min) on the TPU service and is
+    cached per (code, P, rule, pm_rule, batch); CPU/XLA:CPU should
+    prefer the scan builder (smaller compile units — see
+    :func:`polar_scl_decode`'s dispatch).
     """
     N, n, P = code.N, code.n, list_size
     frozen_np = code.frozen_mask.astype(bool)
