@@ -5,6 +5,7 @@ from . import (
     bch,
     channel,
     convcode,
+    crc,
     dvbs2,
     equalize,
     filters,
@@ -18,6 +19,7 @@ from . import (
     ofdm,
     polar,
     rs,
+    scramble,
     sequences,
     stream,
     tpc,
@@ -27,9 +29,9 @@ from .trellis import Trellis
 from .viterbi import viterbi_decode, viterbi_decode_device
 
 __all__ = [
-    "algebraic", "bch", "channel", "convcode", "dvbs2", "equalize",
+    "algebraic", "bch", "channel", "convcode", "crc", "dvbs2", "equalize",
     "filters", "fir", "galois",
     "impairments", "interleave", "ldpc", "mimo", "modem", "ofdm", "polar",
-    "rs", "sequences", "stream", "tpc", "turbo", "Trellis", "viterbi_decode",
-    "viterbi_decode_device",
+    "rs", "scramble", "sequences", "stream", "tpc", "turbo", "Trellis",
+    "viterbi_decode", "viterbi_decode_device",
 ]

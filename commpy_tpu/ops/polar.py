@@ -76,60 +76,19 @@ _CRC_FAIL = 1e20  # additive penalty for CRC-failing paths at selection
 
 
 # ---------------------------------------------------------------------------
-# CRC machinery (linear, zero-init => representable as GF(2) matrices)
+# CRC machinery — shared with ops/crc.py (the standalone batched CRC
+# subsystem); re-exported here for back-compat with the original polar API.
+# The CA-SCL decoder only ever uses linear (zero-init) specs, for which the
+# check is a pure GF(2) matrix product.
 # ---------------------------------------------------------------------------
 
-#: Generator polynomials, MSB-first including the leading term.  The 5G
-#: NR polar chain (TS 38.212 §5.1) uses CRC6/CRC11 for UCI payloads; the
-#: CCITT CRC16 is included as a common general-purpose check.
-CRC_POLYNOMIALS = {
-    "crc6": (1, 1, 0, 0, 0, 0, 1),                    # x^6+x^5+1
-    "crc11": (1, 1, 1, 0, 0, 0, 1, 0, 0, 0, 0, 1),    # x^11+x^10+x^9+x^5+1
-    # CCITT: x^16 + x^12 + x^5 + 1
-    "crc16": (1, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1),
-}
-
-
-@dataclass(frozen=True)
-class CrcSpec:
-    """A cyclic redundancy check: ``poly`` is MSB-first incl. leading 1."""
-
-    poly: tuple
-
-    @classmethod
-    def named(cls, name):
-        return cls(poly=CRC_POLYNOMIALS[name])
-
-    @property
-    def length(self):
-        return len(self.poly) - 1
-
-
-def _crc_remainder(bits, poly):
-    """Zero-init CRC remainder by shift-register simulation (NumPy)."""
-    r = np.zeros(len(poly) - 1, np.int64)
-    taps = np.asarray(poly[1:], np.int64)
-    for b in np.asarray(bits, np.int64):
-        fb = b ^ r[0]
-        r = np.concatenate([r[1:], [0]])
-        if fb:
-            r ^= taps
-    return r
-
-
-def crc_encode_table(crc, k):
-    """[k, r] GF(2) matrix T with crc(m) = m @ T mod 2 (linearity)."""
-    rows = [_crc_remainder(np.eye(k, dtype=np.int64)[i], crc.poly)
-            for i in range(k)]
-    return np.stack(rows).astype(np.int64)
-
-
-def crc_check_table(crc, k_total):
-    """[k_total, r] matrix H with (payload||crc) @ H mod 2 == 0 iff valid."""
-    k = k_total - crc.length
-    return np.concatenate(
-        [crc_encode_table(crc, k), np.eye(crc.length, dtype=np.int64)], axis=0
-    )
+from .crc import (  # noqa: E402  (after module docstring/constants by design)
+    CRC_POLYNOMIALS,
+    CrcSpec,
+    _crc_remainder,
+    crc_check_table,
+    crc_encode_table,
+)
 
 
 # ---------------------------------------------------------------------------
