@@ -99,12 +99,20 @@ def make_conv_awgn_link(
     tb_depth: Optional[int] = None,
     puncture: Optional[list] = None,
     use_psk: bool = True,
+    scramble_seed: Optional[int] = None,
     name: str = "conv-awgn",
 ) -> DeviceLink:
     """Conv-coded link over complex AWGN.
 
     BASELINE config 1: PSK(2), decoding_type='hard'/'unquantized'.
     BASELINE config 2 / wifi80211: QAM(m), decoding_type='soft'.
+
+    ``scramble_seed`` (non-zero 7-bit int) inserts the 802.11 §17.3.5.5
+    frame-synchronous scrambler between the source and the encoder, with
+    the matching descrambler after the decoder — the full 802.11 data
+    path.  Statistically a no-op on i.i.d. source bits (by design; the
+    scrambler exists to whiten structured payloads), and a single fused
+    XOR each way on device.
     """
     const_np = (
         M.psk_constellation(modulation_m)
@@ -136,7 +144,13 @@ def make_conv_awgn_link(
 
     def link_step(keys, noise_std):
         bits = _gen_bits(keys, frame_bits)  # [F, L]
-        coded, _ = encode_scan(bits, trellis)  # [F, n_coded]
+        if scramble_seed is not None:
+            from ..ops.scramble import scramble
+
+            tx = scramble(bits, seed=scramble_seed)
+        else:
+            tx = bits
+        coded, _ = encode_scan(tx, trellis)  # [F, n_coded]
         if keep is not None:
             coded = coded[:, np.where(keep)[0]]
         symbols = M.modulate(coded, const, bps)  # [F, n_sym]
@@ -156,6 +170,10 @@ def make_conv_awgn_link(
         dec = viterbi_decode_device(
             rx, trellis, tb_depth, decoding_type, L=frame_bits
         )
+        if scramble_seed is not None:
+            from ..ops.scramble import descramble
+
+            dec = descramble(dec, seed=scramble_seed)
         return jnp.sum(jnp.bitwise_xor(dec, bits).astype(jnp.int32))
 
     def noise_std_fn(snr_db):

@@ -37,11 +37,14 @@ _PUNCTURES = {
 }
 
 
-def wifi80211_device_link(mcs: int, frame_bits: int = 1200) -> DeviceLink:
+def wifi80211_device_link(mcs: int, frame_bits: int = 1200,
+                          scramble_seed=None) -> DeviceLink:
     """Build the batched 802.11 link for an MCS index.
 
     frame_bits must make the punctured codeword fill whole modulation
-    symbols (1200 works for every MCS).
+    symbols (1200 works for every MCS).  ``scramble_seed`` (non-zero
+    7-bit int) enables the §17.3.5.5 frame-synchronous data scrambler —
+    the one PHY stage the reference's wifi80211.py omits entirely.
     """
     m, use_psk, coding = WIFI_MCS_TABLE[mcs]
     # (133,171) are OCTAL in the standard: 0o133 = 91, 0o171 = 121.
@@ -58,6 +61,7 @@ def wifi80211_device_link(mcs: int, frame_bits: int = 1200) -> DeviceLink:
         decoding_type="soft",
         puncture=_PUNCTURES[coding],
         use_psk=use_psk,
+        scramble_seed=scramble_seed,
         name=f"wifi80211-mcs{mcs}",
     )
 
