@@ -22,6 +22,7 @@ from . import (
     scramble,
     sequences,
     stream,
+    sync,
     tpc,
     turbo,
 )
@@ -32,6 +33,6 @@ __all__ = [
     "algebraic", "bch", "channel", "convcode", "crc", "dvbs2", "equalize",
     "filters", "fir", "galois",
     "impairments", "interleave", "ldpc", "mimo", "modem", "ofdm", "polar",
-    "rs", "scramble", "sequences", "stream", "tpc", "turbo", "Trellis",
+    "rs", "scramble", "sequences", "stream", "sync", "tpc", "turbo", "Trellis",
     "viterbi_decode", "viterbi_decode_device",
 ]
