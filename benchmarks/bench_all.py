@@ -578,6 +578,32 @@ def main():
                "info bits/s", "")
     guarded(sec_wifi_ldpc)
 
+    # --- OFDM multipath link with blind channel estimation in the loop ---
+    # Full receiver realism: one pilot OFDM symbol, LS estimate projected
+    # onto the delay subspace (csi="smooth"), per-subcarrier equalization
+    # and noise weighting, QC BP decode.  The only full-link row whose
+    # receiver estimates the channel instead of being handed it.
+    def sec_ofdm():
+        from commpy_tpu.models.device_links import make_ofdm_qcldpc_link
+        from commpy_tpu.ops.qcldpc import ieee80211n_params
+
+        link = make_ofdm_qcldpc_link(
+            qc_params=ieee80211n_params(1944, "1/2"),
+            modulation_m=4, nfft=64, nsc=54, n_taps=4, csi="smooth",
+        )
+        F = 256
+        ns = jnp.float32(link.noise_std_fn(8.0))
+        x0 = jax.random.PRNGKey(0)
+
+        def body(k0):
+            errs = link.link_step(jax.random.split(k0, F), ns)
+            return jax.random.fold_in(k0, errs)
+
+        dt = timed_chain(body, x0, rep=12, score=jnp.sum)
+        report("ofdm_qcldpc_smoothcsi_full_link", F * link.frame_bits / dt,
+               "info bits/s", "")
+    guarded(sec_ofdm)
+
     # --- full MIMO links driven end to end (VERDICT r3 item 8) ---
     # The reference bar here is its per-vector Python receive loop
     # (links.py:320-326: one kbest() call per received vector); both

@@ -46,6 +46,10 @@ LABELS = {
         "full-precision (f32) message streams",
     "wifi80211n_ldpc1944_full_link":
         "full 802.11n LDPC PHY link step (16-QAM + QC BP MSA-15)",
+    "ofdm_qcldpc_smoothcsi_full_link":
+        "OFDM multipath link, ESTIMATED channel in the loop (pilot LS + "
+        "delay-subspace smoothing, per-subcarrier equalize + noise "
+        "weighting, QC-LDPC 1944 BP)",
     "kbest_mimo_full_link":
         "full uncoded 4x4 16-QAM MIMO link step (batched K-best hard)",
     "kbest_ldpc_mimo_full_link":

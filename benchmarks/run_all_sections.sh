@@ -6,7 +6,7 @@
 # metric).
 cd "$(dirname "$0")/.."
 OUT=benchmarks/results_latest.jsonl
-for sec in viterbi turbo turbo_long turbo_nii ldpc qcldpc qcldpc_layered qcldpc_dvbs2 nrldpc polar tpc equalize bch rs demod kbest wifi wifi_ldpc mimo_link; do
+for sec in viterbi turbo turbo_long turbo_nii ldpc qcldpc qcldpc_layered qcldpc_dvbs2 nrldpc polar tpc equalize bch rs demod kbest wifi wifi_ldpc ofdm mimo_link; do
   echo "=== $sec ===" >&2
   timeout 900 python benchmarks/bench_all.py "$sec" | tee -a "$OUT"
 done
