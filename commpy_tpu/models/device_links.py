@@ -720,6 +720,8 @@ def make_ofdm_qcldpc_link(
     n_iterations: int = 15,
     msa_scale: float = 1.0,
     csi: str = "perfect",
+    cfo: float = 0.0,
+    cfo_correction: bool = False,
     name: str = "ofdm-qcldpc",
 ) -> DeviceLink:
     """802.11n-style OFDM PHY with LDPC coding over a multipath channel.
@@ -740,6 +742,14 @@ def make_ofdm_qcldpc_link(
     delay subspace (`ops.ofdm.delay_subspace_matrix`, one matmul) —
     the estimator noise drops ~nsc/n_taps and the BER approaches the
     perfect-CSI curve (tested).
+
+    ``cfo`` applies a normalized carrier frequency offset (subcarrier
+    spacings) to the received waveform; ``cfo_correction=True`` runs the
+    CP-correlation estimator (`ops.sync.cfo_estimate_cp`) and derotates
+    before OFDM demodulation — with an estimated-CSI mode the pilot then
+    absorbs the residual common phase, so the receiver is fully blind.
+    A fractional CFO without correction is catastrophic (ICI + subcarrier
+    rotation; tested).
     """
     from ..ops.qcldpc import qc_bp_decode_device, qc_encode_device
 
@@ -803,7 +813,17 @@ def make_ofdm_qcldpc_link(
                 tx, ((0, 0), (tap, 0))
             )[:, : tx.shape[1]]
             rx = rx + g[:, tap:tap + 1] * shifted
+        if cfo:
+            from ..ops.impairments import add_frequency_offset
+
+            rx = add_frequency_offset(rx, Fs=float(nfft), delta_f=cfo)
         rx = rx + _frame_crandn(keys, rx.shape[1:], 1) * (noise_std * 0.5)
+        if cfo_correction:
+            from ..ops.sync import cfo_correct, cfo_estimate_cp
+
+            n_sym_total = rx.shape[1] // (nfft + cp_length)
+            eps = cfo_estimate_cp(rx, nfft, cp_length, n_sym_total)
+            rx = cfo_correct(rx, eps, nfft)
 
         rx_grids = OFDM.ofdm_rx(rx, nfft, nsc, cp_length)  # [F, nsc, n_sym+?]
         if csi in ("ls", "smooth"):

@@ -234,6 +234,32 @@ def test_ofdm_link_smooth_beats_ls_at_waterfall():
     assert errs["smooth"] <= errs["ls"]
 
 
+def test_ofdm_link_blind_cfo_sync():
+    """CFO in the channel, CP-sync + LS pilot in the receiver: fully
+    blind receiver decodes clean where the uncorrected one collapses."""
+    from commpy_tpu.models.device_links import make_ofdm_qcldpc_link
+    from commpy_tpu.ops.qcldpc import ieee80211n_params
+
+    def build(correct):
+        return make_ofdm_qcldpc_link(
+            qc_params=ieee80211n_params(648, "1/2"),
+            modulation_m=4, nfft=NFFT, nsc=54, n_taps=4, csi="smooth",
+            cfo=0.31, cfo_correction=correct,
+        )
+
+    keys = jax.random.split(jax.random.PRNGKey(2), 8)
+    errs = {}
+    for correct in (True, False):
+        link = build(correct)
+        errs[correct] = int(jax.jit(link.link_step)(
+            keys, jnp.float32(link.noise_std_fn(30.0))
+        ))
+    assert errs[True] == 0
+    # a fractional CFO without correction shifts/rotates every
+    # subcarrier: the codeword is essentially random
+    assert errs[False] > 8 * 648 * 0.05
+
+
 def test_ofdm_link_rejects_bad_csi():
     from commpy_tpu.models.device_links import make_ofdm_qcldpc_link
     from commpy_tpu.ops.qcldpc import ieee80211n_params
