@@ -93,8 +93,7 @@ def subcarrier_bins(nfft: int, nsc: int) -> np.ndarray:
     )
 
 
-def _dft_columns(nfft: int, slots: np.ndarray, n_taps: int) -> np.ndarray:
-    bins = slots  # already bin indices
+def _dft_columns(nfft: int, bins: np.ndarray, n_taps: int) -> np.ndarray:
     return np.exp(
         -2j * np.pi * bins[:, None] * np.arange(n_taps)[None, :] / nfft
     ).astype(np.complex64)
@@ -133,8 +132,7 @@ def make_comb_estimator(nfft: int, nsc: int, pilot_slots, n_taps: int,
     Returns ``estimate(h_pilot_ls)`` mapping ``[..., P] -> [..., nsc]``.
     """
     pilot_slots = np.asarray(pilot_slots, np.int64)
-    slots = subcarrier_bins(nfft, nsc)
-    w_full = _dft_columns(nfft, slots, n_taps)
+    w_full = _dft_columns(nfft, subcarrier_bins(nfft, nsc), n_taps)
     w_p = w_full[pilot_slots]
     gram = w_p.conj().T @ w_p + reg * np.eye(n_taps, dtype=np.complex64)
     a = (w_full @ np.linalg.solve(gram, w_p.conj().T)).astype(np.complex64)
