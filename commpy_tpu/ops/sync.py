@@ -23,6 +23,7 @@ import numpy as np
 __all__ = [
     "cfo_correct",
     "cfo_estimate_cp",
+    "integer_cfo_estimate",
     "schmidl_cox_preamble",
     "schmidl_cox_metric",
     "schmidl_cox_estimate",
@@ -62,6 +63,39 @@ def cfo_estimate_cp(waveform, nfft: int, cp_length: int, n_symbols: int):
          + np.arange(cp_length)[None, :]).ravel()  # static gather indices
     corr = jnp.sum(jnp.conj(w[..., t]) * w[..., t + nfft], axis=-1)
     return jnp.angle(corr) / (2 * jnp.pi)
+
+
+def integer_cfo_estimate(rx_block, ref_freq, max_shift: int = 8,
+                         spacing: int = 1):
+    """Integer (whole-bin) CFO from one known symbol, after fractional
+    correction.
+
+    `cfo_estimate_cp` only resolves the (-0.5, 0.5)-subcarrier fractional
+    part; a residual INTEGER offset circularly shifts the whole spectrum
+    (every subcarrier decodes someone else's data).  Given the ``nfft``
+    time samples of a known symbol (CP stripped) and its known bin
+    loading ``ref_freq``, the shift is the argmax of a circular
+    cross-correlation — computed DIFFERENTIALLY (products of bins
+    ``spacing`` apart) so a multipath channel's per-bin phase ramp
+    cancels instead of decohering the sum (the LTE/802.11 cell-search
+    trick).  Use ``spacing=2`` for a `schmidl_cox_preamble` (even bins
+    only; magnitude-only correlation would be 2-bin ambiguous there).
+
+    The candidate shifts are a static ``2*max_shift+1`` unroll of rolls +
+    reductions — no dynamic shapes.  Returns the integer shift (positive
+    = received spectrum shifted up) with leading batch axes.
+    """
+    w = jnp.asarray(rx_block)
+    rxf = jnp.fft.fft(w, axis=-1)
+    ref = np.asarray(ref_freq, np.complex64)
+    d_rx = rxf * jnp.conj(jnp.roll(rxf, -spacing, axis=-1))
+    shifts = np.arange(-max_shift, max_shift + 1)
+    d_refs = np.stack([
+        (r := np.roll(ref, s)) * np.conj(np.roll(r, -spacing))
+        for s in shifts
+    ])  # [S, nfft] static
+    metric = jnp.abs(d_rx @ jnp.asarray(np.conj(d_refs)).T)  # [..., S]
+    return jnp.asarray(shifts)[jnp.argmax(metric, axis=-1)]
 
 
 def schmidl_cox_preamble(nfft: int, key=None, seed: int = 0):

@@ -21,6 +21,7 @@ from commpy_tpu.ops.ofdm import (
 from commpy_tpu.ops.sync import (
     cfo_correct,
     cfo_estimate_cp,
+    integer_cfo_estimate,
     schmidl_cox_estimate,
     schmidl_cox_metric,
     schmidl_cox_preamble,
@@ -87,6 +88,52 @@ def test_cfo_correct_inverts_injector():
     y = add_frequency_offset(x, Fs=NFFT, delta_f=0.3)
     back = np.asarray(cfo_correct(y, 0.3, NFFT))
     assert np.allclose(back, x, atol=1e-5)
+
+
+def test_integer_plus_fractional_cfo_recovery():
+    """eps=3.3 subcarriers: CP estimator resolves the 0.3, the
+    differential spectrum correlation the +3 — the full offset comes
+    back through a 2-tap channel."""
+    rng = np.random.RandomState(10)
+    # known symbol: QPSK on every loaded bin of the ofdm_tx map
+    grid = np.zeros((4, NSC, 1), np.complex64)
+    qpsk = ((rng.randint(0, 2, (4, NSC)) * 2 - 1)
+            + 1j * (rng.randint(0, 2, (4, NSC)) * 2 - 1)) / np.sqrt(2)
+    grid[:, :, 0] = qpsk
+    tx = np.asarray(ofdm_tx(grid, NFFT, NSC, CP))
+    # reference bin loading of frame 0's known symbol
+    ref = np.zeros(NFFT, np.complex64)
+    half = NSC // 2
+    ref[1: half + 1] = qpsk[0, half:]
+    ref[NFFT - half:] = qpsk[0, :half]
+    # same known symbol on every frame for the integer search
+    tx = np.broadcast_to(tx[0], tx.shape).copy()
+    # mild 2-tap channel + noise + composite CFO
+    h = np.array([1.0, 0.35 * np.exp(1j * 0.7)], np.complex64)
+    rx = h[0] * tx
+    rx[:, 1:] += h[1] * tx[:, :-1]
+    rx = np.array(add_frequency_offset(rx, Fs=NFFT, delta_f=3.3))
+    rx += 0.02 * (rng.randn(*rx.shape) + 1j * rng.randn(*rx.shape))
+    frac = cfo_estimate_cp(rx, NFFT, CP, n_symbols=1)
+    assert np.allclose(np.asarray(frac), 0.3, atol=0.03)
+    fixed = cfo_correct(rx, frac, NFFT)
+    k = np.asarray(integer_cfo_estimate(fixed[:, CP:], ref, max_shift=6))
+    assert (k == 3).all()
+    total = np.asarray(frac) + k
+    assert np.allclose(total, 3.3, atol=0.03)
+
+
+def test_integer_cfo_zero_and_negative():
+    rng = np.random.RandomState(11)
+    ref = np.zeros(NFFT, np.complex64)
+    loaded = np.r_[1:27, NFFT - 26:NFFT]
+    ref[loaded] = np.exp(2j * np.pi * rng.rand(loaded.size))
+    x = np.fft.ifft(ref) * NFFT
+    for k_true in (0, -4):
+        rx = np.array(cfo_correct(x[None], -float(k_true), NFFT))
+        rx += 0.01 * (rng.randn(*rx.shape) + 1j * rng.randn(*rx.shape))
+        k = int(np.asarray(integer_cfo_estimate(rx, ref, max_shift=6))[0])
+        assert k == k_true, (k, k_true)
 
 
 # ---------------------------------------------------------------------------
